@@ -1,0 +1,138 @@
+"""Unit + property tests for the equality-critical URL kernel
+(SURVEY.md §5.2-5.3). No Spark needed — the kernel is shared between
+the engine UDFs and the oracle by construction."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from yacy_grid_crawler_spark.functions.urlnorm import (
+    canonicalize_url,
+    content_domain,
+    smart_sld,
+    url_ext,
+    url_host,
+    url_id,
+)
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("http://Example.ORG/a", "http://example.org/a"),
+        ("HTTP://example.org", "http://example.org/"),
+        ("http://example.org:80/a", "http://example.org/a"),
+        ("https://example.org:443/a", "https://example.org/a"),
+        ("http://example.org:8080/a", "http://example.org:8080/a"),
+        ("http://example.org/a#frag", "http://example.org/a"),
+        ("http://example.org/a/../b", "http://example.org/b"),
+        ("http://example.org/a/./b", "http://example.org/a/b"),
+        ("http://example.org//a//b", "http://example.org/a/b"),
+        ("http://example.org/a/", "http://example.org/a/"),
+        ("http://example.org/%7Euser", "http://example.org/~user"),
+        ("http://example.org/a?q=1#f", "http://example.org/a?q=1"),
+        ("http://example.org/a?", "http://example.org/a"),
+        ("example.org/x", "http://example.org/x"),
+        ("ftp://Host.example/file", "ftp://host.example/file"),
+        ("http://user:pw@example.org/a", "http://user:pw@example.org/a"),
+    ],
+)
+def test_canonical_forms(raw, expected):
+    assert canonicalize_url(raw) == expected
+
+
+@pytest.mark.parametrize(
+    "raw",
+    [
+        "",
+        "http://",
+        "mailto:x@y.z",
+        "javascript:void(0)",
+        "http://bad host/with space",
+        "gopher://old.example/x",
+        "http://example.org:notaport/",
+        "notaurl with space",
+    ],
+)
+def test_malformed_dropped(raw):
+    assert canonicalize_url(raw) is None
+
+
+def test_url_id_is_md5_of_normal_form():
+    import hashlib
+
+    u = canonicalize_url("HTTP://Example.org/a#x")
+    assert url_id(u) == hashlib.md5(b"http://example.org/a").hexdigest()
+
+
+@pytest.mark.parametrize(
+    "u,host",
+    [
+        ("http://example.org/a", "example.org"),
+        ("http://example.org:8080/a", "example.org"),
+        ("http://u:p@example.org/a", "example.org"),
+    ],
+)
+def test_url_host(u, host):
+    assert url_host(u) == host
+
+
+@pytest.mark.parametrize(
+    "u,dom",
+    [
+        ("http://x.org/a.html", "text"),
+        ("http://x.org/a.jpg", "image"),
+        ("http://x.org/a.mp3", "audio"),
+        ("http://x.org/a.mp4", "video"),
+        ("http://x.org/a.zip", "app"),
+        ("http://x.org/a", "all"),
+        ("http://x.org/a.unknownx", "all"),
+        ("http://x.org/dir.zip/page", "all"),  # extension from LAST segment only
+    ],
+)
+def test_content_domain(u, dom):
+    assert content_domain(u) == dom
+
+
+def test_url_ext_query_stripped():
+    assert url_ext("http://x.org/a.jpg?size=2") == "jpg"
+
+
+@pytest.mark.parametrize(
+    "host,sld",
+    [
+        ("www.example.org", "example"),
+        ("example.org", "example"),
+        ("a.b.co.uk", "b"),
+        ("localhost", "localhost"),
+        ("192.168.0.1", "192.168.0.1"),
+    ],
+)
+def test_smart_sld(host, sld):
+    assert smart_sld(host) == sld
+
+
+# --- property tests (SURVEY.md §5.2) ---
+
+url_strategy = st.builds(
+    lambda scheme, host, path, frag: f"{scheme}://{host}/{path}{frag}",
+    st.sampled_from(["http", "HTTP", "https", "ftp"]),
+    st.from_regex(r"[A-Za-z][A-Za-z0-9.-]{0,20}[A-Za-z0-9]", fullmatch=True),
+    st.from_regex(r"[A-Za-z0-9._~/%-]{0,30}", fullmatch=True),
+    st.sampled_from(["", "#frag", "#"]),
+)
+
+
+@given(url_strategy)
+@settings(max_examples=300, deadline=None)
+def test_canonicalize_idempotent(u):
+    c = canonicalize_url(u)
+    if c is not None:
+        assert canonicalize_url(c) == c, f"not idempotent: {u!r} -> {c!r}"
+
+
+@given(url_strategy)
+@settings(max_examples=200, deadline=None)
+def test_fragment_invariance(u):
+    base = u.split("#")[0]
+    assert canonicalize_url(u) == canonicalize_url(base)

@@ -1,0 +1,111 @@
+"""End-to-end equality: the Spark engine vs the pure-Python executable
+spec (SURVEY.md §5.1) on the seeded spans corpus.
+
+Asserts the four equality surfaces from BASELINE.json north_star:
+  (a) URL-seen set equality (exact md5-id set per crawl)
+  (b) crawl-order equality under the canonical total order
+  (c) status-table equality (url_id → status, comment class)
+  (d) metrics equality per wave
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from yacy_grid_crawler_spark.config import build_crawl_start, make_profile
+from yacy_grid_crawler_spark.fixtures.gen import blacklist_lines
+from yacy_grid_crawler_spark.operators.blacklist import parse_lines
+from yacy_grid_crawler_spark.oracle.spec import crawl as oracle_crawl
+from yacy_grid_crawler_spark.plans.crawl_job import CrawlJob
+
+
+@pytest.fixture(scope="module")
+def crawl_result(spark, corpus, docs_df, robots_df, tmp_path_factory):
+    """Run one 2-deep crawl in both the engine and the oracle."""
+    store_root = str(tmp_path_factory.mktemp("store"))
+    rules = parse_lines(blacklist_lines(corpus))
+    seed = corpus.seeds[0]
+    overrides = {"crawlingDepth": 2}
+
+    job = CrawlJob(
+        spark,
+        store_root,
+        docs_df,
+        blacklist=rules,
+        robots=robots_df,
+        n_shards=8,
+    )
+    cids = job.start(seed, overrides)
+    assert len(cids) == 1
+    job.run(cids)
+
+    profile = build_crawl_start(make_profile(overrides), seed)
+    profile["id"] = cids[0]
+    docs_map = {d["doc_id"]: d["spans"] for d in corpus.docs}
+    blk = [
+        {"rule_kind": r.rule_kind, "host": r.host, "pattern": r.pattern}
+        for r in rules
+    ]
+    robots = {h: {"disallow": r["disallow"], "delay_ms": r["delay_ms"]} for h, r in corpus.robots.items()}
+    oracle = oracle_crawl(docs_map, [seed], profile, blacklist=blk, robots=robots)
+    return job, cids[0], oracle
+
+
+def test_seen_set_equality(crawl_result):
+    job, cid, oracle = crawl_result
+    engine_seen = {
+        r["url_id"]
+        for r in job.store.read("url_seen").filter(F.col("crawl_id") == cid).collect()
+    }
+    assert engine_seen == oracle.seen
+
+
+def test_crawl_order_equality(crawl_result):
+    job, cid, oracle = crawl_result
+    cols = ["depth", "lane", "do_index", "batch_no", "batch_pos", "url", "url_id",
+            "fetch_slot", "not_before_ms"]
+    engine_rows = [
+        tuple(r[c] for c in cols)
+        for r in (
+            job.store.read("frontier")
+            .filter(F.col("crawl_id") == cid)
+            .orderBy("depth", (1 - F.col("do_index").cast("int")), "batch_no", "batch_pos")
+            .collect()
+        )
+    ]
+    oracle_rows = [
+        (
+            r["depth"], r["lane"], r["do_index"], r["batch_no"], r["batch_pos"],
+            r["url"], r["url_id"], r["fetch_slot"], r["not_before_ms"],
+        )
+        for r in sorted(
+            oracle.frontier,
+            key=lambda r: (r["depth"], not r["do_index"], r["batch_no"], r["batch_pos"]),
+        )
+    ]
+    assert len(engine_rows) == len(oracle_rows)
+    for i, (e, o) in enumerate(zip(engine_rows, oracle_rows)):
+        assert e == o, f"row {i}: engine={e} oracle={o}"
+
+
+def test_status_equality(crawl_result):
+    job, cid, oracle = crawl_result
+    engine_status = {
+        r["url_id"]: (r["status"], r["comment_class"])
+        for r in job.store.read("crawl_status").filter(F.col("crawl_id") == cid).collect()
+    }
+    assert engine_status == oracle.status
+
+
+def test_metrics_equality(crawl_result):
+    job, cid, oracle = crawl_result
+    keys = [
+        "depth", "extracted", "parsed_ok", "deduped_session",
+        "deduped_persistent", "rejected_filter", "rejected_blacklist",
+        "rejected_robots", "accepted", "do_index",
+    ]
+    engine = {
+        r["depth"]: tuple(r[k] for k in keys)
+        for r in job.store.read("crawl_metrics").filter(F.col("crawl_id") == cid).collect()
+    }
+    oracle_m = {m["depth"]: tuple(m[k] for k in keys) for m in oracle.metrics}
+    assert engine == oracle_m

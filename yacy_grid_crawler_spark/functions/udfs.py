@@ -1,0 +1,65 @@
+"""Vectorized Arrow (pandas) UDF kernels — the engine's ONLY Python
+execution surface (SURVEY.md §2 "UDF/UDAF/UDTF surface"). Everything
+else stays JVM-side in whole-stage codegen.
+
+Each UDF wraps the pure-Python spec functions in functions/urlnorm.py,
+so the Spark engine and the executable-spec oracle share one
+implementation (drift-proof, SURVEY.md §7).
+
+Per BASELINE.json input_hint: pandas/Arrow Series→Series only, no
+per-row Python UDFs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .urlnorm import canonicalize_url, content_domain, smart_sld
+
+
+@F.pandas_udf(T.StringType())
+def canonicalize(urls: pd.Series) -> pd.Series:
+    """URL normal form; None for malformed (P2,
+    CrawlerListener.java:277-292, 308)."""
+    return urls.map(canonicalize_url, na_action="ignore")
+
+
+@F.pandas_udf(T.StringType())
+def classify_content_domain(urls: pd.Series) -> pd.Series:
+    """'text'|'image'|'audio'|'video'|'app'|'all' by extension (F1,
+    CrawlerListener.java:304-306). Input must already be canonical."""
+    return urls.map(content_domain, na_action="ignore")
+
+
+@F.pandas_udf(T.StringType())
+def smart_sld_udf(hosts: pd.Series) -> pd.Series:
+    """Registrable-domain heuristic (P6, CrawlStartService.java:115)."""
+    return hosts.map(smart_sld, na_action="ignore")
+
+
+def make_regex_full_match_udf(patterns: list[str]):
+    """Anchored ('Matcher.matches()') disjunction over compiled regexes
+    — the blacklist kernel (F3, Blacklist.java:105-126). Patterns are
+    compiled once per executor task, then applied vectorized.
+
+    Returns a pandas UDF BooleanType: True where ANY pattern
+    full-matches (first match wins ≡ any-match for a boolean verdict).
+    """
+    import re
+
+    compiled_holder: list = []
+
+    @F.pandas_udf(T.BooleanType())
+    def any_full_match(urls: pd.Series) -> pd.Series:
+        if not compiled_holder:
+            compiled_holder.append([re.compile(p) for p in patterns])
+        regs = compiled_holder[0]
+
+        def hit(u: str) -> bool:
+            return any(r.fullmatch(u) is not None for r in regs)
+
+        return urls.map(hit, na_action="ignore").astype("boolean")
+
+    return any_full_match

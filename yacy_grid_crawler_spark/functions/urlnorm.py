@@ -1,0 +1,322 @@
+"""URL canonicalization + classification kernels (pure Python).
+
+This module is the *executable specification* for the equality-critical
+URL normal form. The reference delegates to ``MultiProtocolURL`` /
+``Digest`` in the (unvendored) yacy_grid_mcp submodule; the observable
+contract at the call sites is:
+
+* ``new MultiProtocolURL(u)`` throws on malformed input → the URL is
+  dropped (links) or diverted to ``badURLStrings`` (seeds)
+  [reference: CrawlerListener.java:126-129, 286-292]
+* ``url.toNormalform(true)`` strips the fragment and produces a proper
+  percent-encoded normal form [reference: conf/config.properties:26-28]
+* ``Digest.encodeMD5Hex(normalform)`` is the URL id used for every
+  seen-set / status-table key
+  [reference: CrawlerListener.java:308-309, 436; CrawlStartService.java:142]
+* ``url.getContentDomainFromExt()`` classifies by file extension; only
+  TEXT or ALL survive the crawl [reference: CrawlerListener.java:304-306]
+* ``Domains.getSmartSLD(host)`` extracts a "smart second-level domain"
+  [reference: CrawlStartService.java:115,119]
+
+Since the submodule is not vendored, THIS file (not Java code) is the
+authoritative spec. The Spark engine (via pandas UDFs in udfs.py) and
+the pure-Python oracle (oracle/spec.py) both import exactly these
+functions, so engine/oracle drift is impossible by construction.
+
+Everything here is written to be vectorization-friendly: plain str ops,
+no regex backtracking blowups, and module-level constant tables.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import posixpath
+from urllib.parse import quote, unquote
+
+# ---------------------------------------------------------------------------
+# schemes / ports
+# ---------------------------------------------------------------------------
+
+SUPPORTED_SCHEMES = frozenset({"http", "https", "ftp"})
+
+DEFAULT_PORTS = {"http": 80, "https": 443, "ftp": 21}
+
+# ---------------------------------------------------------------------------
+# extension → content domain
+# the reference keeps only TEXT or ALL (CrawlerListener.java:304-306);
+# the default mustnotmatch regex lists the media extensions
+# (CrawlerDefaultValuesService.java:55). Unknown/absent extension → ALL.
+# ---------------------------------------------------------------------------
+
+TEXT_EXTS = frozenset(
+    {
+        "html",
+        "htm",
+        "xhtml",
+        "shtml",
+        "php",
+        "asp",
+        "aspx",
+        "jsp",
+        "txt",
+        "text",
+        "md",
+        "xml",
+        "rss",
+        "atom",
+        "json",
+        "csv",
+        "tsv",
+        "pdf",
+        "doc",
+        "docx",
+        "odt",
+        "rtf",
+    }
+)
+
+IMAGE_EXTS = frozenset(
+    {"jpg", "jpeg", "png", "gif", "bmp", "ico", "svg", "tif", "tiff", "webp"}
+)
+AUDIO_EXTS = frozenset({"mp3", "ogg", "oga", "wav", "flac", "aac", "m4a", "wma"})
+VIDEO_EXTS = frozenset(
+    {"mp4", "avi", "mkv", "mov", "wmv", "flv", "webm", "mpg", "mpeg", "m4v", "3gp"}
+)
+APP_EXTS = frozenset(
+    {
+        "exe",
+        "msi",
+        "dmg",
+        "apk",
+        "jar",
+        "zip",
+        "gz",
+        "tgz",
+        "bz2",
+        "xz",
+        "7z",
+        "rar",
+        "tar",
+        "iso",
+        "bin",
+        "swf",
+        "class",
+        "deb",
+        "rpm",
+    }
+)
+
+_EXT_DOMAIN: dict[str, str] = {}
+for _e in TEXT_EXTS:
+    _EXT_DOMAIN[_e] = "text"
+for _e in IMAGE_EXTS:
+    _EXT_DOMAIN[_e] = "image"
+for _e in AUDIO_EXTS:
+    _EXT_DOMAIN[_e] = "audio"
+for _e in VIDEO_EXTS:
+    _EXT_DOMAIN[_e] = "video"
+for _e in APP_EXTS:
+    _EXT_DOMAIN[_e] = "app"
+
+# unreserved characters per RFC 3986 — percent-encodings of these are
+# decoded during normalization; everything else is left encoded with
+# uppercase hex digits.
+_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+
+
+def _norm_pct(component: str, safe: str) -> str:
+    """Normalize percent-encoding: decode unreserved, uppercase hex,
+    re-encode anything that must stay encoded."""
+    # round-trip: fully decode then re-quote with a stable safe set.
+    try:
+        decoded = unquote(component, errors="strict")
+    except Exception:
+        return component  # undecodable sequences: leave as-is
+    return quote(decoded, safe=safe)
+
+
+def canonicalize_url(raw: str | None) -> str | None:
+    """The URL normal form. Returns None for malformed input
+    (spec for ``MultiProtocolURL`` parse failure → drop,
+    CrawlerListener.java:286-292).
+
+    Rules (the engine-authoritative spec, SURVEY.md §7 "What's hard"):
+      1. strip surrounding whitespace; scheme-less input gets ``http://``
+      2. lowercase scheme and host; reject schemes outside http/https/ftp
+      3. strip the fragment (conf/config.properties:27-28)
+      4. strip default port (80/443/21); reject unparseable ports
+      5. resolve ``.``/``..`` path segments; empty path → ``/``
+      6. percent-encoding normal form (decode unreserved, uppercase hex)
+      7. keep the query string verbatim modulo percent normalization;
+         a trailing ``?`` with empty query is dropped
+    """
+    if raw is None:
+        return None
+    u = raw.strip()
+    if not u or any(c in u for c in (" ", "\t", "\n", "\r")):
+        # inner whitespace is malformed (seed splitter already split on it)
+        if not u:
+            return None
+        return None
+    # 1. scheme
+    scheme_sep = u.find("://")
+    if scheme_sep < 0:
+        if u.startswith(("mailto:", "javascript:", "data:", "about:", "tel:")):
+            return None
+        # scheme-less input must look like a hostname: a dot, an
+        # explicit port, or localhost — bare words are malformed
+        head = u.split("/", 1)[0]
+        if "." not in head and ":" not in head and head.lower() != "localhost":
+            return None
+        scheme, rest = "http", u
+    else:
+        scheme, rest = u[:scheme_sep].lower(), u[scheme_sep + 3 :]
+    if scheme not in SUPPORTED_SCHEMES:
+        return None
+    # 2. split authority / path?query#fragment
+    path_start = len(rest)
+    for ch in "/?#":
+        i = rest.find(ch)
+        if i >= 0:
+            path_start = min(path_start, i)
+    authority, tail = rest[:path_start], rest[path_start:]
+    if not authority:
+        return None
+    # userinfo (kept verbatim, lowercased host only)
+    userinfo = ""
+    if "@" in authority:
+        userinfo, authority = authority.rsplit("@", 1)
+        userinfo += "@"
+    host, port = authority, None
+    if ":" in authority:
+        host, port_s = authority.rsplit(":", 1)
+        if port_s == "":
+            port = None
+        else:
+            if not port_s.isdigit():
+                return None
+            port = int(port_s)
+            if port <= 0 or port > 65535:
+                return None
+    host = host.lower().strip(".")
+    if not host or ".." in host:
+        return None
+    if port == DEFAULT_PORTS[scheme]:
+        port = None
+    # 3/7. split off fragment, then query
+    frag_i = tail.find("#")
+    if frag_i >= 0:
+        tail = tail[:frag_i]
+    q_i = tail.find("?")
+    if q_i >= 0:
+        path, query = tail[:q_i], tail[q_i + 1 :]
+    else:
+        path, query = tail, None
+    # 5. path normalization
+    if not path:
+        path = "/"
+    else:
+        # posixpath.normpath collapses '//' and resolves '.'/'..' but
+        # drops trailing '/' — preserve it explicitly.
+        trailing = path.endswith("/") and path != "/"
+        norm = posixpath.normpath(path)
+        if norm.startswith("//"):  # POSIX '//' special case in normpath
+            norm = "/" + norm.lstrip("/")
+        # normpath('.') == '.', normpath of absolute stays absolute;
+        # guard '..' escaping above root
+        while norm.startswith("/../"):
+            norm = norm[3:]
+        if norm in (".", "/.."):
+            norm = "/"
+        if trailing and not norm.endswith("/"):
+            norm += "/"
+        path = norm if norm.startswith("/") else "/" + norm
+    # 6. percent normal form
+    path = _norm_pct(path, safe="/:@!$&'()*+,;=~-._")
+    out = f"{scheme}://{userinfo}{host}"
+    if port is not None:
+        out += f":{port}"
+    out += path
+    if query:
+        out += "?" + _norm_pct(query, safe="/:@!$&'()*+,;=?~-._")
+    return out
+
+
+def url_id(normal_form: str) -> str:
+    """MD5 hex of the normal form — the universal URL key
+    (Digest.encodeMD5Hex, CrawlerListener.java:308-309)."""
+    return hashlib.md5(normal_form.encode("utf-8")).hexdigest()
+
+
+def url_host(normal_form: str) -> str:
+    """Host component of an already-canonical URL (cheap split)."""
+    rest = normal_form.split("://", 1)[1]
+    auth = rest.split("/", 1)[0].split("?", 1)[0]
+    if "@" in auth:
+        auth = auth.rsplit("@", 1)[1]
+    return auth.rsplit(":", 1)[0] if ":" in auth and auth.rsplit(":", 1)[1].isdigit() else auth
+
+
+def url_ext(normal_form: str) -> str:
+    """File extension of the path's last segment, lowercase, '' if none."""
+    rest = normal_form.split("://", 1)[1]
+    path = rest[rest.find("/") :] if "/" in rest else "/"
+    path = path.split("?", 1)[0]
+    seg = path.rsplit("/", 1)[-1]
+    if "." not in seg:
+        return ""
+    ext = seg.rsplit(".", 1)[-1].lower()
+    return ext if 0 < len(ext) <= 5 and ext.isalnum() else ""
+
+
+def content_domain(normal_form: str) -> str:
+    """'text'|'image'|'audio'|'video'|'app'|'all' from the extension.
+    Crawl keeps only {'text','all'} (CrawlerListener.java:304-306)."""
+    ext = url_ext(normal_form)
+    if not ext:
+        return "all"
+    return _EXT_DOMAIN.get(ext, "all")
+
+
+# ---------------------------------------------------------------------------
+# smart SLD (Domains.getSmartSLD contract at CrawlStartService.java:115,119)
+# ---------------------------------------------------------------------------
+
+# minimal embedded public-suffix sample: two-label suffixes where the
+# registrable domain needs three labels. The real MCP class embeds a
+# full list; our executable spec pins this subset deterministically.
+_TWO_LABEL_SUFFIXES = frozenset(
+    {
+        "co.uk",
+        "org.uk",
+        "ac.uk",
+        "gov.uk",
+        "com.au",
+        "net.au",
+        "org.au",
+        "co.jp",
+        "ne.jp",
+        "or.jp",
+        "com.br",
+        "com.cn",
+        "com.mx",
+        "co.in",
+        "co.kr",
+        "co.nz",
+        "co.za",
+    }
+)
+
+
+def smart_sld(host: str) -> str:
+    """Registrable-domain heuristic: the label left of the public
+    suffix. IPs and single-label hosts return unchanged."""
+    h = host.lower().strip(".")
+    parts = h.split(".")
+    if len(parts) < 2 or all(p.isdigit() for p in parts):
+        return h
+    if len(parts) >= 3 and ".".join(parts[-2:]) in _TWO_LABEL_SUFFIXES:
+        return parts[-3]
+    return parts[-2]

@@ -1,0 +1,209 @@
+"""G1/G2/G3/G4/G5 + politeness — ordering, batching, sharding, lanes.
+
+G1 fixed-size batching   createPartition(urls, 8) — greedy sequential
+                         batches in collection order
+                         (CrawlerListener.java:406, 451-462)
+G2 index-before-noindex  two-pass emit; index batches sort strictly
+                         before noindex within a wave (:386-429, 412)
+G3 host-keyed sharding   hashKey = host of the batch's first URL
+                         (:504); BALANCE/LEAST_FILLED queue selection
+                         (:512-555) → hash-partition + AQE + hot-host
+                         salting [north-rule addition]
+G4 priority lanes        queue split [normal, priority] (:62-76);
+                         lane from profile priority (:217)
+G5 canonical total order (depth, lane, do_index desc, batch_no,
+                         batch_pos) — the crawl-order spec fixing the
+                         reference's JVM-hash-unspecified intra-wave
+                         order (SURVEY.md §5)
+
+Politeness [north rule, no reference counterpart — owned by
+yacy_grid_loader, SURVEY.md §1.6]: per-host fetch slots
+fetch_slot = row_number over host in canonical order;
+not_before = wave_start + fetch_slot × crawl_delay(host).
+The politeness window is keyed on the UN-salted host so salting the
+shuffle never breaks per-host ordering (§7 risk note).
+
+Scale notes: every window here partitions by (crawl_id [, host]) —
+no global sort anywhere; the canonical order is established with ONE
+shuffle on (crawl_id) ordered locally per partition group, and the
+G3 shard column makes downstream writes cluster by host without a
+second shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import BATCH_SIZE
+
+
+def assign_lane(df: DataFrame, priority: int) -> DataFrame:
+    """G4 — lane from the profile's priority int
+    (CrawlerListener.java:62-76, 217)."""
+    return df.withColumn(
+        "lane", F.lit("priority" if int(priority) > 0 else "normal")
+    )
+
+
+def assign_batches(
+    df: DataFrame,
+    order: tuple[str, ...] = ("parent_ord", "span_offset"),
+    batch_size: int = BATCH_SIZE,
+    distributed: bool = False,
+) -> DataFrame:
+    """G1+G2 — position within the (crawl, index-split) group in
+    canonical order → batch_no / batch_pos. Index rows (do_index=true)
+    form their own group emitted before noindex (G2: `ini` 0 then 1,
+    CrawlerListener.java:412).
+
+    `distributed=False` uses a window over (crawl_id, do_index) — fine
+    up to millions of rows per crawl but a 2-partitions-per-crawl
+    bottleneck at 10^10 scale. `distributed=True` computes the same
+    positions with range-partitioned two-phase ranking
+    (`global_positions`) — identical output, parallel everywhere.
+    """
+    group = ("crawl_id", "do_index")
+    if distributed:
+        df = global_positions(df, group_cols=group, order_cols=order, out="_pos")
+    else:
+        w = Window.partitionBy(*group).orderBy(*[F.col(c) for c in order])
+        df = df.withColumn("_pos", F.row_number().over(w) - 1)
+    return (
+        df.withColumn("batch_no", (F.col("_pos") / batch_size).cast("bigint"))
+        .withColumn("batch_pos", (F.col("_pos") % batch_size).cast("int"))
+        .drop("_pos")
+    )
+
+
+def global_positions(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    out: str = "_pos",
+) -> DataFrame:
+    """Distributed 0-based dense position within each group, ordered by
+    `order_cols` — the scale-out replacement for a per-group window.
+
+    Two phases (classic distributed ranking):
+      1. range-partition on (group_cols + order_cols) → each group's
+         rows occupy a contiguous run of partitions, sorted;
+      2. count rows per (physical partition × group), compute per-group
+         prefix offsets on the driver (tiny: one row per partition ×
+         group boundary), then position = offset + local row_number
+         (a window keyed by spark_partition_id — fully parallel).
+    """
+    keys = [F.col(c) for c in (*group_cols, *order_cols)]
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(n_part, *keys).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    counts = (
+        ranged.groupBy("_pid", *group_cols).count().collect()
+    )
+    # per-group running offset in pid order
+    by_group: dict[tuple, list] = {}
+    for r in counts:
+        g = tuple(r[c] for c in group_cols)
+        by_group.setdefault(g, []).append((r["_pid"], r["count"]))
+    offsets: dict[tuple, int] = {}
+    rows = []
+    for g, lst in by_group.items():
+        acc = 0
+        for pid, n in sorted(lst):
+            rows.append((*g, pid, acc))
+            acc += n
+    off_df = df.sparkSession.createDataFrame(
+        rows, [*group_cols, "_pid", "_offset"]
+    )
+    w = Window.partitionBy("_pid", *group_cols).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    result = (
+        ranged.join(F.broadcast(off_df), [*group_cols, "_pid"], "left")
+        .withColumn(out, F.col("_offset") + F.row_number().over(w) - 1)
+        .drop("_pid", "_offset")
+    )
+    return result
+
+
+def assign_shard(
+    df: DataFrame,
+    n_shards: int,
+    host_col: str = "host",
+    hot_host_threshold: int | None = None,
+    n_salts: int = 8,
+) -> DataFrame:
+    """G3 — shard = pmod(hash(host), P): per-host affinity like the
+    reference's host hashKey queue choice (CrawlerListener.java:504).
+
+    Hot-host salting [north-rule addition]: hosts whose wave row count
+    exceeds `hot_host_threshold` get `salt = pmod(hash(url_id), S)` so
+    a Zipf head host fans out over S shards instead of straggling one
+    partition. The salt affects ONLY the physical shard; politeness
+    and ordering stay keyed on the un-salted host."""
+    df = df.withColumn("shard", F.pmod(F.hash(F.col(host_col)), F.lit(n_shards)))
+    if hot_host_threshold is None:
+        return df.withColumn("salt", F.lit(0))
+    counts = df.groupBy(host_col).agg(F.count("*").alias("_host_n"))
+    hot = counts.filter(F.col("_host_n") > hot_host_threshold).drop("_host_n")
+    df = df.join(
+        F.broadcast(hot.withColumn("_hot", F.lit(True))), host_col, "left"
+    )
+    salt = F.when(
+        F.col("_hot").isNotNull(), F.pmod(F.hash(F.col("url_id")), F.lit(n_salts))
+    ).otherwise(F.lit(0))
+    return (
+        df.withColumn("salt", salt)
+        .withColumn(
+            "shard", F.pmod(F.col("shard") + F.col("salt"), F.lit(n_shards))
+        )
+        .drop("_hot")
+    )
+
+
+def politeness_slots(
+    df: DataFrame,
+    robots: DataFrame | None = None,
+    wave_start_ms: int = 0,
+    default_delay_ms: int = 0,
+) -> DataFrame:
+    """Per-host fetch slots + not_before timestamps [north rule].
+    robots: (host, disallow_prefixes, crawl_delay_ms) — broadcast."""
+    w = Window.partitionBy("crawl_id", "host").orderBy(
+        (1 - F.col("do_index").cast("int")), "batch_no", "batch_pos"
+    )
+    df = df.withColumn("fetch_slot", F.row_number().over(w) - 1)
+    if robots is not None:
+        df = df.join(
+            F.broadcast(robots.select("host", "crawl_delay_ms")), "host", "left"
+        )
+        delay = F.coalesce(F.col("crawl_delay_ms"), F.lit(default_delay_ms))
+    else:
+        delay = F.lit(default_delay_ms)
+    return df.withColumn(
+        "not_before_ms",
+        (F.lit(wave_start_ms) + F.col("fetch_slot") * delay).cast("long"),
+    ).drop("crawl_delay_ms")
+
+
+def lineage_column(depth_col=None, partition_col=None):
+    """S9 — deterministic per-partition lineage id
+    ``d{depth:02}-p{batch:04}`` mirroring the reference's asset naming
+    (CrawlerListener.java:497-503, 569-573; zero-padding via `intf`)."""
+    depth_col = depth_col if depth_col is not None else F.col("depth")
+    partition_col = partition_col if partition_col is not None else F.col("batch_no")
+    return F.format_string("d%02d-p%04d", depth_col, partition_col.cast("int"))
+
+
+def canonical_order(df: DataFrame) -> DataFrame:
+    """G5 — the canonical total order for output/equality tests."""
+    return df.orderBy(
+        "crawl_id",
+        "depth",
+        F.when(F.col("lane") == "priority", 0).otherwise(1),
+        (1 - F.col("do_index").cast("int")),
+        "batch_no",
+        "batch_pos",
+    )

@@ -1,0 +1,113 @@
+"""D1–D4 — the dedup stack (the heart of the engine, SURVEY.md §2).
+
+D1 per-document dedup        (HashSet per graph entry, CrawlerListener.java:275)
+D2 session seen-set          (in-memory md5 set, add-BEFORE-filter, :82-108, :298-315)
+D3 persistent seen-set       (existBulk against the crawler index, :360-365)
+D4 within-batch id collapse  (HashMap put, last-wins → we pin FIRST-wins
+                              under the canonical order, :432-441)
+
+Spark-first design (north rule: "distributed URL-seen set built as
+per-partition bloom/cuckoo filters over canonicalized+hashed URLs"):
+
+* in-wave first occurrence: window `row_number()==1` over url_id in
+  canonical order — one shuffle, deterministic winner (D1+D4).
+* cross-wave: `LEFT ANTI JOIN url_seen` — the EXACT decider (D2/D3).
+* bloom pre-filter: a BloomFilter built from the committed seen table
+  (df.stat.bloomFilter, JVM-side) probed BEFORE the anti-join. URLs the
+  bloom has definitely never seen skip the join entirely; "maybe seen"
+  rows (including false positives) flow to the exact anti-join, which
+  resolves them — a bloom FP can never cause a false drop (§7 risk
+  note). At 10^10-frontier scale this turns the anti-join's probe side
+  from "whole wave" into "tiny maybe-set", cutting the dominant shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def first_occurrence(
+    df: DataFrame,
+    key: str = "url_id",
+    order: tuple[str, ...] = ("parent_ord", "span_offset"),
+    crawl_col: str = "crawl_id",
+) -> DataFrame:
+    """Keep the canonically-first row per key within the wave
+    (D1 in-document + D4 in-batch collapse, deterministic tiebreak)."""
+    w = Window.partitionBy(crawl_col, key).orderBy(*[F.col(c) for c in order])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def anti_join_seen(
+    candidates: DataFrame,
+    seen: DataFrame,
+    key: str = "url_id",
+    crawl_col: str | None = "crawl_id",
+) -> DataFrame:
+    """Exact cross-wave dedup (D2 layer-2 / D3): NOT EXISTS as a left
+    anti join. With `crawl_col`, membership is per-crawl (the session
+    double cache is keyed by crawl_id, CrawlerListener.java:82);
+    without, it is global (the crawler index is keyed by _id only,
+    :434-441)."""
+    on = [key] if crawl_col is None else [crawl_col, key]
+    return candidates.join(seen.select(*on).distinct(), on=on, how="left_anti")
+
+
+def bloom_prefilter(
+    candidates: DataFrame,
+    seen: DataFrame,
+    key: str = "url_id",
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+) -> tuple[DataFrame, DataFrame]:
+    """Split candidates into (definitely_new, maybe_seen) using a
+    vectorized bloom filter built over the committed seen-set
+    (functions/bloom.py — per-partition distributed build, Arrow probe).
+
+    definitely_new needs NO anti-join (bloom negatives are exact);
+    maybe_seen (true hits + FPs) goes through anti_join_seen. Returns
+    the pair; caller unions definitely_new with the anti-join result —
+    a bloom FP can therefore never cause a false drop.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..functions.bloom import build_from_spark
+
+    bloom = build_from_spark(seen, key=key, fpp=fpp, n_items=expected_items)
+    bc = candidates.sparkSession.sparkContext.broadcast(bloom)
+
+    @F.pandas_udf(T.BooleanType())
+    def maybe_seen_udf(ids: pd.Series) -> pd.Series:
+        b = bc.value
+        out = pd.Series(False, index=ids.index)
+        nonnull = ids.dropna()
+        if len(nonnull):
+            out.loc[nonnull.index] = b.might_contain(nonnull)
+        return out
+
+    flagged = candidates.withColumn("_maybe_seen", maybe_seen_udf(F.col(key)))
+    definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    maybe_seen = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    return definitely_new, maybe_seen
+
+
+def dedup_against_seen(
+    candidates: DataFrame,
+    seen: DataFrame,
+    key: str = "url_id",
+    crawl_col: str | None = "crawl_id",
+    use_bloom: bool = True,
+    seen_count: int | None = None,
+) -> DataFrame:
+    """bloom pre-filter (fast path) + exact anti-join (decider)."""
+    if not use_bloom:
+        return anti_join_seen(candidates, seen, key, crawl_col)
+    new, maybe = bloom_prefilter(candidates, seen, key, expected_items=seen_count)
+    resolved = anti_join_seen(maybe, seen, key, crawl_col)
+    return new.unionByName(resolved)

@@ -1,0 +1,62 @@
+"""P1/P4 — link extraction from interleaved spans documents.
+
+Reference: FIELDS_IN_GRAPH projection (CrawlerListener.java:52-58,
+274-295): take canonical_s + {inbound,outbound,frames,iframes}links_sxt
+string arrays; images_sxt deliberately excluded (:55). In the spans
+model (BASELINE.json input_hint) this is: spans of kind
+{canonical,inbound,outbound,frame,iframe} yield URLs; 'media' spans
+carry `media_ref` for accounting but are NEVER expanded (:55 + the
+content-domain filter F1, :304-306); 'text' spans are content.
+
+Spark-first: pure JVM explode+filter — no Python at all. The spans
+struct stays columnar through the explode; Catalyst prunes `media_ref`
+when unused.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LINK_KINDS = ["canonical", "inbound", "outbound", "frame", "iframe"]
+
+
+def extract_links(docs: DataFrame, parent_ord_col: str = "parent_ord") -> DataFrame:
+    """documents(doc_id, spans, [parent_ord]) →
+    (doc_id, parent_ord, span_offset, kind, url_raw), one row per link
+    span, in deterministic (parent_ord, span_offset) canonical order
+    (SURVEY.md §5 crawl-order spec).
+    """
+    if parent_ord_col not in docs.columns:
+        docs = docs.withColumn(parent_ord_col, F.monotonically_increasing_id())
+    return (
+        docs.select(
+            "doc_id",
+            F.col(parent_ord_col).alias("parent_ord"),
+            F.explode("spans").alias("span"),
+        )
+        .filter(F.col("span.kind").isin(LINK_KINDS) & F.col("span.text").isNotNull())
+        .select(
+            "doc_id",
+            "parent_ord",
+            F.col("span.offset").alias("span_offset"),
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("url_raw"),
+        )
+    )
+
+
+def span_sequence(docs: DataFrame) -> DataFrame:
+    """Emitted-document span sequence (doc_id, span_ord, kind, text,
+    media_ref) — the per-row invariant surface for span-sequence
+    equality tests (BASELINE.json input_hint)."""
+    return docs.select(
+        "doc_id", F.posexplode("spans").alias("span_ord", "span")
+    ).select(
+        "doc_id",
+        "span_ord",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )

@@ -1,0 +1,105 @@
+"""F1/F2/F4/F6 + RB — the filter stack.
+
+Cost-ordered cheap→expensive exactly like the reference's hand-placed
+predicate chain (CrawlerListener.java:302-356, cost comments :338,
+:349-352): content-domain → seen-set → mustmatch → blacklist → robots
+→ persistent exist-check. Catalyst reorders conjunctive predicates but
+treats UDFs as opaque, so the pipeline preserves this order
+structurally (SURVEY.md §4).
+
+All profile regexes use ANCHORED full-match semantics
+(Matcher.matches(), CrawlerListener.java:330-336) — Spark `rlike` is
+find-semantics, so patterns are wrapped ``^(?:p)$``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.udfs import classify_content_domain
+
+
+def anchored(pattern: str) -> str:
+    """Java Matcher.matches() ≡ rlike with explicit anchors."""
+    return f"^(?:{pattern})$"
+
+
+def full_match(col: Column, pattern: str) -> Column:
+    """JVM-side anchored regex match (whole-stage codegen; no Python)."""
+    return col.rlike(anchored(pattern))
+
+
+def content_domain_col(url_col: Column) -> Column:
+    """F1 — 'text'|'image'|...|'all' via the Arrow kernel (spec-exact;
+    CrawlerListener.java:304-306). For SQL-expressible variants see
+    content_domain_sql()."""
+    return classify_content_domain(url_col)
+
+
+# extension classification as a pure-SQL expression — used by the
+# oracle_sql()-checkable query variants (same table as the kernel,
+# functions/urlnorm.py TEXT/IMAGE/... sets must stay in sync).
+def content_domain_sql(url_col: Column) -> Column:
+    from ..functions.urlnorm import (
+        APP_EXTS,
+        AUDIO_EXTS,
+        IMAGE_EXTS,
+        TEXT_EXTS,
+        VIDEO_EXTS,
+    )
+
+    ext = F.lower(
+        F.regexp_extract(url_col, r"/[^/?]*\.([A-Za-z0-9]{1,5})(?:\?[^?]*)?$", 1)
+    )
+    return (
+        F.when(ext == "", F.lit("all"))
+        .when(ext.isin(sorted(TEXT_EXTS)), F.lit("text"))
+        .when(ext.isin(sorted(IMAGE_EXTS)), F.lit("image"))
+        .when(ext.isin(sorted(AUDIO_EXTS)), F.lit("audio"))
+        .when(ext.isin(sorted(VIDEO_EXTS)), F.lit("video"))
+        .when(ext.isin(sorted(APP_EXTS)), F.lit("app"))
+        .otherwise(F.lit("all"))
+    )
+
+
+def apply_content_domain_filter(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """F1 — keep only TEXT or ALL (CrawlerListener.java:304-306)."""
+    return df.filter(content_domain_col(F.col(url_col)).isin("text", "all"))
+
+
+def mustmatch_verdict(url_col: Column, mustmatch: str, mustnotmatch: str) -> Column:
+    """F2 — True where the URL passes mustmatch AND NOT mustnotmatch
+    (CrawlerListener.java:330-336). Empty mustnotmatch never matches
+    (the reference compiles '' which full-matches nothing non-empty)."""
+    ok = full_match(url_col, mustmatch) if mustmatch else F.lit(True)
+    if mustnotmatch:
+        ok = ok & ~full_match(url_col, mustnotmatch)
+    return ok
+
+
+def do_index_verdict(
+    url_col: Column, indexmustmatch: str, indexmustnotmatch: str
+) -> Column:
+    """F4 — index/noindex steering flag (CrawlerListener.java:368-384):
+    a projection, not a partition split; both branches still crawl."""
+    return mustmatch_verdict(url_col, indexmustmatch, indexmustnotmatch)
+
+
+def robots_verdict(df: DataFrame, robots: DataFrame) -> DataFrame:
+    """RB [north-rule addition — no reference counterpart, SURVEY.md
+    §1.6]: join per-host robots rules, True where some disallow prefix
+    matches the URL path. robots: (host, disallow_prefixes
+    array<string>, crawl_delay_ms). Broadcast: the rules table is tiny
+    relative to the frontier."""
+    path = F.regexp_extract(F.col("url"), r"^[a-z]+://[^/]+(/.*)?$", 1)
+    joined = df.join(
+        F.broadcast(robots.select("host", "disallow_prefixes")), "host", "left"
+    )
+    blocked = F.exists(
+        F.coalesce(F.col("disallow_prefixes"), F.array()),
+        lambda p: F.startswith(path, p),
+    )
+    return joined.withColumn("robots_blocked", F.coalesce(blocked, F.lit(False))).drop(
+        "disallow_prefixes"
+    )

@@ -1,0 +1,240 @@
+"""Driver BFS crawl loop — the Spark-native replacement for the
+reference's queue-consumer process (SURVEY.md §3.2 "Spark equivalent").
+
+One *wave* = all pending frontier work for (crawl_id, depth), executed
+as a single DataFrame job and committed atomically to the state store
+(frontier + status + seen + metrics in one snapshot). The envelope's
+nested action chain (CrawlerListener.java:481-567) disappears: the
+driver loop owns the iteration structure (SURVEY.md §1.2).
+
+Crawl start (SURVEY.md §3.1, CrawlStartService.java:73-207):
+  seed split (S1) → per-seed single-crawl profile with crawl id (P5),
+  start_url normal form, start_ssld (P6) → crawl_starts append (S7) →
+  stale-status delete (S8) → depth-0 wave from the rootasset seed (S2).
+
+Resume: every commit records {crawl_id → next_depth} in the snapshot
+manifest; `CrawlJob.resume()` re-reads the last manifest and continues
+— exactly-once, because an interrupted wave left no manifest (north
+rule: exact resume from checkpoint).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import build_crawl_start, make_profile
+from ..operators.blacklist import BlacklistRule
+from ..operators.seeds import split_seeds
+from ..sources.statestore import StateStore
+from .wave import run_wave
+
+
+class CrawlJob:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_root: str,
+        docs: DataFrame,  # documents(doc_id, spans)
+        blacklist: list[BlacklistRule] | None = None,
+        robots: DataFrame | None = None,
+        n_shards: int = 32,
+        use_bloom: bool = False,
+        distributed_rank: bool = False,
+        hot_host_threshold: int | None = None,
+    ):
+        self.spark = spark
+        self.store = StateStore(spark, store_root)
+        self.docs = docs
+        self.blacklist = blacklist or []
+        self.robots = robots
+        self.n_shards = n_shards
+        self.use_bloom = use_bloom
+        self.distributed_rank = distributed_rank
+        self.hot_host_threshold = hot_host_threshold
+        self.profiles: dict[str, dict] = {}
+        # restore profiles from the last snapshot (resume path)
+        meta = self.store.manifest().get("meta", {})
+        for cid, pj in meta.get("profiles", {}).items():
+            self.profiles[cid] = json.loads(pj)
+
+    # ------------------------------------------------------------------
+    def start(
+        self,
+        crawling_url: str,
+        overrides: dict | None = None,
+        now: datetime | None = None,
+    ) -> list[str]:
+        """Entry point 1 (SURVEY.md §3.1): seed a crawl; one crawl id
+        PER seed URL (CrawlStartService.java:110-200). Returns the new
+        crawl ids. Malformed seed pieces are dropped (badURLStrings)."""
+        now = now or datetime(2020, 1, 1, tzinfo=timezone.utc)
+        profile = make_profile({**(overrides or {}), "crawlingURL": crawling_url})
+        seeds = split_seeds(self.spark, [crawling_url]).collect()
+        good = [r for r in seeds if r["url"] is not None]
+        new_ids: list[str] = []
+        start_rows = []
+        for count, r in enumerate(good):
+            single = build_crawl_start(profile, r["url"], count=count, now=now)
+            cid = single["id"]
+            self.profiles[cid] = single
+            new_ids.append(cid)
+            start_rows.append(
+                (
+                    cid,
+                    single.get("user_id", "anonymous"),
+                    single.get("mustmatch", ".*"),
+                    single.get("collection", "user"),
+                    single["start_url"],
+                    single["start_ssld"],
+                    json.dumps(single, default=str),
+                )
+            )
+        starts = self.spark.createDataFrame(
+            start_rows,
+            "crawl_id string, user_id string, mustmatch string, collection string, "
+            "start_url string, start_ssld string, profile_json string",
+        )
+        # S8 — delete conflicting old status entries so the D3
+        # exist-check does not block the re-crawl
+        # (CrawlStartService.java:141-173): with the default
+        # mustmatch='.*' delete by start_url/ssld of prior crawls,
+        # else by exact mustmatch.
+        status = self.store.read("crawl_status")
+        if profile.get("mustmatch", ".*") == ".*":
+            starts_urls = {s[4] for s in start_rows}
+            ssl = {s[5] for s in start_rows}
+            keep = ~(
+                F.col("start_url").isin(sorted(starts_urls))
+                | F.col("start_ssld").isin(sorted(ssl))
+            )
+        else:
+            keep = F.lit(True)
+        replaced = status.filter(keep)
+        self.store.commit(
+            appends={"crawl_starts": starts},
+            replaces={"crawl_status": replaced},
+            meta=self._meta({cid: 0 for cid in new_ids}),
+        )
+        return new_ids
+
+    # ------------------------------------------------------------------
+    def _meta(self, next_depths: dict[str, int]) -> dict:
+        prev = self.store.manifest().get("meta", {})
+        nd = dict(prev.get("next_depth", {}))
+        nd.update(next_depths)
+        profiles = dict(prev.get("profiles", {}))
+        for cid, p in self.profiles.items():
+            profiles[cid] = json.dumps(p, default=str)
+        return {"next_depth": nd, "profiles": profiles}
+
+    def _seed_candidates(self, cid: str) -> DataFrame:
+        """S2 — the rootasset graph: one canonical link = the start
+        URL (CrawlStartService.java:186-191)."""
+        p = self.profiles[cid]
+        return self.spark.createDataFrame(
+            [(0, 0, 0, 0, p["start_url"])],
+            "parent_ini int, parent_batch_no long, parent_batch_pos int, "
+            "span_offset int, url_raw string",
+        )
+
+    def _expand_candidates(self, cid: str, depth: int) -> DataFrame:
+        """Links of documents fetched for frontier rows at depth-1, in
+        canonical parent order (SURVEY.md §5 crawl-order spec)."""
+        parents = (
+            self.store.read("frontier")
+            .filter((F.col("crawl_id") == cid) & (F.col("depth") == depth - 1))
+            .select(
+                F.col("url").alias("doc_id"),
+                (1 - F.col("do_index").cast("int")).alias("parent_ini"),
+                F.col("batch_no").alias("parent_batch_no"),
+                F.col("batch_pos").alias("parent_batch_pos"),
+            )
+        )
+        docs = self.docs.join(parents, "doc_id", "inner")
+        # same projection as operators.extract.extract_links, but
+        # carrying the composite parent-order columns instead of a
+        # single dense ordinal (no global window needed):
+        exploded = (
+            docs.select(
+                "parent_ini",
+                "parent_batch_no",
+                "parent_batch_pos",
+                F.explode("spans").alias("span"),
+            )
+            .filter(
+                F.col("span.kind").isin("canonical", "inbound", "outbound", "frame", "iframe")
+                & F.col("span.text").isNotNull()
+            )
+            .select(
+                "parent_ini",
+                "parent_batch_no",
+                "parent_batch_pos",
+                F.col("span.offset").alias("span_offset"),
+                F.col("span.text").alias("url_raw"),
+            )
+        )
+        return exploded
+
+    # ------------------------------------------------------------------
+    def step(self, cid: str) -> bool:
+        """Run one wave for crawl `cid`. Returns False when the crawl
+        is finished (depth gate F5 or empty frontier)."""
+        profile = self.profiles[cid]
+        meta = self.store.manifest().get("meta", {})
+        depth = int(meta.get("next_depth", {}).get(cid, 0))
+        max_depth = int(profile.get("crawlingDepth", 3))
+        if depth > max_depth:  # F5 depth gate (CrawlerListener.java:215-224)
+            return False
+        candidates = (
+            self._seed_candidates(cid) if depth == 0 else self._expand_candidates(cid, depth)
+        )
+        if depth > 0 and candidates.isEmpty():
+            return False
+        seen = self.store.read("url_seen").filter(F.col("crawl_id") == cid)
+        status_ids = self.store.read("crawl_status").select("url_id")
+        res = run_wave(
+            candidates,
+            profile,
+            seen=seen,
+            status_ids=status_ids,
+            depth=depth,
+            blacklist=self.blacklist,
+            robots=self.robots,
+            n_shards=self.n_shards,
+            use_bloom=self.use_bloom,
+            distributed_rank=self.distributed_rank,
+            hot_host_threshold=self.hot_host_threshold,
+        )
+        self.store.commit(
+            appends={
+                "frontier": res.frontier,
+                "crawl_status": res.status,
+                "url_seen": res.seen,
+                "crawl_metrics": res.metrics,
+            },
+            meta=self._meta({cid: depth + 1}),
+        )
+        self.spark.catalog.clearCache()
+        # cheap continuation check from committed state
+        accepted = (
+            self.store.read("frontier")
+            .filter((F.col("crawl_id") == cid) & (F.col("depth") == depth))
+            .limit(1)
+            .count()
+        )
+        return accepted > 0 and depth < max_depth
+
+    def run(self, crawl_ids: list[str] | None = None) -> None:
+        """BFS all waves of the given crawls (default: all known)."""
+        for cid in crawl_ids or list(self.profiles):
+            while self.step(cid):
+                pass
+
+    # ------------------------------------------------------------------
+    def resume(self) -> None:
+        """Continue every crawl from the last committed snapshot."""
+        self.run(list(self.profiles))

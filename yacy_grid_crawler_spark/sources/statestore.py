@@ -1,0 +1,210 @@
+"""Snapshot-committed state tables: frontier, crawl_status, url_seen,
+crawl_starts, crawl_metrics (FIXTURES.md §6).
+
+The reference persists state in Elasticsearch indexes + RabbitMQ
+queues (SURVEY.md §1.4-1.5). The Spark-native replacement is a set of
+table-format tables with ATOMIC multi-table commits: one commit per
+crawl wave = the resumable checkpoint (north rule: "checkpoints
+frontier + seen-set state to Iceberg snapshots for exact resume").
+
+In production this is Iceberg (`df.writeTo(...).append()` +
+multi-table transactions via the REST catalog). The Iceberg runtime
+jars are not in this image, so this module implements the same
+snapshot semantics over parquet directly:
+
+    {root}/{table}/commit={n}/part-*.parquet     data files
+    {root}/_snapshots/v{n:06d}.json              manifest (atomic rename)
+
+A manifest lists, per table, the commit-dirs that make up the table at
+that version plus arbitrary checkpoint metadata. Data dirs are inert
+until a manifest references them, so a crash mid-commit leaves only
+ignorable orphans — same recovery contract as Iceberg. Readers scan
+`{table}/` with partition discovery on `commit` and filter to the
+manifest's commit list: Spark partition pruning skips uncommitted
+dirs without listing their files.
+
+At-least-once + FAIL_IRREVERSIBLE acks (CrawlerListener.java:203-447)
+become exactly-once: re-running a wave after a crash re-reads the last
+manifest and recomputes from there (SURVEY.md §4 last row).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+S = T.StructType
+f = T.StructField
+
+SCHEMAS: dict[str, T.StructType] = {
+    "frontier": S(
+        [
+            f("crawl_id", T.StringType()),
+            f("url", T.StringType()),
+            f("url_id", T.StringType()),
+            f("depth", T.IntegerType()),
+            f("lane", T.StringType()),
+            f("do_index", T.BooleanType()),
+            f("batch_no", T.LongType()),
+            f("batch_pos", T.IntegerType()),
+            f("host", T.StringType()),
+            f("shard", T.IntegerType()),
+            f("salt", T.IntegerType()),
+            f("fetch_slot", T.IntegerType()),
+            f("not_before_ms", T.LongType()),
+            f("lineage", T.StringType()),
+        ]
+    ),
+    "crawl_status": S(
+        [
+            f("crawl_id", T.StringType()),
+            f("user_id", T.StringType()),
+            f("url_id", T.StringType()),
+            f("url", T.StringType()),
+            f("status", T.StringType()),
+            f("comment_class", T.StringType()),
+            f("depth", T.IntegerType()),
+            f("start_url", T.StringType()),
+            f("start_ssld", T.StringType()),
+        ]
+    ),
+    "url_seen": S(
+        [
+            f("crawl_id", T.StringType()),
+            f("url_id", T.StringType()),
+            f("first_depth", T.IntegerType()),
+        ]
+    ),
+    "crawl_starts": S(
+        [
+            f("crawl_id", T.StringType()),
+            f("user_id", T.StringType()),
+            f("mustmatch", T.StringType()),
+            f("collection", T.StringType()),
+            f("start_url", T.StringType()),
+            f("start_ssld", T.StringType()),
+            f("profile_json", T.StringType()),
+        ]
+    ),
+    "crawl_metrics": S(
+        [
+            f("crawl_id", T.StringType()),
+            f("depth", T.IntegerType()),
+            f("extracted", T.LongType()),
+            f("parsed_ok", T.LongType()),
+            f("deduped_session", T.LongType()),
+            f("deduped_persistent", T.LongType()),
+            f("rejected_filter", T.LongType()),
+            f("rejected_blacklist", T.LongType()),
+            f("rejected_robots", T.LongType()),
+            f("accepted", T.LongType()),
+            f("do_index", T.LongType()),
+        ]
+    ),
+}
+
+
+class StateStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, "_snapshots"), exist_ok=True)
+
+    # ---- snapshot bookkeeping -------------------------------------
+    def _snapdir(self) -> str:
+        return os.path.join(self.root, "_snapshots")
+
+    def versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self._snapdir()):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def current_version(self) -> int:
+        vs = self.versions()
+        return vs[-1] if vs else 0
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        if v == 0:
+            return {"version": 0, "tables": {}, "meta": {}}
+        with open(os.path.join(self._snapdir(), f"v{v:06d}.json")) as fh:
+            return json.load(fh)
+
+    # ---- read ------------------------------------------------------
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        man = self.manifest(version)
+        commits = man["tables"].get(table, [])
+        if not commits:
+            return self.spark.createDataFrame([], SCHEMAS[table])
+        tdir = os.path.join(self.root, table)
+        # partition discovery on commit=N + pruning filter
+        df = self.spark.read.option("basePath", tdir).parquet(
+            *[os.path.join(tdir, f"commit={c}") for c in commits]
+        )
+        return df.drop("commit")
+
+    # ---- write -----------------------------------------------------
+    def commit(
+        self,
+        appends: dict[str, DataFrame] | None = None,
+        replaces: dict[str, DataFrame] | None = None,
+        meta: dict | None = None,
+    ) -> int:
+        """One atomic multi-table commit. `appends[t]` adds rows to t;
+        `replaces[t]` rewrites t wholesale (S8 delete-at-crawl-start,
+        CrawlStartService.java:141-173, is a filtered replace)."""
+        appends = appends or {}
+        replaces = replaces or {}
+        prev = self.manifest()
+        new_v = prev["version"] + 1
+        tables = {t: list(cs) for t, cs in prev["tables"].items()}
+        for t, df in appends.items():
+            path = os.path.join(self.root, t, f"commit={new_v}")
+            df.write.mode("errorifexists").parquet(path)
+            tables.setdefault(t, []).append(new_v)
+        for t, df in replaces.items():
+            path = os.path.join(self.root, t, f"commit={new_v}")
+            df.write.mode("errorifexists").parquet(path)
+            tables[t] = [new_v]
+        man = {"version": new_v, "tables": tables, "meta": meta or {}}
+        tmp = os.path.join(self._snapdir(), f".tmp_v{new_v:06d}.json")
+        with open(tmp, "w") as fh:
+            json.dump(man, fh)
+        os.rename(tmp, os.path.join(self._snapdir(), f"v{new_v:06d}.json"))
+        return new_v
+
+    def rollback_orphans(self) -> None:
+        """Drop data dirs not referenced by any manifest (crash debris)."""
+        referenced: dict[str, set[int]] = {}
+        for v in self.versions():
+            for t, cs in self.manifest(v)["tables"].items():
+                referenced.setdefault(t, set()).update(cs)
+        for t in SCHEMAS:
+            tdir = os.path.join(self.root, t)
+            if not os.path.isdir(tdir):
+                continue
+            for name in os.listdir(tdir):
+                if name.startswith("commit="):
+                    c = int(name.split("=", 1)[1])
+                    if c not in referenced.get(t, set()):
+                        shutil.rmtree(os.path.join(tdir, name))
+
+    # ---- domain helpers ---------------------------------------------
+    def completion(self) -> DataFrame:
+        """A1 — crawl-termination aggregate: a crawl is complete when
+        every status row is 'indexed' (README.md 'Required
+        Infrastructure'; SURVEY.md §2 A1)."""
+        st = self.read("crawl_status")
+        return st.groupBy("crawl_id").agg(
+            F.min((F.col("status") == "indexed").cast("int"))
+            .cast("boolean")
+            .alias("complete"),
+            F.count("*").alias("n_urls"),
+        )
