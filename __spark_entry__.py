@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Exposes the engine's operator inventory (SURVEY.md §2 + training-data
+ops) over the driver's fixed parquet tables. Every `queries()` entry
+has a DuckDB `oracle_sql()` twin unless the op is inherently
+non-SQL-expressible (noted inline); column names/aliases match pairwise
+so the driver's order-insensitive value-hash comparison holds.
+
+Crawl-side operators run over a link graph *synthesized in SQL* from
+the flat `documents` table (both engines construct the identical
+graph), since the driver tables have no spans column; the spans-based
+UDF pipeline is verified by the in-repo pytest oracle
+(tests/test_wave_oracle.py) per SURVEY.md §5.
 """
 
 from __future__ import annotations
@@ -12,27 +18,803 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
+N_HOSTS = 20  # synthetic URL fan-in for the crawl queries
+BFS_DEPTH = 3
+BFS_FANOUT = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# synthesized crawl inputs (identical construction in the SQL oracles)
+# ---------------------------------------------------------------------------
+
+def _raw_urls(docs: DataFrame) -> DataFrame:
+    """Raw (uncanonicalized) URLs: uppercase scheme/host + fragment —
+    the canonicalization test surface. One URL per document."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://Host"),
+            (F.col("doc_id") % N_HOSTS).cast("string"),
+            F.lit(".Example.org/page/"),
+            F.col("doc_id").cast("string"),
+            F.lit(".html#sec"),
+            F.col("doc_id").cast("string"),
+        ).alias("url_raw"),
+    )
+
+
+_RAW_URLS_SQL = f"""
+  SELECT doc_id,
+         'HTTP://Host' || (doc_id % {N_HOSTS}) || '.Example.org/page/'
+           || doc_id || '.html#sec' || doc_id AS url_raw
+  FROM documents
+"""
+
+_CANON_SQL = f"""
+  SELECT doc_id,
+         'http://host' || (doc_id % {N_HOSTS}) || '.example.org/page/'
+           || doc_id || '.html' AS url
+  FROM documents
+"""
+
+
+def _frontier_synth(docs: DataFrame) -> DataFrame:
+    """Synthetic frontier rows for batching/sharding/politeness ops."""
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string")).alias("host"),
+        (F.col("doc_id") % 4 != 0).alias("do_index"),
+        (F.col("doc_id") % 5).cast("int").alias("priority"),
+    )
+
+
+_FRONTIER_SYNTH_SQL = """
+  SELECT doc_id,
+         'h' || (doc_id % 10) AS host,
+         doc_id % 4 <> 0 AS do_index,
+         CAST(doc_id % 5 AS int) AS priority
+  FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship query (smoke check at sf0.001)
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BFS crawl expansion with seen-set dedup over a
+    synthesized link graph — the engine's spine (scan → expand →
+    dedup → depth gate) on driver data."""
+    return _q_crawl_bfs_seen(spark, SF_SMOKE)
 
+
+# ---------------------------------------------------------------------------
+# crawl-side queries
+# ---------------------------------------------------------------------------
+
+def _q_seed_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 — seed splitter: '|'/'%7C'/space separators → exploded rows
+    (CrawlerListener.java:110-140)."""
+    from yacy_grid_crawler_spark.operators.seeds import split_seed_column
+
+    docs = _docs(spark, sf_dir)
+    seeds = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://a.example/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("|http://b.example/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("%7Chttp://c.example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("seed_raw"),
+    )
+    return (
+        seeds.select(
+            "doc_id", F.explode(split_seed_column(F.col("seed_raw"))).alias("piece")
+        )
+        .filter(F.col("piece") != "")
+    )
+
+
+_SEED_SPLIT_SQL = """
+  WITH seeds AS (
+    SELECT doc_id,
+           'http://a.example/p/' || doc_id || '|http://b.example/p/' || doc_id
+             || '%7Chttp://c.example/p/' || doc_id AS seed_raw
+    FROM documents
+  )
+  SELECT doc_id, piece
+  FROM seeds,
+       unnest(string_split(replace(replace(replace(replace(replace(replace(
+         seed_raw, '|http', chr(10) || 'http'), '%7Chttp', chr(10) || 'http'),
+         '%0D%0A', chr(10)), '%0A', chr(10)), '%0D', chr(10)), ' ', chr(10)),
+         chr(10))) AS t(piece)
+  WHERE piece <> ''
+"""
+
+
+def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P3 — the Arrow canonicalization kernel + md5 url-id, checked
+    against an independent SQL construction of the normal form."""
+    from yacy_grid_crawler_spark.functions.udfs import canonicalize
+
+    raw = _raw_urls(_docs(spark, sf_dir))
+    return raw.select(
+        "doc_id",
+        canonicalize(F.col("url_raw")).alias("url"),
+    ).withColumn("url_id", F.md5(F.col("url")))
+
+
+_URL_CANONICALIZE_SQL = f"""
+  SELECT doc_id, url, md5(url) AS url_id FROM ({_CANON_SQL})
+"""
+
+
+def _q_content_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — extension → content domain, keep text|all
+    (CrawlerListener.java:304-306). JVM-side expression variant; the
+    kernel/SQL agreement is pinned by tests/test_filters.py."""
+    from yacy_grid_crawler_spark.operators.filters import content_domain_sql
+
+    docs = _docs(spark, sf_dir)
+    exts = ["html", "jpg", "zip", "", "php", "mp4", "css", "pdf"]
+    ext_expr = F.element_at(
+        F.array(*[F.lit(e) for e in exts]), (F.col("doc_id") % len(exts) + 1).cast("int")
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h.example/f/"),
+            F.col("doc_id").cast("string"),
+            F.when(ext_expr == "", "").otherwise(F.concat(F.lit("."), ext_expr)),
+        ).alias("url"),
+    )
+    return urls.withColumn(
+        "domain", content_domain_sql(F.col("url"))
+    ).filter(F.col("domain").isin("text", "all"))
+
+
+_CONTENT_DOMAIN_SQL = """
+  WITH urls AS (
+    SELECT doc_id,
+           'http://h.example/f/' || doc_id ||
+           CASE WHEN ext = '' THEN '' ELSE '.' || ext END AS url
+    FROM (
+      SELECT doc_id,
+             ['html','jpg','zip','','php','mp4','css','pdf'][(doc_id % 8 + 1)::int] AS ext
+      FROM documents
+    )
+  ),
+  classified AS (
+    SELECT doc_id, url,
+           CASE
+             WHEN regexp_extract(url, '/[^/?]*\\.([A-Za-z0-9]{1,5})(\\?[^?]*)?$', 1) = '' THEN 'all'
+             WHEN lower(regexp_extract(url, '/[^/?]*\\.([A-Za-z0-9]{1,5})(\\?[^?]*)?$', 1))
+                  IN ('html','htm','xhtml','shtml','php','asp','aspx','jsp','txt','text','md',
+                      'xml','rss','atom','json','csv','tsv','pdf','doc','docx','odt','rtf') THEN 'text'
+             WHEN lower(regexp_extract(url, '/[^/?]*\\.([A-Za-z0-9]{1,5})(\\?[^?]*)?$', 1))
+                  IN ('jpg','jpeg','png','gif','bmp','ico','svg','tif','tiff','webp') THEN 'image'
+             WHEN lower(regexp_extract(url, '/[^/?]*\\.([A-Za-z0-9]{1,5})(\\?[^?]*)?$', 1))
+                  IN ('mp3','ogg','oga','wav','flac','aac','m4a','wma') THEN 'audio'
+             WHEN lower(regexp_extract(url, '/[^/?]*\\.([A-Za-z0-9]{1,5})(\\?[^?]*)?$', 1))
+                  IN ('mp4','avi','mkv','mov','wmv','flv','webm','mpg','mpeg','m4v','3gp') THEN 'video'
+             WHEN lower(regexp_extract(url, '/[^/?]*\\.([A-Za-z0-9]{1,5})(\\?[^?]*)?$', 1))
+                  IN ('exe','msi','dmg','apk','jar','zip','gz','tgz','bz2','xz','7z','rar','tar',
+                      'iso','bin','swf','class','deb','rpm') THEN 'app'
+             ELSE 'all'
+           END AS domain
+    FROM urls
+  )
+  SELECT doc_id, url, domain FROM classified WHERE domain IN ('text','all')
+"""
+
+
+def _q_mustmatch_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — anchored mustmatch/mustnotmatch (Matcher.matches
+    semantics; default media mustnotmatch from
+    CrawlerDefaultValuesService.java:55)."""
+    from yacy_grid_crawler_spark.operators.filters import mustmatch_verdict
+
+    docs = _docs(spark, sf_dir)
+    exts = ["html", "js", "css", "jpg", "htm"]
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://site.example/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("."),
+            F.element_at(
+                F.array(*[F.lit(e) for e in exts]),
+                (F.col("doc_id") % len(exts) + 1).cast("int"),
+            ),
+        ).alias("url"),
+    )
+    keep = mustmatch_verdict(
+        F.col("url"),
+        ".*site\\.example.*",
+        ".*\\.(js|css|jpg|jpeg|png|dmg|mpg|mpeg|zip|gz|exe|pkg)",
+    )
+    return urls.filter(keep)
+
+
+_MUSTMATCH_SQL = """
+  WITH urls AS (
+    SELECT doc_id,
+           'http://site.example/p/' || doc_id || '.' ||
+           (['html','js','css','jpg','htm'])[(doc_id % 5 + 1)::int] AS url
+    FROM documents
+  )
+  SELECT doc_id, url FROM urls
+  WHERE regexp_matches(url, '^(?:.*site\\.example.*)$')
+    AND NOT regexp_matches(url, '^(?:.*\\.(js|css|jpg|jpeg|png|dmg|mpg|mpeg|zip|gz|exe|pkg))$')
+"""
+
+
+def _q_dedup_within_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 — within-batch url-id collapse with deterministic first-wins
+    tiebreak (CrawlerListener.java:432-441 → row_number()==1)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    cand = docs.select(
+        F.col("doc_id").alias("arrival_ord"),
+        F.md5(F.concat(F.lit("u"), (F.col("doc_id") % 50).cast("string"))).alias(
+            "url_id"
+        ),
+    )
+    w = Window.partitionBy("url_id").orderBy("arrival_ord")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("url_id", F.col("arrival_ord").alias("first_arrival"))
+    )
+
+
+_DEDUP_BATCH_SQL = """
+  SELECT url_id, arrival_ord AS first_arrival
+  FROM (
+    SELECT doc_id AS arrival_ord, md5('u' || (doc_id % 50)) AS url_id,
+           row_number() OVER (PARTITION BY md5('u' || (doc_id % 50)) ORDER BY doc_id) rn
+    FROM documents
+  ) WHERE rn = 1
+"""
+
+
+def _q_anti_join_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 — persistent seen-set exist-check as LEFT ANTI JOIN
+    (existBulk, CrawlerListener.java:360-365)."""
+    docs = _docs(spark, sf_dir)
+    cand = docs.select(F.md5(F.col("doc_id").cast("string")).alias("url_id"), "doc_id")
+    seen = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.md5(F.col("doc_id").cast("string")).alias("url_id")
+    )
+    return cand.join(seen, "url_id", "left_anti").select("url_id", "doc_id")
+
+
+_ANTI_JOIN_SQL = """
+  SELECT md5(doc_id::varchar) AS url_id, doc_id
+  FROM documents c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM documents s WHERE s.doc_id % 3 = 0 AND s.doc_id = c.doc_id
+  )
+"""
+
+
+def _q_batch8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1+G2 — size-8 batching in canonical order, index split before
+    noindex (CrawlerListener.java:406, 451-462, :412)."""
+    from pyspark.sql import Window
+
+    fr = _frontier_synth(_docs(spark, sf_dir))
+    w = Window.partitionBy("do_index").orderBy("doc_id")
+    pos = F.row_number().over(w) - 1
+    return fr.select(
+        "doc_id",
+        "do_index",
+        (pos / 8).cast("bigint").alias("batch_no"),
+        (pos % 8).cast("int").alias("batch_pos"),
+    )
+
+
+_BATCH8_SQL = f"""
+  SELECT doc_id, do_index,
+         CAST(floor(pos / 8) AS bigint) AS batch_no,
+         CAST(pos % 8 AS int) AS batch_pos
+  FROM (
+    SELECT doc_id, do_index,
+           row_number() OVER (PARTITION BY do_index ORDER BY doc_id) - 1 AS pos
+    FROM ({_FRONTIER_SYNTH_SQL})
+  )
+"""
+
+
+def _q_priority_lane_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3+G4 — priority lane + host-hash shard (md5-derived so the
+    shard function is engine-independent; production uses xxhash64)."""
+    fr = _frontier_synth(_docs(spark, sf_dir))
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("host")), 1, 6), 16, 10).cast("bigint"),
+        F.lit(32),
+    ).cast("int")
+    return fr.select(
+        "doc_id",
+        "host",
+        F.when(F.col("priority") > 0, "priority").otherwise("normal").alias("lane"),
+        shard.alias("shard"),
+    )
+
+
+_LANE_SHARD_SQL = f"""
+  SELECT doc_id, host,
+         CASE WHEN priority > 0 THEN 'priority' ELSE 'normal' END AS lane,
+         CAST(('0x' || substr(md5(host), 1, 6))::bigint % 32 AS int) AS shard
+  FROM ({_FRONTIER_SYNTH_SQL})
+"""
+
+
+def _q_politeness_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule politeness scheduler: per-host fetch slots →
+    not_before offsets (window over un-salted host)."""
+    from pyspark.sql import Window
+
+    fr = _frontier_synth(_docs(spark, sf_dir))
+    delay = (F.ascii(F.substring(F.col("host"), 2, 1)) % 5) * 100
+    w = Window.partitionBy("host").orderBy("doc_id")
+    slot = F.row_number().over(w) - 1
+    return fr.select(
+        "doc_id",
+        "host",
+        slot.alias("fetch_slot"),
+        (slot * delay).cast("bigint").alias("not_before_ms"),
+    )
+
+
+_POLITENESS_SQL = f"""
+  SELECT doc_id, host,
+         row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1 AS fetch_slot,
+         CAST((row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1)
+              * ((ascii(substr(host, 2, 1)) % 5) * 100) AS bigint) AS not_before_ms
+  FROM ({_FRONTIER_SYNTH_SQL})
+"""
+
+
+def _q_completion_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — crawl-termination detection: complete when all statuses
+    'indexed' (README.md 'Required Infrastructure')."""
+    docs = _docs(spark, sf_dir)
+    status = docs.select(
+        F.col("source").alias("crawl_id"),
+        F.when(F.col("doc_id") % 7 == 0, "accepted").otherwise("indexed").alias(
+            "status"
+        ),
+    )
+    return status.groupBy("crawl_id").agg(
+        F.min((F.col("status") == "indexed").cast("int")).cast("boolean").alias(
+            "complete"
+        ),
+        F.count("*").alias("n_urls"),
+    )
+
+
+_COMPLETION_SQL = """
+  SELECT source AS crawl_id,
+         CAST(min(CASE WHEN status = 'indexed' THEN 1 ELSE 0 END) AS boolean) AS complete,
+         count(*) AS n_urls
+  FROM (
+    SELECT source, CASE WHEN doc_id % 7 = 0 THEN 'accepted' ELSE 'indexed' END AS status
+    FROM documents
+  ) GROUP BY source
+"""
+
+
+def _q_crawl_bfs_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship — BFS link expansion with seen-set dedup (the §3.2
+    spine): synthesized edge graph, seeds {0,1}, depth ≤ 3; output
+    (node_id, first_depth). Spark side is the real driver-loop shape:
+    per-depth anti-join against the accumulated seen set."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[((F.col("doc_id") * 17 + k) % n).alias(f"d{k}") for k in (1, 2, 3)]
+            )
+        ).alias("dst"),
+    )
+    edges = edges.persist()
+    seen = spark.createDataFrame([(0, 0), (1, 0)], "node_id long, first_depth int")
+    frontier = seen.select("node_id")
+    for d in range(1, BFS_DEPTH + 1):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.node_id)
+            .select(F.col("dst").alias("node_id"))
+            .distinct()
+            .join(seen.select("node_id"), "node_id", "left_anti")
+        ).localCheckpoint()  # cut lineage: each wave's plan stays O(1)
+        seen = seen.unionByName(
+            nxt.select("node_id", F.lit(d).alias("first_depth"))
+        ).localCheckpoint()
+        frontier = nxt
+    return seen
+
+
+_CRAWL_BFS_SQL = f"""
+  WITH RECURSIVE walk(node_id, depth) AS (
+    SELECT * FROM (VALUES (0::bigint, 0), (1::bigint, 0)) v(node_id, depth)
+    UNION ALL
+    SELECT (w.node_id * 17 + k) % (SELECT count(*) FROM documents), w.depth + 1
+    FROM walk w, unnest([1, 2, 3]) t(k)
+    WHERE w.depth < {BFS_DEPTH}
+  )
+  SELECT node_id, CAST(min(depth) AS int) AS first_depth
+  FROM walk GROUP BY node_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries
+# ---------------------------------------------------------------------------
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yacy_grid_crawler_spark.operators.dedup_text import exact_duplicate_groups
+
+    return exact_duplicate_groups(_docs(spark, sf_dir))
+
+
+_DEDUP_EXACT_SQL = """
+  SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+  FROM documents GROUP BY md5(text)
+"""
+
+_SHINGLES_CTE = """
+  words AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents
+  ),
+  shingles AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     for i in generate_series(1, greatest(len(w) - 2, 0))]) AS shingle
+      FROM words
+    )
+  )
+"""
+
+
+def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yacy_grid_crawler_spark.operators.dedup_text import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+_MINHASH_SQL = f"""
+  WITH {_SHINGLES_CTE},
+  sig AS (
+    SELECT doc_id,
+           {", ".join(f"min(md5('{j}|' || shingle)) AS h{j}" for j in range(8))}
+    FROM shingles GROUP BY doc_id
+  ),
+  banded AS (
+    {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{2*b} || h{2*b+1} AS band_key FROM sig"
+        for b in range(4)
+    )}
+  )
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yacy_grid_crawler_spark.operators.dedup_text import simhash_docs
+
+    return simhash_docs(_docs(spark, sf_dir))
+
+
+_SIMHASH_SQL = """
+  WITH words AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents
+  ),
+  bits AS (
+    SELECT doc_id, i AS bit_ord,
+           (position(substr(md5(word), i, 1) IN '0123456789abcdef') - 1) % 2 AS bit
+    FROM words, generate_series(1, 16) t(i)
+  ),
+  sums AS (
+    SELECT doc_id, bit_ord, sum(bit * 2 - 1) AS s FROM bits GROUP BY doc_id, bit_ord
+  )
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s >= 0 THEN power(2, bit_ord - 1) ELSE 0 END) AS bigint)
+           AS simhash
+  FROM sums GROUP BY doc_id
+"""
+
+
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yacy_grid_crawler_spark.operators.dedup_text import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+_JACCARD_SQL = f"""
+  WITH {_SHINGLES_CTE},
+  sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+  rare AS (
+    SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= 50
+  ),
+  shr AS (SELECT s.* FROM shingles s JOIN rare r ON s.shingle = r.shingle),
+  inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  )
+  SELECT doc_a, doc_b,
+         round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+"""
+
+
+def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 (set output: float-rank flips cannot
+    break the hash compare)."""
+    from yacy_grid_crawler_spark.operators.similarity import brute_force_topk
+
+    return brute_force_topk(_emb(spark, sf_dir)).select("query_id", "neighbor_id")
+
+
+_ANN_SQL = """
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(c.embedding::double[], q.embedding::double[]) DESC,
+                      c.vec_id
+           ) AS rank
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id % 50 = 0
+  ) WHERE rank <= 5
+"""
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yacy_grid_crawler_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+_LANG_ID_SQL = """
+  WITH scored AS (
+    SELECT doc_id,
+           len([w for w in regexp_extract_all(lower(text), '[a-z]+')
+                if w IN ('the','and','of','to','a')]) AS score_en,
+           len([w for w in regexp_extract_all(lower(text), '[a-z]+')
+                if w IN ('der','und','die','das','ist')]) AS score_de,
+           len([w for w in regexp_extract_all(lower(text), '[a-z]+')
+                if w IN ('le','et','la','les','des')]) AS score_fr,
+           len([w for w in regexp_extract_all(lower(text), '[a-z]+')
+                if w IN ('el','y','los','las','una')]) AS score_es
+    FROM documents
+  )
+  SELECT doc_id,
+         CASE
+           WHEN score_en > 0 AND score_en >= greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+           WHEN score_de > 0 AND score_de >= greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+           WHEN score_fr > 0 AND score_fr >= greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+           WHEN score_es > 0 AND score_es >= greatest(score_en, score_de, score_fr, score_es) THEN 'es'
+           ELSE 'unknown'
+         END AS pred_lang,
+         score_en, score_de, score_fr, score_es
+  FROM scored
+"""
+
+
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yacy_grid_crawler_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+_QUALITY_SQL = """
+  WITH feats AS (
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+           length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+           length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+           length(text) AS n_chars,
+           len([w for w in regexp_extract_all(lower(text), '[a-z]+')
+                if w IN ('the','a','of','and','to','in','is')]) AS n_stop
+    FROM documents
+  )
+  SELECT doc_id, n_words,
+         round(n_alpha / greatest(n_words, 1), 4) AS mean_word_len,
+         round(n_stop / greatest(n_words, 1), 4) AS stopword_ratio,
+         round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
+         round((n_stop / greatest(n_words, 1)) * 2
+               + least(n_words / 100.0, 1.0)
+               - n_punct / greatest(n_chars, 1), 4) AS quality
+  FROM feats
+"""
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yacy_grid_crawler_spark.operators.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+_TOKEN_SQL = """
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[^ ]+')) AS ws_tokens,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens,
+         length(text) AS n_chars_actual
+  FROM documents
+"""
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yacy_grid_crawler_spark.operators.textstats import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
+_FINGERPRINT_SQL = """
+  SELECT doc_id, md5(text) AS text_md5,
+         list_min([md5(substr(lower(text), i, 8))
+                   for i in generate_series(1, greatest(length(lower(text)) - 7, 1))])
+           AS min_gram_hash
+  FROM documents
+"""
+
+
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min gap) via lag + cumulative sum — the
+    window-op pattern the metrics layer uses."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_no",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_no").cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_SESSIONIZE_SQL = """
+  WITH g AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ),
+  s AS (
+    SELECT user_id,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM g
+  )
+  SELECT user_id, CAST(max(session_no) AS bigint) AS n_sessions,
+         count(*) AS n_events
+  FROM s GROUP BY user_id
+"""
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary column + mapInPandas feature
+    extraction (stubbed decode — see operators/multimodal.py). Not
+    SQL-expressible (Arrow batch iterator) → rows-only check."""
+    from yacy_grid_crawler_spark.operators.multimodal import (
+        extract_media_features,
+        synth_media_from_docs,
+    )
+
+    media = synth_media_from_docs(_docs(spark, sf_dir))
+    return extract_media_features(media).select(
+        "media_id", "kind", "n_bytes", "decoded"
+    )
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN — the scale path (equi-join on
+    bucket, no cross join). Deterministic but the bucket construction
+    (md5-seeded hyperplanes) is impractical to restate in SQL →
+    rows-only check; exactness is measured against brute force in
+    tests/test_similarity.py."""
+    from yacy_grid_crawler_spark.operators.similarity import lsh_bucket_topk
+
+    return lsh_bucket_topk(_emb(spark, sf_dir)).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # crawl-side (SURVEY.md §2)
+        "seed_split": _q_seed_split,
+        "url_canonicalize": _q_url_canonicalize,
+        "content_domain_filter": _q_content_domain_filter,
+        "mustmatch_filter": _q_mustmatch_filter,
+        "dedup_within_batch": _q_dedup_within_batch,
+        "anti_join_seen": _q_anti_join_seen,
+        "batch8": _q_batch8,
+        "priority_lane_shard": _q_priority_lane_shard,
+        "politeness_slots": _q_politeness_slots,
+        "completion_agg": _q_completion_agg,
+        "crawl_bfs_seen": _q_crawl_bfs_seen,
+        # training-data ops
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "token_count": _q_token_count,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "events_sessionize": _q_events_sessionize,
+        "media_features": _q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "seed_split": _SEED_SPLIT_SQL,
+        "url_canonicalize": _URL_CANONICALIZE_SQL,
+        "content_domain_filter": _CONTENT_DOMAIN_SQL,
+        "mustmatch_filter": _MUSTMATCH_SQL,
+        "dedup_within_batch": _DEDUP_BATCH_SQL,
+        "anti_join_seen": _ANTI_JOIN_SQL,
+        "batch8": _BATCH8_SQL,
+        "priority_lane_shard": _LANE_SHARD_SQL,
+        "politeness_slots": _POLITENESS_SQL,
+        "completion_agg": _COMPLETION_SQL,
+        "crawl_bfs_seen": _CRAWL_BFS_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_minhash_lsh": _MINHASH_SQL,
+        "dedup_simhash": _SIMHASH_SQL,
+        "dedup_ngram_jaccard": _JACCARD_SQL,
+        "ann_cosine_topk": _ANN_SQL,
+        "lang_id": _LANG_ID_SQL,
+        "quality_score": _QUALITY_SQL,
+        "token_count": _TOKEN_SQL,
+        "doc_fingerprint": _FINGERPRINT_SQL,
+        "events_sessionize": _SESSIONIZE_SQL,
+        # ann_lsh_topk, media_features: non-SQL-expressible → rows-only
+    }

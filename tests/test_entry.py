@@ -1,0 +1,111 @@
+"""Local replica of the driver's correctness gate: run every
+`queries()` entry at sf0.01 and compare against `oracle_sql()` in
+DuckDB — row count, column names, and order-insensitive value
+equality."""
+
+import math
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import __spark_entry__ as m
+
+    return m
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, int):
+        return int(v)
+    return v
+
+
+def _normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(
+        tuple(_norm_cell(r[i]) for i in order) for r in rows
+    )
+    return [cols[i] for i in order], out
+
+
+QUERY_NAMES = None
+
+
+def _pairs(entrymod):
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    return q, o
+
+
+def test_all_oracle_keys_have_queries(entrymod):
+    q, o = _pairs(entrymod)
+    assert set(o) <= set(q)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "seed_split", "url_canonicalize", "content_domain_filter",
+        "mustmatch_filter", "dedup_within_batch", "anti_join_seen",
+        "batch8", "priority_lane_shard", "politeness_slots",
+        "completion_agg", "crawl_bfs_seen", "dedup_exact",
+        "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+        "ann_cosine_topk", "lang_id", "quality_score", "token_count",
+        "doc_fingerprint", "events_sessionize",
+    ],
+)
+def test_query_matches_oracle(entrymod, spark, duck, name):
+    q, o = _pairs(entrymod)
+    sdf = q[name](spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = duck.sql(o[name])
+    dcols = list(rel.columns)
+    drows = rel.fetchall()
+    assert sorted(c.lower() for c in scols) == sorted(c.lower() for c in dcols), (
+        f"{name}: column mismatch {scols} vs {dcols}"
+    )
+    sc, snorm = _normalize([c.lower() for c in scols], srows)
+    dc, dnorm = _normalize([c.lower() for c in dcols], drows)
+    assert len(snorm) == len(dnorm), f"{name}: rows {len(snorm)} vs {len(dnorm)}"
+    for i, (a, b) in enumerate(zip(snorm, dnorm)):
+        assert a == b, f"{name}: first diff at sorted row {i}: spark={a} duck={b}"
+
+
+def test_rows_only_queries_run(entrymod, spark):
+    q, o = _pairs(entrymod)
+    for name in set(q) - set(o):
+        df = q[name](spark, SF_DIR)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(entrymod, spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert "node_id" in df.columns and "first_depth" in df.columns

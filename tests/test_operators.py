@@ -1,0 +1,204 @@
+"""Behavioral unit tests per SURVEY.md §2 operator (§5.3): seed
+splitter separators, depth clamp, blacklist file format, index split,
+batch size, bloom FP safety, salting skew bound."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from yacy_grid_crawler_spark.config import MAX_DEPTH, crawl_id, make_profile
+from yacy_grid_crawler_spark.functions.bloom import UrlBloom
+from yacy_grid_crawler_spark.operators.blacklist import parse_lines
+from yacy_grid_crawler_spark.operators.seeds import split_seeds
+
+
+def test_depth_clamp():
+    # CrawlStartService.java:98-99
+    assert make_profile({"crawlingDepth": 99})["crawlingDepth"] == MAX_DEPTH
+    assert make_profile({"crawlingDepth": "5"})["crawlingDepth"] == 5
+    assert make_profile()["crawlingDepth"] == 3
+
+
+def test_profile_defaults_surface():
+    # CrawlerDefaultValuesService.java:45-79 — all 32 keys present
+    p = make_profile()
+    for key in (
+        "crawlingMode", "crawlingURL", "sitemapURL", "crawlingFile",
+        "crawlingDepth", "crawlingDepthExtension", "range", "mustmatch",
+        "mustnotmatch", "ipMustmatch", "ipMustnotmatch", "indexmustmatch",
+        "indexmustnotmatch", "deleteold", "deleteIfOlderNumber",
+        "deleteIfOlderUnit", "recrawl", "reloadIfOlderNumber",
+        "reloadIfOlderUnit", "crawlingDomMaxCheck", "crawlingDomMaxPages",
+        "crawlingQ", "cachePolicy", "collection", "agentName", "priority",
+        "loaderHeadless", "user_id", "storeAssets", "archiveWARC",
+        "archiveIndex", "archiveGraph",
+    ):
+        assert key in p, key
+    assert p["mustnotmatch"].startswith(".*\\.(js|css|jpg")
+
+
+def test_crawl_id_format():
+    # CrawlerListener.java:142-147
+    from datetime import datetime
+
+    cid = crawl_id("http://example.org/x", datetime(2020, 1, 2, 3, 4, 5), 7)
+    assert cid == "example.org-2020-01-02-03-04-05-7"
+    long_host = "http://" + "a" * 100 + ".org/"
+    cid2 = crawl_id(long_host, datetime(2020, 1, 2, 3, 4, 5), 0)
+    host_part = cid2.rsplit("-2020-", 1)[0]
+    assert len(host_part.split("-")[0]) == 80  # truncated + hashCode suffix
+
+
+def test_seed_splitter_separators(spark):
+    # CrawlerListener.java:117 — |http, %7Chttp, %0D%0A, %0A, %0D, space
+    rows = split_seeds(
+        spark,
+        [
+            "http://a.x/1|http://b.x/2%7Chttp://c.x/3",
+            "http://d.x/4%0D%0Ahttp://e.x/5%0Ahttp://f.x/6%0Dhttp://g.x/7 http://h.x/8",
+            "junkpiece http://i.x/9",
+        ],
+    ).collect()
+    good = [r["url"] for r in rows if r["url"] is not None]
+    bad = [r["url_raw"] for r in rows if r["url"] is None]
+    assert len(good) == 9
+    assert bad == ["junkpiece"]
+
+
+def test_blacklist_file_format():
+    # Blacklist.java:59-88 + conf/config.properties:16-29
+    rules = parse_lines(
+        [
+            "# full-line comment",
+            "",
+            "host evil.example # inline info",
+            r".*?//10\..*+",
+            "   ",
+        ]
+    )
+    assert len(rules) == 2
+    host_rule = rules[0]
+    assert host_rule.rule_kind == "host"
+    assert host_rule.host == "evil.example"
+    assert host_rule.pattern == ".*?//evil.example/.*+"
+    assert host_rule.info == "# inline info"
+    assert rules[1].rule_kind == "regex"
+
+
+def test_blacklist_apply(spark):
+    from yacy_grid_crawler_spark.operators.blacklist import apply_blacklist
+
+    rules = parse_lines(["host evil.example", r".*?//10\..*+"])
+    df = spark.createDataFrame(
+        [
+            ("http://evil.example/x", "evil.example"),
+            ("http://good.example/x", "good.example"),
+            ("http://10.0.0.1/x", "10.0.0.1"),
+        ],
+        "url string, host string",
+    )
+    out = {r["url"]: r["blacklisted"] for r in apply_blacklist(df, rules).collect()}
+    assert out == {
+        "http://evil.example/x": True,
+        "http://good.example/x": False,
+        "http://10.0.0.1/x": True,
+    }
+
+
+def test_batch_size_8(spark):
+    from yacy_grid_crawler_spark.operators.batching import assign_batches
+
+    df = spark.createDataFrame(
+        [("c", True, i, 0) for i in range(20)],
+        "crawl_id string, do_index boolean, parent_ord int, span_offset int",
+    )
+    out = assign_batches(df, order=("parent_ord", "span_offset")).collect()
+    by = {(r["batch_no"], r["batch_pos"]) for r in out}
+    assert (0, 7) in by and (1, 0) in by and (2, 3) in by
+    assert max(r["batch_pos"] for r in out) == 7  # CrawlerListener.java:406
+
+
+def test_distributed_rank_matches_window(spark):
+    from yacy_grid_crawler_spark.operators.batching import assign_batches
+
+    rows = [("c", i % 2 == 0, (i * 7) % 100, i) for i in range(500)]
+    df = spark.createDataFrame(
+        rows, "crawl_id string, do_index boolean, parent_ord int, span_offset int"
+    )
+    a = {
+        (r["do_index"], r["parent_ord"], r["span_offset"]): (r["batch_no"], r["batch_pos"])
+        for r in assign_batches(df, order=("parent_ord", "span_offset")).collect()
+    }
+    b = {
+        (r["do_index"], r["parent_ord"], r["span_offset"]): (r["batch_no"], r["batch_pos"])
+        for r in assign_batches(
+            df, order=("parent_ord", "span_offset"), distributed=True
+        ).collect()
+    }
+    assert a == b
+
+
+def test_bloom_no_false_negatives():
+    # SURVEY.md §7: bloom FP must never cause a false DROP; negatives
+    # are exact by construction
+    import hashlib
+
+    ids = pd.Series([hashlib.md5(str(i).encode()).hexdigest() for i in range(5000)])
+    bloom = UrlBloom(5000, fpp=0.01)
+    bloom.add_many(ids)
+    assert bloom.might_contain(ids).all()  # zero false negatives
+    novel = pd.Series(
+        [hashlib.md5(f"new{i}".encode()).hexdigest() for i in range(5000)]
+    )
+    fp_rate = bloom.might_contain(novel).mean()
+    assert fp_rate < 0.05
+
+
+def test_bloom_spark_build_roundtrip(spark):
+    import hashlib
+
+    from yacy_grid_crawler_spark.functions.bloom import build_from_spark
+
+    ids = [(hashlib.md5(str(i).encode()).hexdigest(),) for i in range(2000)]
+    df = spark.createDataFrame(ids, "url_id string")
+    bloom = build_from_spark(df, n_items=2000)
+    probe = pd.Series([i[0] for i in ids])
+    assert bloom.might_contain(probe).all()
+
+
+def test_hot_host_salting_bounds_skew(spark):
+    from yacy_grid_crawler_spark.operators.batching import assign_shard
+
+    # 90% of rows on one host (Zipf head)
+    rows = [
+        ("hot.example" if i < 900 else f"cold{i}.example", f"id{i}") for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "host string, url_id string")
+    out = assign_shard(df, n_shards=16, hot_host_threshold=100, n_salts=8)
+    per_shard = (
+        out.filter(F.col("host") == "hot.example").groupBy("shard").count().collect()
+    )
+    assert len(per_shard) >= 6  # hot host fanned out over ≥6 shards
+    unsalted = assign_shard(df, n_shards=16)
+    hot_shards = (
+        unsalted.filter(F.col("host") == "hot.example")
+        .select("shard")
+        .distinct()
+        .count()
+    )
+    assert hot_shards == 1  # without salting: one straggler shard
+
+
+def test_index_noindex_split(spark):
+    from yacy_grid_crawler_spark.operators.filters import do_index_verdict
+
+    df = spark.createDataFrame(
+        [("http://a.x/page.html",), ("http://a.x/private.html",)], "url string"
+    )
+    out = df.withColumn(
+        "do_index", do_index_verdict(F.col("url"), ".*", ".*private.*")
+    ).collect()
+    m = {r["url"]: r["do_index"] for r in out}
+    # both still crawled, only the flag differs (CrawlerListener.java:368-384)
+    assert m["http://a.x/page.html"] is True
+    assert m["http://a.x/private.html"] is False

@@ -1,0 +1,64 @@
+"""Resume test (SURVEY.md §5.4): interrupt the wave loop between
+commits, restart from the snapshot, assert identical final state —
+the north-rule 'exact resume from checkpoint'."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from yacy_grid_crawler_spark.fixtures.gen import blacklist_lines
+from yacy_grid_crawler_spark.operators.blacklist import parse_lines
+from yacy_grid_crawler_spark.plans.crawl_job import CrawlJob
+
+
+def _run(spark, corpus, docs_df, robots_df, root, interrupt_after: int | None):
+    rules = parse_lines(blacklist_lines(corpus))
+    job = CrawlJob(spark, root, docs_df, blacklist=rules, robots=robots_df, n_shards=8)
+    cids = job.start(corpus.seeds[0], {"crawlingDepth": 2})
+    if interrupt_after is None:
+        job.run(cids)
+    else:
+        for _ in range(interrupt_after):
+            job.step(cids[0])
+    return job, cids[0]
+
+
+def _final_state(job, cid):
+    seen = frozenset(
+        r["url_id"]
+        for r in job.store.read("url_seen").filter(F.col("crawl_id") == cid).collect()
+    )
+    frontier = sorted(
+        (r["depth"], r["do_index"], r["batch_no"], r["batch_pos"], r["url_id"])
+        for r in job.store.read("frontier").filter(F.col("crawl_id") == cid).collect()
+    )
+    return seen, frontier
+
+
+def test_resume_equals_uninterrupted(spark, corpus, docs_df, robots_df, tmp_path):
+    # straight-through run
+    job_a, cid_a = _run(spark, corpus, docs_df, robots_df, str(tmp_path / "a"), None)
+    # interrupted after wave 1, resumed by a FRESH CrawlJob (profiles
+    # restored from the snapshot manifest, like a new driver process)
+    job_b, cid_b = _run(spark, corpus, docs_df, robots_df, str(tmp_path / "b"), 1)
+    rules = parse_lines(blacklist_lines(corpus))
+    job_b2 = CrawlJob(
+        spark, str(tmp_path / "b"), docs_df, blacklist=rules, robots=robots_df, n_shards=8
+    )
+    assert cid_b in job_b2.profiles  # restored from manifest
+    job_b2.resume()
+    assert _final_state(job_a, cid_a) == _final_state(job_b2, cid_b)
+
+
+def test_orphan_cleanup(spark, corpus, docs_df, robots_df, tmp_path):
+    import os
+
+    root = str(tmp_path / "c")
+    job, cid = _run(spark, corpus, docs_df, robots_df, root, 1)
+    # simulate a crash mid-commit: write an unreferenced data dir
+    orphan = os.path.join(root, "frontier", "commit=999")
+    spark.createDataFrame([], job.store.read("frontier").schema).write.parquet(orphan)
+    assert os.path.isdir(orphan)
+    job.store.rollback_orphans()
+    assert not os.path.isdir(orphan)
+    # committed state unaffected
+    assert job.store.read("frontier").count() > 0

@@ -1,0 +1,246 @@
+"""Document-level deduplication for large-scale training-data
+pipelines: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+These extend the reference's URL-level dedup stack (SURVEY.md §2 D1-D4)
+to document *content* — the ops a 100 TB corpus pipeline needs. All
+hashing is built on md5-hex primitives so every operator has an
+exactly-equivalent ANSI-SQL oracle (DuckDB shares Spark's md5 output);
+minhash uses lexicographic MIN over salted md5 hex strings instead of
+integer hashes for the same reason (no integer-conversion dialect
+drift).
+
+Scale design:
+* exact dedup — one shuffle on md5(text): map-side partial agg free.
+* minhash — shingle explode is narrow; signature agg is one shuffle
+  keyed by doc_id; band bucket join is a self-equi-join on the band
+  key (AQE handles bucket skew; a df-capped shingle set bounds hot
+  buckets).
+* simhash — narrow explode + one agg by doc_id; candidate pairing is
+  an equi-join on the 16-bit key (or banded sub-keys for hamming>0).
+* jaccard — inverted-index join on (capped) shingles: the classic
+  candidate-pair bound; the df cap is what keeps a Zipf vocabulary
+  from going quadratic at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_MINHASHES = 8
+LSH_BANDS = 4  # r = N_MINHASHES / LSH_BANDS = 2 rows per band
+SHINGLE_N = 3
+SIMHASH_BITS = 16
+JACCARD_DF_CAP = 50  # ignore shingles in more docs than this (candidate bound)
+
+WORD_RE = "[a-z]+"
+
+
+def with_words(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Tokenize: lowercase latin word runs (identical regex in the
+    DuckDB oracle)."""
+    return df.withColumn(
+        "words", F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)")
+    )
+
+
+def shingles_expr(n: int = SHINGLE_N):
+    """array of n-word shingles from `words` (1-based element_at —
+    matches DuckDB 1-based list indexing)."""
+    parts = ", ".join(f"element_at(words, i + {k})" for k in range(n))
+    # guard: Spark sequence(1, 0) is DESCENDING [1, 0] — short docs
+    # must yield an empty shingle array, not an index-0 access
+    return F.expr(
+        f"CASE WHEN size(words) >= {n} THEN"
+        f" transform(sequence(1, size(words) - {n - 1}),"
+        f" i -> concat_ws(' ', {parts}))"
+        f" ELSE array() END"
+    )
+
+
+def doc_shingles(df: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle) distinct pairs."""
+    return (
+        with_words(df)
+        .select("doc_id", F.explode(F.array_distinct(shingles_expr(n))).alias("shingle"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicate_groups(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with its
+    cardinality and canonical representative (min doc_id)."""
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASHES) -> DataFrame:
+    """(doc_id, h0..h{n-1}): minhash_j = MIN over shingles of
+    md5('<j>|' || shingle) — salted-md5 minhash, string-min semantics
+    (identical in any ANSI engine)."""
+    sh = doc_shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASHES,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) that collide in ≥1 LSH
+    band; band key = concat of the band's r minhashes. The classic
+    shingle→minhash→band→bucket-join pipeline as pure DataFrame ops."""
+    r = n_hashes // bands
+    sig = minhash_signatures(docs, n_hashes)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * r + k}") for k in range(r)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws("", *cols).alias("band_key"),
+            )
+        )
+    banded = band_rows[0]
+    for extra in band_rows[1:]:
+        banded = banded.unionByName(extra)
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_docs(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash) — `bits`-bit simhash over word tokens.
+
+    Per word, bit b comes from hex digit b of md5(word): contribution
+    ±1 by (digit >> (b%4... )) — we use one hex digit per bit (16 bits
+    = first 16 hex chars), bit = digit & 1. Sum of (2*bit - 1) per
+    position; simhash bit = sum >= 0. All integer arithmetic — exactly
+    expressible in ANSI SQL.
+    """
+    words = (
+        with_words(docs)
+        .select("doc_id", F.explode("words").alias("word"))
+        .withColumn("wh", F.md5(F.col("word")))
+    )
+    # one row per (doc, word, bit)
+    bitted = words.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, {b}), i ->"
+                " (position(substring(wh, i, 1) in '0123456789abcdef') - 1) % 2)".format(
+                    b=bits
+                )
+            )
+        ).alias("bit_pos", "bit"),
+    )
+    summed = bitted.groupBy("doc_id", "bit_pos").agg(
+        F.sum(F.col("bit") * 2 - 1).alias("s")
+    )
+    return summed.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") >= 0, F.pow(F.lit(2.0), F.col("bit_pos"))).otherwise(
+                F.lit(0.0)
+            )
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+
+
+def simhash_duplicate_groups(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Docs sharing an identical simhash (hamming-0 groups)."""
+    sh = simhash_docs(docs, bits)
+    return (
+        sh.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = SHINGLE_N,
+    threshold: float = 0.5,
+    df_cap: int = JACCARD_DF_CAP,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing ≥1 rare
+    shingle (document frequency ≤ df_cap — the inverted-index bound
+    that keeps hot shingles from exploding the join at scale).
+
+    Output: (doc_a, doc_b, jaccard rounded to 4dp) where
+    jaccard = |A∩B| / |A∪B| ≥ threshold.
+    """
+    sh = doc_shingles(docs, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("shingle")
+    )
+    sh_rare = sh.join(rare, "shingle")
+    a = sh_rare.alias("a")
+    b = sh_rare.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline, plus an
+LSH-bucketed variant (random-hyperplane signs derived from md5 — fully
+deterministic, no RNG) as the scale path: at 10^9+ vectors the
+brute-force cross join is infeasible; hyperplane LSH buckets shrink
+each query's candidate set to its bucket (± multiprobe), turning the
+O(N·Q) join into an equi-join on the bucket key.
+
+All vector math is JVM-side (`zip_with` + `aggregate` — whole-stage
+codegen, no Python); embeddings are cast to double so the DuckDB
+oracle (double-precision) ranks identically except for sub-1e-12 ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOP_K = 5
+QUERY_MOD = 50  # vec_id % QUERY_MOD == 0 → query vector
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def with_norm(df: DataFrame, col: str = "embedding") -> DataFrame:
+    emb = F.transform(F.col(col), lambda x: x.cast("double"))
+    return df.withColumn("_emb", emb).withColumn(
+        "_norm", F.sqrt(_dot(F.col("_emb"), F.col("_emb")))
+    )
+
+
+def brute_force_topk(
+    vectors: DataFrame, top_k: int = TOP_K, query_mod: int = QUERY_MOD
+) -> DataFrame:
+    """Exact cosine top-k: queries = vec_id % query_mod == 0 (a
+    deterministic subset), candidates = all other vectors.
+    Output (query_id, rank, neighbor_id, cos_sim rounded 4dp),
+    rank by (sim desc, neighbor_id) for a total order.
+
+    Scale note: the cross join is Q×N — the baseline only. The
+    broadcast of the (small) query side keeps it shuffle-free; for
+    large Q use `lsh_bucket_topk`.
+    """
+    from pyspark.sql import Window
+
+    v = with_norm(vectors).select(
+        "vec_id", "_emb", "_norm"
+    )
+    q = (
+        v.filter(F.col("vec_id") % query_mod == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("_emb").alias("_qemb"),
+            F.col("_norm").alias("_qnorm"),
+        )
+    )
+    pairs = v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    sims = pairs.withColumn(
+        "cos_sim",
+        _dot(F.col("_emb"), F.col("_qemb")) / (F.col("_norm") * F.col("_qnorm")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            "rank",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_sim", 4).alias("cos_sim"),
+        )
+    )
+
+
+def hyperplane_signs(df: DataFrame, n_planes: int = 8, col: str = "embedding") -> DataFrame:
+    """LSH bucket key: sign pattern of dot products with n
+    deterministic pseudo-random hyperplanes. Plane p, dim d weight =
+    ((hex digit d of md5('p<p>d<d>')) - 7.5) — reproducible anywhere,
+    no RNG state. Adds a `bucket` string column ('0'/'1' × n_planes)."""
+    dim = len(df.select(col).first()[0])
+    planes = []
+    import hashlib
+
+    for p in range(n_planes):
+        w = []
+        for d in range(dim):
+            h = hashlib.md5(f"p{p}d{d}".encode()).hexdigest()
+            w.append(int(h[0], 16) - 7.5)
+        planes.append(w)
+    emb = F.transform(F.col(col), lambda x: x.cast("double"))
+    bits = []
+    for p in range(n_planes):
+        arr = F.array(*[F.lit(x) for x in planes[p]])
+        bits.append(F.when(_dot(emb, arr) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.withColumn("bucket", F.concat(*bits))
+
+
+def lsh_bucket_topk(
+    vectors: DataFrame,
+    top_k: int = TOP_K,
+    query_mod: int = QUERY_MOD,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates restricted to the query's
+    hyperplane-LSH bucket — the scale path (equi-join on bucket key,
+    AQE-balanced, no cross join). Recall < 1 by construction; the
+    exactness oracle is brute_force_topk."""
+    from pyspark.sql import Window
+
+    v = hyperplane_signs(vectors, n_planes)
+    v = with_norm(v).select("vec_id", "bucket", "_emb", "_norm")
+    q = v.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bucket").alias("qbucket"),
+        F.col("_emb").alias("_qemb"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    pairs = v.join(
+        q,
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    sims = pairs.withColumn(
+        "cos_sim",
+        _dot(F.col("_emb"), F.col("_qemb")) / (F.col("_norm") * F.col("_qnorm")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            "rank",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_sim", 4).alias("cos_sim"),
+        )
+    )

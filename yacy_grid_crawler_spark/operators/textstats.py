@@ -1,0 +1,120 @@
+"""Text analysis for training-data pipelines: language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+All pure JVM-side expressions (regexp_extract_all / size / arithmetic)
+— no UDFs at all — so each op has an exactly-equivalent DuckDB oracle
+and stays inside whole-stage codegen on the hot path. These run over
+the `documents(doc_id, text, lang, source, n_chars)` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# marker stopwords per language for the n-gram/stopword heuristic.
+# Deterministic; shared with the SQL oracle via sql_lang_score().
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "fr": ["le", "et", "la", "les", "des"],
+    "es": ["el", "y", "los", "las", "una"],
+}
+
+WORD_RE = "[a-z]+"
+
+
+def _words():
+    return F.expr(f"regexp_extract_all(lower(text), '{WORD_RE}', 0)")
+
+
+def _marker_count(lang: str):
+    markers = LANG_MARKERS[lang]
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    return F.expr(
+        f"size(filter(regexp_extract_all(lower(text), '{WORD_RE}', 0),"
+        f" w -> w in ({in_list})))"
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-count language ID: score per language = marker-word
+    hits; predicted = argmax, ties broken by declaration order
+    (en > de > fr > es), 'unknown' when all zero. The CASE chain is
+    written identically in the DuckDB oracle."""
+    df = docs
+    for lang in LANG_MARKERS:
+        df = df.withColumn(f"_s_{lang}", _marker_count(lang))
+    langs = list(LANG_MARKERS)
+    mx = F.greatest(*[F.col(f"_s_{l}") for l in langs])
+    pred = F.lit("unknown")
+    # build CASE ... WHEN in reverse so the first language wins ties
+    for lang in reversed(langs):
+        pred = F.when(
+            (F.col(f"_s_{lang}") > 0) & (F.col(f"_s_{lang}") == mx), F.lit(lang)
+        ).otherwise(pred)
+    return df.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        *[F.col(f"_s_{lang}").alias(f"score_{lang}") for lang in langs],
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Deterministic quality features + combined score:
+    n_words, mean word length, stopword ratio, punct ratio,
+    score = stopword_ratio*2 + clamp(n_words/100) - punct_ratio.
+    Rounded to 4dp for oracle hashing."""
+    n_words = F.size(_words())
+    n_alpha = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+    n_punct = F.length(F.regexp_replace(F.col("text"), "[^.,;:!?]", ""))
+    n_chars = F.length(F.col("text"))
+    stop = F.expr(
+        "size(filter(regexp_extract_all(lower(text), '[a-z]+', 0),"
+        " w -> w in ('the', 'a', 'of', 'and', 'to', 'in', 'is')))"
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(n_alpha / F.greatest(n_words, F.lit(1)), 4).alias("mean_word_len"),
+        F.round(stop / F.greatest(n_words, F.lit(1)), 4).alias("stopword_ratio"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
+        F.round(
+            (stop / F.greatest(n_words, F.lit(1))) * 2
+            + F.least(n_words / F.lit(100.0), F.lit(1.0))
+            - n_punct / F.greatest(n_chars, F.lit(1)),
+            4,
+        ).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish tokens (letter runs, digit runs,
+    single non-space symbols) + chars — the cost accounting columns a
+    training pipeline budgets by."""
+    ws = F.size(F.expr("regexp_extract_all(text, '[^ ]+', 0)"))
+    bpe = F.size(
+        F.expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+    )
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def fingerprints(docs: DataFrame, gram: int = 8) -> DataFrame:
+    """Winnowing-style fingerprint: minimum md5 over all `gram`-char
+    substrings of the lowercased text (rolling-hash document
+    signature), plus full-text md5. Docs sharing min_gram_hash are
+    near-dup candidates robust to suffix edits."""
+    subs = F.expr(
+        f"transform(sequence(1, greatest(length(lower(text)) - {gram - 1}, 1)),"
+        f" i -> md5(substring(lower(text), i, {gram})))"
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        F.array_min(subs).alias("min_gram_hash"),
+    )

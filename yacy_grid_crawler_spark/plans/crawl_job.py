@@ -218,15 +218,8 @@ class CrawlJob:
             },
             meta=self._meta({cid: depth + 1}),
         )
-        self.spark.catalog.clearCache()
-        # cheap continuation check from committed state
-        accepted = (
-            self.store.read("frontier")
-            .filter((F.col("crawl_id") == cid) & (F.col("depth") == depth))
-            .limit(1)
-            .count()
-        )
-        return accepted > 0 and depth < max_depth
+        res.unpersist()
+        return res.counts["accepted"] > 0 and depth < max_depth
 
     def run(self, crawl_ids: list[str] | None = None) -> None:
         """BFS all waves of the given crawls (default: all known)."""

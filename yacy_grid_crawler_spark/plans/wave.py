@@ -7,22 +7,33 @@ Stage order preserves the reference's cost-ordered predicate chain
 :349-352): parse → content-domain → in-wave dedup → seen anti-join →
 mustmatch → blacklist → robots → persistent exist-check. Catalyst
 cannot reorder across the UDF kernels, so pipeline construction order
-IS the physical order (SURVEY.md §4).
+IS the physical order (SURVEY.md §4). One deviation from the
+reference's per-URL short-circuiting: the filter verdicts (mustmatch,
+blacklist, robots) are computed as COLUMNS in a single projection and
+the rows split by a `reason` discriminator — same decisions, but one
+pass and one metrics aggregate instead of per-filter passes; the
+reference needed short-circuiting because its blacklist scan was
+O(13k regexes) per URL, ours is a JVM host-set probe + a small
+compiled-regex kernel.
 
 Shuffle budget per wave (the scale analysis):
   1 shuffle: in-wave first-occurrence dedup (hash by url_id)
   1 shuffle: seen anti-join (url_id) — bloom pre-filter shrinks the
-             probe side; seen table is bucketed by url_id at commit
-  1 shuffle: canonical-order batching (range by order key when
-             distributed=True)
+             probe side
+  1 shuffle: persistent-status anti-join (url_id)
+  1 shuffle: canonical-order batching (range-partitioned two-phase
+             rank when distributed_rank=True; window otherwise)
 Everything else is broadcast (profile regexes are literals; blacklist
-hosts, robots rules broadcast) or narrow. Status/metrics derivation
-reuses the persisted post-filter DataFrame — no recomputation.
+hosts, robots rules broadcast) or narrow.
+
+Driver actions per wave: 3 aggregates + the 4 sink writes. All
+counters ride back in WaveResult.counts, so the driver loop never
+re-reads committed state to decide continuation.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -56,6 +67,12 @@ class WaveResult:
     status: DataFrame
     seen: DataFrame
     metrics: DataFrame
+    counts: dict = field(default_factory=dict)
+    cached: list = field(default_factory=list)
+
+    def unpersist(self) -> None:
+        for df in self.cached:
+            df.unpersist()
 
 
 def run_wave(
@@ -76,23 +93,27 @@ def run_wave(
     crawl_id = profile["id"]
     user_id = profile.get("user_id", "anonymous")
 
-    extracted = candidates.count()
+    # P2 canonicalize (Arrow kernel) + F6 malformed + F1 content-domain
+    c = (
+        candidates.withColumn("url", canonicalize(F.col("url_raw")))
+        .withColumn(
+            "_dom",
+            F.when(F.col("url").isNotNull(), content_domain_col(F.col("url"))),
+        )
+        .persist()
+    )
+    stats1 = c.agg(
+        F.count("*").alias("extracted"),
+        F.count("url").alias("parsed_ok"),
+        F.count(F.when(F.col("_dom").isin("text", "all"), 1)).alias("after_f1"),
+    ).collect()[0]
 
-    # P2 canonicalize + F6 malformed drop (Arrow kernel)
-    c = candidates.withColumn("url", canonicalize(F.col("url_raw")))
-    parsed = c.filter(F.col("url").isNotNull())
-    # F1 content-domain: only TEXT|ALL ever reaches the seen-set
-    # (CrawlerListener.java:304-315 order)
     after_f1 = (
-        parsed.withColumn("_dom", content_domain_col(F.col("url")))
-        .filter(F.col("_dom").isin("text", "all"))
+        c.filter(F.col("_dom").isin("text", "all"))
         .drop("_dom")
         .withColumn("url_id", F.md5(F.col("url")))  # P3
         .withColumn("crawl_id", F.lit(crawl_id))
     )
-    after_f1 = after_f1.persist()
-    parsed_ok = parsed.count()
-    n_after_f1 = after_f1.count()
 
     # D2: in-wave first occurrence (canonical winner) + cross-wave
     # anti-join against the committed seen set; novel rows are ADDED to
@@ -102,40 +123,39 @@ def run_wave(
     in_wave = first_occurrence(after_f1, key="url_id", order=CANON_ORDER)
     novel = dedup_against_seen(
         in_wave, seen, key="url_id", crawl_col="crawl_id", use_bloom=use_bloom
-    ).persist()
-    n_novel = novel.count()
-    deduped_session = n_after_f1 - n_novel
+    )
 
-    # F2 mustmatch / mustnotmatch (anchored, JVM-side regex)
+    # F2/F3/RB verdict columns → one `reason` discriminator
     mm_ok = mustmatch_verdict(
         F.col("url"), profile.get("mustmatch", ".*"), profile.get("mustnotmatch", "")
     )
-    flagged = novel.withColumn("_mm_ok", mm_ok)
-    passed_mm = flagged.filter(F.col("_mm_ok")).drop("_mm_ok")
-    rejected_filter = flagged.filter(~F.col("_mm_ok")).drop("_mm_ok")
-
-    # F3 blacklist (host broadcast + regex kernel) — run only on
-    # mustmatch survivors, like the reference's chain order
-    passed_mm = passed_mm.withColumn(
+    novel = novel.withColumn(
         "host", F.regexp_extract(F.col("url"), r"^[a-z]+://(?:[^/@]*@)?([^/:?]+)", 1)
-    )
-    bl = apply_blacklist(passed_mm, blacklist or [], out_col="_bl")
-    rejected_blacklist = bl.filter(F.col("_bl")).drop("_bl")
-    passed_bl = bl.filter(~F.col("_bl")).drop("_bl")
-
-    # RB robots gate [north rule]
+    ).withColumn("_mm_ok", mm_ok)
+    novel = apply_blacklist(novel, blacklist or [], out_col="_bl")
     if robots is not None:
-        rb = robots_verdict(passed_bl, robots)
-        rejected_robots = rb.filter(F.col("robots_blocked")).drop("robots_blocked")
-        passed_rb = rb.filter(~F.col("robots_blocked")).drop("robots_blocked")
+        novel = robots_verdict(novel, robots)
     else:
-        rejected_robots = passed_bl.limit(0)
-        passed_rb = passed_bl
-    passed_rb = passed_rb.persist()
+        novel = novel.withColumn("robots_blocked", F.lit(False))
+    flagged = novel.withColumn(
+        "reason",
+        F.when(~F.col("_mm_ok"), "filter")
+        .when(F.col("_bl"), "blacklist")
+        .when(F.col("robots_blocked"), "robots")
+        .otherwise("pass"),
+    ).drop("_mm_ok", "_bl", "robots_blocked")
+    flagged = flagged.persist()
+    reason_counts = {
+        r["reason"]: r["n"]
+        for r in flagged.groupBy("reason").agg(F.count("*").alias("n")).collect()
+    }
+    n_novel = sum(reason_counts.values())
+    rejected = flagged.filter(F.col("reason") != "pass")
+    passed = flagged.filter(F.col("reason") == "pass").drop("reason")
 
     # D3 persistent exist-check (bulk anti-join, CrawlerListener.java:360-365)
     kept = dedup_against_seen(
-        passed_rb, status_ids, key="url_id", crawl_col=None, use_bloom=False
+        passed, status_ids, key="url_id", crawl_col=None, use_bloom=False
     )
 
     # F4 index/noindex steering + G1/G2/G3/G4 + politeness + lineage
@@ -148,8 +168,9 @@ def run_wave(
         ),
     )
     kept = assign_lane(kept, profile.get("priority", 0))
-    kept = assign_batches(kept, order=CANON_ORDER, batch_size=BATCH_SIZE,
-                          distributed=distributed_rank)
+    kept = assign_batches(
+        kept, order=CANON_ORDER, batch_size=BATCH_SIZE, distributed=distributed_rank
+    )
     kept = assign_shard(kept, n_shards, hot_host_threshold=hot_host_threshold)
     kept = politeness_slots(kept, robots, wave_start_ms=wave_start_ms)
     kept = (
@@ -157,6 +178,10 @@ def run_wave(
         .withColumn("lineage", lineage_column())
         .persist()
     )
+    kept_stats = kept.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.col("do_index").cast("long")), F.lit(0)).alias("n_idx"),
+    ).collect()[0]
 
     frontier = kept.select(
         "crawl_id", "url", "url_id", "depth", "lane", "do_index",
@@ -164,67 +189,72 @@ def run_wave(
         "not_before_ms", "lineage",
     )
 
-    def status_rows(df: DataFrame, status: str, comment: str) -> DataFrame:
-        return df.select(
-            F.lit(crawl_id).alias("crawl_id"),
+    status = rejected.select(
+        F.lit(crawl_id).alias("crawl_id"),
+        F.lit(user_id).alias("user_id"),
+        "url_id",
+        "url",
+        F.lit("rejected").alias("status"),
+        F.col("reason").alias("comment_class"),
+        F.lit(depth).alias("depth"),
+        F.lit(profile.get("start_url")).alias("start_url"),
+        F.lit(profile.get("start_ssld")).alias("start_ssld"),
+    ).unionByName(
+        kept.select(
+            "crawl_id",
             F.lit(user_id).alias("user_id"),
             "url_id",
             "url",
-            F.lit(status).alias("status"),
-            F.lit(comment).alias("comment_class"),
+            F.lit("accepted").alias("status"),
+            F.when(F.col("do_index"), "index").otherwise("noindex").alias(
+                "comment_class"
+            ),
             F.lit(depth).alias("depth"),
             F.lit(profile.get("start_url")).alias("start_url"),
             F.lit(profile.get("start_ssld")).alias("start_ssld"),
         )
-
-    status = (
-        status_rows(rejected_filter, "rejected", "filter")
-        .unionByName(status_rows(rejected_blacklist, "rejected", "blacklist"))
-        .unionByName(status_rows(rejected_robots, "rejected", "robots"))
-        .unionByName(
-            kept.select(
-                "crawl_id",
-                F.lit(user_id).alias("user_id"),
-                "url_id",
-                "url",
-                F.lit("accepted").alias("status"),
-                F.when(F.col("do_index"), "index").otherwise("noindex").alias("comment_class"),
-                F.lit(depth).alias("depth"),
-                F.lit(profile.get("start_url")).alias("start_url"),
-                F.lit(profile.get("start_ssld")).alias("start_ssld"),
-            )
-        )
     )
 
-    seen_new = novel.select(
+    seen_new = flagged.select(
         "crawl_id", "url_id", F.lit(depth).alias("first_depth")
     )
 
-    n_rej_filter = rejected_filter.count()
-    n_rej_bl = rejected_blacklist.count()
-    n_rej_rb = rejected_robots.count()
-    n_passed_rb = passed_rb.count()
-    n_kept = kept.count()
-    n_idx = kept.filter(F.col("do_index")).count()
+    counts = {
+        "extracted": stats1["extracted"],
+        "parsed_ok": stats1["parsed_ok"],
+        "deduped_session": stats1["after_f1"] - n_novel,
+        "deduped_persistent": reason_counts.get("pass", 0) - kept_stats["n"],
+        "rejected_filter": reason_counts.get("filter", 0),
+        "rejected_blacklist": reason_counts.get("blacklist", 0),
+        "rejected_robots": reason_counts.get("robots", 0),
+        "accepted": kept_stats["n"],
+        "do_index": kept_stats["n_idx"],
+    }
     metrics = spark.createDataFrame(
         [
             (
                 crawl_id,
                 depth,
-                extracted,
-                parsed_ok,
-                deduped_session,
-                n_passed_rb - n_kept,
-                n_rej_filter,
-                n_rej_bl,
-                n_rej_rb,
-                n_kept,
-                n_idx,
+                counts["extracted"],
+                counts["parsed_ok"],
+                counts["deduped_session"],
+                counts["deduped_persistent"],
+                counts["rejected_filter"],
+                counts["rejected_blacklist"],
+                counts["rejected_robots"],
+                counts["accepted"],
+                counts["do_index"],
             )
         ],
         "crawl_id string, depth int, extracted long, parsed_ok long, "
         "deduped_session long, deduped_persistent long, rejected_filter long, "
         "rejected_blacklist long, rejected_robots long, accepted long, do_index long",
     )
-    after_f1.unpersist()
-    return WaveResult(frontier=frontier, status=status, seen=seen_new, metrics=metrics)
+    return WaveResult(
+        frontier=frontier,
+        status=status,
+        seen=seen_new,
+        metrics=metrics,
+        counts=counts,
+        cached=[c, flagged, kept],
+    )

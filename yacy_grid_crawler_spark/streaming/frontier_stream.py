@@ -1,0 +1,118 @@
+"""Structured Streaming variant of the frontier consumer.
+
+The reference is a continuous queue consumer with at-least-once acks
+(S4, CrawlerListener.java:149-156, 191-448). The batch BFS driver loop
+(plans/crawl_job.py) is the semantics-exact engine; this module is the
+unbounded-stream deployment shape noted in SURVEY.md §2 'Streaming
+ops': frontier rows arrive as a stream (files here; Kafka in
+production), flow through the same filter kernels, and the session
+seen-set (D2, 7-day TTL — CrawlerListener.java:84) becomes per-group
+TTL state via applyInPandasWithState.
+
+foreachBatch gives exactly-once sink semantics against the same
+StateStore (each micro-batch = one snapshot commit), replacing the
+reference's FAIL_IRREVERSIBLE redelivery contract.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.udfs import canonicalize
+
+CANDIDATE_SCHEMA = T.StructType(
+    [
+        T.StructField("crawl_id", T.StringType()),
+        T.StructField("url_raw", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("event_ms", T.LongType()),
+    ]
+)
+
+OUT_SCHEMA = "crawl_id string, url string, url_id string, depth int"
+STATE_SCHEMA = "ids array<string>"
+
+SEEN_TTL_MS = 7 * 24 * 3600 * 1000  # doublesCleanupTimeout, CrawlerListener.java:84
+
+
+def read_candidate_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of candidate URLs (stand-in for the broker).
+    maxFilesPerTrigger bounds micro-batch size like the reference's
+    queue throttling (conf/config.properties:5)."""
+    return (
+        spark.readStream.schema(CANDIDATE_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
+
+
+def _make_dedup_fn(ttl: bool):
+    def _dedup_with_state(key, pdf_iter, state: GroupState):
+        """Per-crawl_id TTL'd seen-set state: emit only first-seen
+        url_ids (D2 semantics — add-before-filter happens downstream
+        like the batch path). State is the md5-id set; with ttl=True a
+        processing-time timeout sweeps it after the 7-day TTL like the
+        reference's 10-minute cleanup cron."""
+        if ttl and state.hasTimedOut:
+            state.remove()
+            return
+        seen = set(state.get[0]) if state.exists else set()
+        out = []
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                uid = row["url_id"]
+                if uid not in seen:
+                    seen.add(uid)
+                    out.append(
+                        (row["crawl_id"], row["url"], uid, int(row["depth"]))
+                    )
+        state.update((list(seen),))
+        if ttl:
+            state.setTimeoutDuration(SEEN_TTL_MS)
+        yield pd.DataFrame(out, columns=["crawl_id", "url", "url_id", "depth"])
+
+    return _dedup_with_state
+
+
+def frontier_stream(candidates: DataFrame, ttl: bool = False) -> DataFrame:
+    """canonicalize → md5 → stateful first-seen dedup. Returns the
+    novel-URL stream; downstream filters/batching reuse the batch
+    operators inside foreachBatch. `ttl=True` arms the 7-day state
+    sweep (keeps the query's trigger loop alive between batches —
+    production mode; leave off for drain-and-stop smoke runs)."""
+    canon = (
+        candidates.withColumn("url", canonicalize(F.col("url_raw")))
+        .filter(F.col("url").isNotNull())
+        .withColumn("url_id", F.md5(F.col("url")))
+    )
+    return canon.groupBy("crawl_id").applyInPandasWithState(
+        _make_dedup_fn(ttl),
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout if ttl else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, src_path: str, query_name: str = "frontier_out"
+):
+    """Smoke harness: drain the file stream into an in-memory sink
+    synchronously (tests use processAllAvailable)."""
+    q = (
+        frontier_stream(read_candidate_stream(spark, src_path))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)  # drain everything, then terminate
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
