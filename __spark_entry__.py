@@ -731,6 +731,178 @@ _SESSIONIZE_SQL = """
 """
 
 
+def _q_lineage_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 — deterministic per-partition lineage ids
+    (CrawlerListener.java:497-503, 569-573 zero-padded asset names)."""
+    from yacy_grid_crawler_spark.operators.batching import lineage_column
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        lineage_column(
+            (F.col("doc_id") % 9).cast("int"), (F.col("doc_id") % 1000).cast("int")
+        ).alias("lineage"),
+    )
+
+
+_LINEAGE_SQL = """
+  SELECT doc_id,
+         printf('d%02d-p%04d', (doc_id % 9)::int, (doc_id % 1000)::int) AS lineage
+  FROM documents
+"""
+
+
+def _q_smart_sld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — smart-SLD kernel (Domains.getSmartSLD contract,
+    CrawlStartService.java:115) vs an independent SQL restatement of
+    the suffix heuristic."""
+    from yacy_grid_crawler_spark.functions.udfs import smart_sld_udf
+
+    docs = _docs(spark, sf_dir)
+    hosts = docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(
+                F.concat(F.lit("www.site"), (F.col("doc_id") % 50).cast("string"), F.lit(".org")),
+                F.concat(F.lit("a.b"), (F.col("doc_id") % 50).cast("string"), F.lit(".co.uk")),
+                F.concat(F.lit("plain"), (F.col("doc_id") % 50).cast("string"), F.lit(".com")),
+                F.lit("localhost"),
+            ),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ).alias("host"),
+    )
+    return hosts.withColumn("sld", smart_sld_udf(F.col("host")))
+
+
+_SMART_SLD_SQL = """
+  WITH hosts AS (
+    SELECT doc_id,
+           (['www.site' || (doc_id % 50) || '.org',
+             'a.b' || (doc_id % 50) || '.co.uk',
+             'plain' || (doc_id % 50) || '.com',
+             'localhost'])[(doc_id % 4 + 1)::int] AS host
+    FROM documents
+  )
+  SELECT doc_id, host,
+         CASE
+           WHEN len(string_split(host, '.')) < 2 THEN host
+           WHEN len(string_split(host, '.')) >= 3
+                AND array_to_string(string_split(host, '.')[-2:], '.') IN
+                    ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au','org.au',
+                     'co.jp','ne.jp','or.jp','com.br','com.cn','com.mx','co.in',
+                     'co.kr','co.nz','co.za')
+             THEN string_split(host, '.')[-3]
+           ELSE string_split(host, '.')[-2]
+         END AS sld
+  FROM hosts
+"""
+
+
+def _q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — crawl metrics aggregation: reject/accept counters per
+    (crawl_id, depth) from synthesized status rows."""
+    docs = _docs(spark, sf_dir)
+    status = docs.select(
+        F.col("source").alias("crawl_id"),
+        (F.col("doc_id") % 3).cast("int").alias("depth"),
+        F.when(F.col("doc_id") % 11 == 0, "rejected")
+        .otherwise("accepted")
+        .alias("status"),
+    )
+    return status.groupBy("crawl_id", "depth").agg(
+        F.count(F.when(F.col("status") == "accepted", 1)).alias("accepted"),
+        F.count(F.when(F.col("status") == "rejected", 1)).alias("rejected"),
+    )
+
+
+_METRICS_ROLLUP_SQL = """
+  SELECT source AS crawl_id, CAST(doc_id % 3 AS int) AS depth,
+         count(CASE WHEN doc_id % 11 <> 0 THEN 1 END) AS accepted,
+         count(CASE WHEN doc_id % 11 = 0 THEN 1 END) AS rejected
+  FROM documents GROUP BY source, CAST(doc_id % 3 AS int)
+"""
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the event stream table (the
+    batch shape of the Structured Streaming metrics path)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.unix_timestamp(F.window("ts", "1 hour").start).alias("hour_start"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+_EVENTS_HOURLY_SQL = """
+  SELECT epoch(date_trunc('hour', ts))::bigint AS hour_start, event_type,
+         count(*) AS n, round(sum(value), 4) AS total_value
+  FROM events GROUP BY 1, 2
+"""
+
+
+def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users by total value per event type — window top-k."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 4).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id")
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "rank", "user_id", "total_value")
+    )
+
+
+_TOPK_SQL = """
+  SELECT event_type, rank, user_id, total_value FROM (
+    SELECT event_type, user_id, round(sum(value), 4) AS total_value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY round(sum(value), 4) DESC, user_id) AS rank
+    FROM events GROUP BY event_type, user_id
+  ) WHERE rank <= 3
+"""
+
+
+def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary — general OLAP capability check
+    (grouped multi-aggregate with arithmetic)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_LINEITEM_PRICING_SQL = """
+  SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_discount), 6) AS avg_disc,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+"""
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary column + mapInPandas feature
     extraction (stubbed decode — see operators/multimodal.py). Not
@@ -777,6 +949,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_slots": _q_politeness_slots,
         "completion_agg": _q_completion_agg,
         "crawl_bfs_seen": _q_crawl_bfs_seen,
+        "lineage_naming": _q_lineage_naming,
+        "smart_sld": _q_smart_sld,
+        "metrics_rollup": _q_metrics_rollup,
+        # analytics / streaming-shape ops
+        "events_hourly": _q_events_hourly,
+        "topk_per_group": _q_topk_per_group,
+        "lineitem_pricing": _q_lineitem_pricing,
         # training-data ops
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -806,6 +985,12 @@ def oracle_sql() -> dict[str, str]:
         "politeness_slots": _POLITENESS_SQL,
         "completion_agg": _COMPLETION_SQL,
         "crawl_bfs_seen": _CRAWL_BFS_SQL,
+        "lineage_naming": _LINEAGE_SQL,
+        "smart_sld": _SMART_SLD_SQL,
+        "metrics_rollup": _METRICS_ROLLUP_SQL,
+        "events_hourly": _EVENTS_HOURLY_SQL,
+        "topk_per_group": _TOPK_SQL,
+        "lineitem_pricing": _LINEITEM_PRICING_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _MINHASH_SQL,
         "dedup_simhash": _SIMHASH_SQL,

@@ -1,0 +1,77 @@
+"""ANN operators: brute-force exactness and LSH bucket semantics."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _cosine(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb)
+
+
+def test_brute_force_matches_python(spark, emb):
+    from yacy_grid_crawler_spark.operators.similarity import brute_force_topk
+
+    out = brute_force_topk(emb, top_k=3, query_mod=100).collect()
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    queries = sorted(v for v in vecs if v % 100 == 0)
+    for q in queries[:3]:
+        expected = sorted(
+            ((v, _cosine(vecs[q], vecs[v])) for v in vecs if v != q),
+            key=lambda t: (-t[1], t[0]),
+        )[:3]
+        got = sorted(
+            [(r["neighbor_id"], r["rank"]) for r in out if r["query_id"] == q],
+            key=lambda t: t[1],
+        )
+        assert [g[0] for g in got] == [e[0] for e in expected], f"query {q}"
+
+
+def test_lsh_results_are_bucket_consistent(spark, emb):
+    from yacy_grid_crawler_spark.operators.similarity import (
+        hyperplane_signs,
+        lsh_bucket_topk,
+    )
+
+    buckets = {
+        r["vec_id"]: r["bucket"] for r in hyperplane_signs(emb).collect()
+    }
+    out = lsh_bucket_topk(emb, top_k=3, query_mod=100).collect()
+    assert len(out) > 0
+    for r in out:
+        assert buckets[r["neighbor_id"]] == buckets[r["query_id"]]
+
+
+def test_lsh_recall_floor(spark, emb):
+    """Approximate path: recall vs brute force is data-dependent but
+    must be non-degenerate (neighbors in the same half-space cluster)."""
+    from yacy_grid_crawler_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucket_topk,
+    )
+
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, top_k=5, query_mod=100).collect()
+    }
+    # note: these embeddings are near-uniform random, the worst case
+    # for LSH (true neighbors barely closer than random) — recall with
+    # 2 planes measured ~0.24; clustered real-world embeddings do far
+    # better. The assertion guards against degenerate bucketing only.
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_bucket_topk(emb, top_k=5, query_mod=100, n_planes=2).collect()
+    }
+    recall = len(bf & lsh) / max(len(bf), 1)
+    assert recall > 0.1, f"degenerate LSH recall {recall}"

@@ -26,6 +26,24 @@ def canonicalize(urls: pd.Series) -> pd.Series:
     return urls.map(canonicalize_url, na_action="ignore")
 
 
+_CANON_DOMAIN_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("domain", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_CANON_DOMAIN_SCHEMA)
+def canonicalize_with_domain(urls: pd.Series) -> pd.DataFrame:
+    """Fused P2+F1 kernel: one Arrow pass computing the normal form AND
+    its content domain — halves the Python round-trips on the hottest
+    path (every candidate URL of every wave)."""
+    canon = urls.map(canonicalize_url, na_action="ignore")
+    dom = canon.map(content_domain, na_action="ignore")
+    return pd.DataFrame({"url": canon, "domain": dom})
+
+
 @F.pandas_udf(T.StringType())
 def classify_content_domain(urls: pd.Series) -> pd.Series:
     """'text'|'image'|'audio'|'video'|'app'|'all' by extension (F1,

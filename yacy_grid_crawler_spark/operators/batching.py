@@ -125,6 +125,9 @@ def global_positions(
         .withColumn(out, F.col("_offset") + F.row_number().over(w) - 1)
         .drop("_pid", "_offset")
     )
+    # `ranged` stays cached until the wave's unpersist sweep — the
+    # counts collect above and the downstream materialization both
+    # read it
     return result
 
 

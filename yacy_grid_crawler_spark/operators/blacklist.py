@@ -73,6 +73,9 @@ def rules_df(spark: SparkSession, rules: list[BlacklistRule]) -> DataFrame:
     )
 
 
+_ISIN_MAX = 64  # above this, a literal In-list bloats every plan copy
+
+
 def apply_blacklist(
     df: DataFrame,
     rules: list[BlacklistRule],
@@ -80,21 +83,29 @@ def apply_blacklist(
     host_col: str = "host",
     out_col: str = "blacklisted",
 ) -> DataFrame:
-    """Adds boolean `out_col`. Host rules: broadcast isin/semi-join on
-    exact host. Regex rules: vectorized Arrow UDF, anchored full-match
-    (Python `re` ≥3.11 supports Java's possessive quantifiers used by
-    the shipped lists, e.g. ``.*+``)."""
+    """Adds boolean `out_col`. Host rules: exact-host membership —
+    small lists inline as `isin`; large lists (the shipped
+    13,434-host file) become a BROADCAST LEFT JOIN against a hosts
+    DataFrame, because a 13k-literal In-expression replicates into
+    every downstream plan copy and blows up Catalyst planning/codegen
+    time (measured: >10× wave slowdown). Regex rules: vectorized Arrow
+    UDF, anchored full-match (Python `re` ≥3.11 supports Java's
+    possessive quantifiers used by the shipped lists, e.g. ``.*+``)."""
     hosts = sorted({r.host for r in rules if r.rule_kind == "host" and r.host})
     regexes = [r.pattern for r in rules if r.rule_kind == "regex"]
 
     verdict = F.lit(False)
-    if hosts:
-        # broadcast hash-set membership — pure JVM. For rule volumes in
-        # the shipped lists (~13k hosts) isin compiles to an efficient
-        # hash probe; at larger volume switch to a broadcast semi-join
-        # on a hosts DataFrame.
+    if hosts and len(hosts) <= _ISIN_MAX:
         verdict = F.col(host_col).isin(hosts)
+    elif hosts:
+        spark = df.sparkSession
+        hosts_df = spark.createDataFrame(
+            [(h,) for h in hosts], f"{host_col} string"
+        ).withColumn("_bl_host_hit", F.lit(True))
+        df = df.join(F.broadcast(hosts_df), host_col, "left")
+        verdict = F.coalesce(F.col("_bl_host_hit"), F.lit(False))
     if regexes:
         regex_hit = make_regex_full_match_udf(regexes)
         verdict = verdict | F.coalesce(regex_hit(F.col(url_col)), F.lit(False))
-    return df.withColumn(out_col, verdict)
+    out = df.withColumn(out_col, verdict)
+    return out.drop("_bl_host_hit") if "_bl_host_hit" in out.columns else out

@@ -23,8 +23,10 @@ per-partition bloom/cuckoo filters over canonicalized+hashed URLs"):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def first_occurrence(
@@ -74,9 +76,6 @@ def bloom_prefilter(
     the pair; caller unions definitely_new with the anti-join result —
     a bloom FP can therefore never cause a false drop.
     """
-    import pandas as pd
-    from pyspark.sql import types as T
-
     from ..functions.bloom import build_from_spark
 
     bloom = build_from_spark(seen, key=key, fpp=fpp, n_items=expected_items)
@@ -91,7 +90,12 @@ def bloom_prefilter(
             out.loc[nonnull.index] = b.might_contain(nonnull)
         return out
 
-    flagged = candidates.withColumn("_maybe_seen", maybe_seen_udf(F.col(key)))
+    # persist before the two-way split: both branches scan this frame,
+    # and without the cache the whole upstream (UDF canonicalization +
+    # dedup window) would execute twice
+    flagged = candidates.withColumn(
+        "_maybe_seen", maybe_seen_udf(F.col(key))
+    ).persist()
     definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     maybe_seen = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     return definitely_new, maybe_seen

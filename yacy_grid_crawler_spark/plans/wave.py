@@ -33,13 +33,24 @@ re-reads committed state to decide continuation.
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_TIMING = os.environ.get("SPARK_GRAFT_WAVE_TIMING") == "1"
+
+
+def _tick(label: str, t0: float) -> float:
+    t1 = time.time()
+    if _TIMING:
+        print(f"[wave-timing] {label}: {t1 - t0:.2f}s", flush=True)
+    return t1
+
 from ..config import BATCH_SIZE
-from ..functions.udfs import canonicalize
+from ..functions.udfs import canonicalize_with_domain
 from ..operators.batching import (
     assign_batches,
     assign_lane,
@@ -50,7 +61,6 @@ from ..operators.batching import (
 from ..operators.blacklist import BlacklistRule, apply_blacklist
 from ..operators.dedup import dedup_against_seen, first_occurrence
 from ..operators.filters import (
-    content_domain_col,
     do_index_verdict,
     mustmatch_verdict,
     robots_verdict,
@@ -93,20 +103,21 @@ def run_wave(
     crawl_id = profile["id"]
     user_id = profile.get("user_id", "anonymous")
 
-    # P2 canonicalize (Arrow kernel) + F6 malformed + F1 content-domain
+    # P2 canonicalize + F1 content-domain: ONE fused Arrow pass
     c = (
-        candidates.withColumn("url", canonicalize(F.col("url_raw")))
-        .withColumn(
-            "_dom",
-            F.when(F.col("url").isNotNull(), content_domain_col(F.col("url"))),
-        )
+        candidates.withColumn("_cd", canonicalize_with_domain(F.col("url_raw")))
+        .withColumn("url", F.col("_cd.url"))
+        .withColumn("_dom", F.col("_cd.domain"))
+        .drop("_cd")
         .persist()
     )
+    _t = time.time()
     stats1 = c.agg(
         F.count("*").alias("extracted"),
         F.count("url").alias("parsed_ok"),
         F.count(F.when(F.col("_dom").isin("text", "all"), 1)).alias("after_f1"),
     ).collect()[0]
+    _t = _tick("canonicalize+stats1", _t)
 
     after_f1 = (
         c.filter(F.col("_dom").isin("text", "all"))
@@ -149,6 +160,7 @@ def run_wave(
         r["reason"]: r["n"]
         for r in flagged.groupBy("reason").agg(F.count("*").alias("n")).collect()
     }
+    _t = _tick("dedup+filters+reason_counts", _t)
     n_novel = sum(reason_counts.values())
     rejected = flagged.filter(F.col("reason") != "pass")
     passed = flagged.filter(F.col("reason") == "pass").drop("reason")
@@ -182,6 +194,7 @@ def run_wave(
         F.count("*").alias("n"),
         F.coalesce(F.sum(F.col("do_index").cast("long")), F.lit(0)).alias("n_idx"),
     ).collect()[0]
+    _t = _tick("batch+shard+politeness+kept_stats", _t)
 
     frontier = kept.select(
         "crawl_id", "url", "url_id", "depth", "lane", "do_index",

@@ -110,9 +110,14 @@ SCHEMAS: dict[str, T.StructType] = {
 
 
 class StateStore:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, write_partitions: int = 32):
+        """`write_partitions` bounds output files per commit: local runs
+        want few fat files (task overhead dominates); a cluster run
+        writing 10^8-row waves raises it (or pre-partitions by `shard`
+        so writers align with the crawl sharding)."""
         self.spark = spark
         self.root = root
+        self.write_partitions = write_partitions
         os.makedirs(os.path.join(root, "_snapshots"), exist_ok=True)
 
     # ---- snapshot bookkeeping -------------------------------------
@@ -167,11 +172,11 @@ class StateStore:
         tables = {t: list(cs) for t, cs in prev["tables"].items()}
         for t, df in appends.items():
             path = os.path.join(self.root, t, f"commit={new_v}")
-            df.write.mode("errorifexists").parquet(path)
+            df.coalesce(self.write_partitions).write.mode("errorifexists").parquet(path)
             tables.setdefault(t, []).append(new_v)
         for t, df in replaces.items():
             path = os.path.join(self.root, t, f"commit={new_v}")
-            df.write.mode("errorifexists").parquet(path)
+            df.coalesce(self.write_partitions).write.mode("errorifexists").parquet(path)
             tables[t] = [new_v]
         man = {"version": new_v, "tables": tables, "meta": meta or {}}
         tmp = os.path.join(self._snapdir(), f".tmp_v{new_v:06d}.json")
