@@ -599,6 +599,33 @@ _ANN_SQL = """
 """
 
 
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline;
+    τ=0.4 because the synthetic embeddings top out at cos≈0.51)."""
+    from yacy_grid_crawler_spark.operators.similarity import embedding_near_dup_exact
+
+    return embedding_near_dup_exact(_emb(spark, sf_dir))
+
+
+_DEDUP_EMBEDDING_SQL = """
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         round(list_cosine_similarity(a.embedding::double[], b.embedding::double[]), 4)
+           AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::double[], b.embedding::double[]), 4)
+        >= 0.4
+"""
+
+
+def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: LSH-bucket-blocked near-dup (equi-join on bucket,
+    exact verify inside). Approximate recall → rows-only check;
+    recall vs exact is pinned in tests/test_similarity.py."""
+    from yacy_grid_crawler_spark.operators.similarity import embedding_near_dup_lsh
+
+    return embedding_near_dup_lsh(_emb(spark, sf_dir))
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yacy_grid_crawler_spark.operators.textstats import lang_id
 
@@ -961,6 +988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "lang_id": _q_lang_id,
@@ -995,11 +1024,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _MINHASH_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,
+        "dedup_embedding": _DEDUP_EMBEDDING_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "lang_id": _LANG_ID_SQL,
         "quality_score": _QUALITY_SQL,
         "token_count": _TOKEN_SQL,
         "doc_fingerprint": _FINGERPRINT_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
-        # ann_lsh_topk, media_features: non-SQL-expressible → rows-only
+        # ann_lsh_topk, dedup_embedding_lsh, media_features:
+        # non-SQL-expressible (md5-seeded LSH buckets / Arrow batch
+        # iterator) → rows-only
     }

@@ -76,7 +76,8 @@ def test_all_oracle_keys_have_queries(entrymod):
         "batch8", "priority_lane_shard", "politeness_slots",
         "completion_agg", "crawl_bfs_seen", "dedup_exact",
         "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-        "ann_cosine_topk", "lang_id", "quality_score", "token_count",
+        "dedup_embedding", "ann_cosine_topk", "lang_id",
+        "quality_score", "token_count",
         "doc_fingerprint", "events_sessionize", "lineage_naming",
         "smart_sld", "metrics_rollup", "events_hourly", "topk_per_group",
         "lineitem_pricing",

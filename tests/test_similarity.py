@@ -53,6 +53,28 @@ def test_lsh_results_are_bucket_consistent(spark, emb):
         assert buckets[r["neighbor_id"]] == buckets[r["query_id"]]
 
 
+def test_embedding_near_dup_lsh_subset_and_recall(spark, emb):
+    """LSH-blocked near-dup must be a subset of the exact pairs (the
+    verify step is exact) with non-degenerate recall at few planes."""
+    from yacy_grid_crawler_spark.operators.similarity import (
+        embedding_near_dup_exact,
+        embedding_near_dup_lsh,
+    )
+
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in embedding_near_dup_exact(emb, threshold=0.4).collect()
+    }
+    assert len(exact) > 0
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in embedding_near_dup_lsh(emb, threshold=0.4, n_planes=2).collect()
+    }
+    assert lsh <= exact, "LSH near-dup emitted a pair below threshold"
+    recall = len(lsh & exact) / len(exact)
+    assert recall > 0.1, f"degenerate near-dup LSH recall {recall}"
+
+
 def test_lsh_recall_floor(spark, emb):
     """Approximate path: recall vs brute force is data-dependent but
     must be non-degenerate (neighbors in the same half-space cluster)."""

@@ -104,6 +104,83 @@ def hyperplane_signs(df: DataFrame, n_planes: int = 8, col: str = "embedding") -
     return df.withColumn("bucket", F.concat(*bits))
 
 
+def embedding_near_dup_exact(
+    vectors: DataFrame, threshold: float = 0.4
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact all-pairs baseline:
+    (doc_a < doc_b, cos_sim >= threshold). O(N²) compare — correct at
+    any N but only *feasible* at small N or within a blocking key; the
+    10^10-scale path is `embedding_near_dup_lsh` (equi-join on LSH
+    bucket, then exact verify). Threshold compares the 4-dp-rounded
+    similarity so engine/oracle boundary behavior is identical.
+
+    (Driver data note: the synthetic embeddings have max pairwise
+    cosine ≈ 0.51, so the default τ=0.4 exercises the operator;
+    production near-dup uses τ≈0.95.)
+    """
+    v = with_norm(vectors).select("vec_id", "_emb", "_norm")
+    a = v.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("_emb").alias("_ea"),
+        F.col("_norm").alias("_na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("_emb").alias("_eb"),
+        F.col("_norm").alias("_nb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+    sims = pairs.withColumn(
+        "cos_sim",
+        F.round(
+            _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb")), 4
+        ),
+    )
+    return sims.filter(F.col("cos_sim") >= threshold).select(
+        "doc_a", "doc_b", "cos_sim"
+    )
+
+
+def embedding_near_dup_lsh(
+    vectors: DataFrame, threshold: float = 0.4, n_planes: int = 4
+) -> DataFrame:
+    """Scale path for embedding near-dup: hyperplane-LSH bucket as the
+    blocking key (same-bucket candidates only → equi-join, no cross
+    join), exact cosine verify inside the bucket. Recall < 1 by
+    construction (near-threshold pairs can straddle a hyperplane);
+    recall vs the exact baseline is pinned in tests/test_similarity.py.
+    Fewer planes → bigger buckets → higher recall; n_planes tunes the
+    recall/cost trade-off at scale."""
+    v = hyperplane_signs(vectors, n_planes)
+    v = with_norm(v).select("vec_id", "bucket", "_emb", "_norm")
+    a = v.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("bucket").alias("bucket_a"),
+        F.col("_emb").alias("_ea"),
+        F.col("_norm").alias("_na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("_emb").alias("_eb"),
+        F.col("_norm").alias("_nb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("bucket_a") == F.col("bucket_b"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    )
+    sims = pairs.withColumn(
+        "cos_sim",
+        F.round(
+            _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb")), 4
+        ),
+    )
+    return sims.filter(F.col("cos_sim") >= threshold).select(
+        "doc_a", "doc_b", "cos_sim"
+    )
+
+
 def lsh_bucket_topk(
     vectors: DataFrame,
     top_k: int = TOP_K,
