@@ -209,17 +209,20 @@ class CrawlJob:
             distributed_rank=self.distributed_rank,
             hot_host_threshold=self.hot_host_threshold,
         )
-        self.store.commit(
-            appends={
-                "frontier": res.frontier,
-                "crawl_status": res.status,
-                "url_seen": res.seen,
-                "crawl_metrics": res.metrics,
-            },
-            meta=self._meta({cid: depth + 1}),
-        )
+        # Staged commit: the status write is the ONE action that
+        # materializes the whole wave plan (it unions the rejected and
+        # accepted branches), firing every observe() counter; frontier
+        # and seen then reuse the persisted stages, and the metrics row
+        # is built driver-side from the observations — zero extra jobs.
+        pc = self.store.begin()
+        pc.append("crawl_status", res.status)
+        pc.append("frontier", res.frontier)
+        pc.append("url_seen", res.seen)
+        counts = res.resolve()
+        pc.append("crawl_metrics", res.metrics_df())
+        pc.finalize(meta=self._meta({cid: depth + 1}))
         res.unpersist()
-        return res.counts["accepted"] > 0 and depth < max_depth
+        return counts["accepted"] > 0 and depth < max_depth
 
     def run(self, crawl_ids: list[str] | None = None) -> None:
         """BFS all waves of the given crawls (default: all known)."""

@@ -26,9 +26,13 @@ Shuffle budget per wave (the scale analysis):
 Everything else is broadcast (profile regexes are literals; blacklist
 hosts, robots rules broadcast) or narrow.
 
-Driver actions per wave: 3 aggregates + the 4 sink writes. All
-counters ride back in WaveResult.counts, so the driver loop never
-re-reads committed state to decide continuation.
+Driver actions per wave: ONLY the sink writes. All counters ride on
+`observe()` nodes (Spark's accumulator-backed named observations)
+attached at the three pipeline cut points, so metrics cost zero extra
+jobs: the first sink write materializes the whole plan and the
+observed aggregates fall out of that same action. The driver loop
+never re-reads committed state to decide continuation — it calls
+`WaveResult.resolve()` after the first write.
 """
 
 from __future__ import annotations
@@ -37,7 +41,7 @@ import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 _TIMING = os.environ.get("SPARK_GRAFT_WAVE_TIMING") == "1"
@@ -76,9 +80,57 @@ class WaveResult:
     frontier: DataFrame
     status: DataFrame
     seen: DataFrame
-    metrics: DataFrame
-    counts: dict = field(default_factory=dict)
+    crawl_id: str
+    depth: int
+    observations: dict = field(default_factory=dict)
     cached: list = field(default_factory=list)
+    _counts: dict | None = None
+
+    def resolve(self) -> dict:
+        """Read the observed counters. Call ONLY after an action has
+        materialized `frontier` or `status` (e.g. the sink write) —
+        `Observation.get` blocks until its query finishes."""
+        if self._counts is None:
+            parse = self.observations["parse"].get
+            flag = self.observations["flag"].get
+            kept = self.observations["kept"].get
+
+            def g(d, k):  # empty partitions → null aggregates
+                return int(d.get(k) or 0)
+
+            n_novel = sum(
+                g(flag, k) for k in ("pass", "filter", "blacklist", "robots")
+            )
+            self._counts = {
+                "extracted": g(parse, "extracted"),
+                "parsed_ok": g(parse, "parsed_ok"),
+                "deduped_session": g(parse, "after_f1") - n_novel,
+                "deduped_persistent": g(flag, "pass") - g(kept, "n"),
+                "rejected_filter": g(flag, "filter"),
+                "rejected_blacklist": g(flag, "blacklist"),
+                "rejected_robots": g(flag, "robots"),
+                "accepted": g(kept, "n"),
+                "do_index": g(kept, "n_idx"),
+            }
+        return self._counts
+
+    def metrics_df(self) -> DataFrame:
+        """One metrics row for the wave (A2) — call after resolve()'s
+        precondition holds (a sink write ran)."""
+        c = self.resolve()
+        return self.frontier.sparkSession.createDataFrame(
+            [
+                (
+                    self.crawl_id, self.depth, c["extracted"], c["parsed_ok"],
+                    c["deduped_session"], c["deduped_persistent"],
+                    c["rejected_filter"], c["rejected_blacklist"],
+                    c["rejected_robots"], c["accepted"], c["do_index"],
+                )
+            ],
+            "crawl_id string, depth int, extracted long, parsed_ok long, "
+            "deduped_session long, deduped_persistent long, rejected_filter long, "
+            "rejected_blacklist long, rejected_robots long, accepted long, do_index long",
+        )
 
     def unpersist(self) -> None:
         for df in self.cached:
@@ -99,25 +151,26 @@ def run_wave(
     hot_host_threshold: int | None = None,
     wave_start_ms: int = 0,
 ) -> WaveResult:
-    spark = candidates.sparkSession
     crawl_id = profile["id"]
     user_id = profile.get("user_id", "anonymous")
 
-    # P2 canonicalize + F1 content-domain: ONE fused Arrow pass
+    # P2 canonicalize + F1 content-domain: ONE fused Arrow pass.
+    # Counters ride as observations — no standalone aggregate job, and
+    # no persist: `c` has a single downstream consumer.
+    obs_parse = Observation()
     c = (
         candidates.withColumn("_cd", canonicalize_with_domain(F.col("url_raw")))
         .withColumn("url", F.col("_cd.url"))
         .withColumn("_dom", F.col("_cd.domain"))
         .drop("_cd")
-        .persist()
+        .observe(
+            obs_parse,
+            F.count(F.lit(1)).alias("extracted"),
+            F.count("url").alias("parsed_ok"),
+            F.count(F.when(F.col("_dom").isin("text", "all"), 1)).alias("after_f1"),
+        )
     )
     _t = time.time()
-    stats1 = c.agg(
-        F.count("*").alias("extracted"),
-        F.count("url").alias("parsed_ok"),
-        F.count(F.when(F.col("_dom").isin("text", "all"), 1)).alias("after_f1"),
-    ).collect()[0]
-    _t = _tick("canonicalize+stats1", _t)
 
     after_f1 = (
         c.filter(F.col("_dom").isin("text", "all"))
@@ -148,20 +201,26 @@ def run_wave(
         novel = robots_verdict(novel, robots)
     else:
         novel = novel.withColumn("robots_blocked", F.lit(False))
-    flagged = novel.withColumn(
-        "reason",
-        F.when(~F.col("_mm_ok"), "filter")
-        .when(F.col("_bl"), "blacklist")
-        .when(F.col("robots_blocked"), "robots")
-        .otherwise("pass"),
-    ).drop("_mm_ok", "_bl", "robots_blocked")
-    flagged = flagged.persist()
-    reason_counts = {
-        r["reason"]: r["n"]
-        for r in flagged.groupBy("reason").agg(F.count("*").alias("n")).collect()
-    }
-    _t = _tick("dedup+filters+reason_counts", _t)
-    n_novel = sum(reason_counts.values())
+    obs_flag = Observation()
+    flagged = (
+        novel.withColumn(
+            "reason",
+            F.when(~F.col("_mm_ok"), "filter")
+            .when(F.col("_bl"), "blacklist")
+            .when(F.col("robots_blocked"), "robots")
+            .otherwise("pass"),
+        )
+        .drop("_mm_ok", "_bl", "robots_blocked")
+        .observe(
+            obs_flag,
+            *[
+                F.count(F.when(F.col("reason") == r, 1)).alias(r)
+                for r in ("pass", "filter", "blacklist", "robots")
+            ],
+        )
+        .persist()
+    )
+    _t = _tick("dedup+filters plan", _t)
     rejected = flagged.filter(F.col("reason") != "pass")
     passed = flagged.filter(F.col("reason") == "pass").drop("reason")
 
@@ -185,16 +244,18 @@ def run_wave(
     )
     kept = assign_shard(kept, n_shards, hot_host_threshold=hot_host_threshold)
     kept = politeness_slots(kept, robots, wave_start_ms=wave_start_ms)
+    obs_kept = Observation()
     kept = (
         kept.withColumn("depth", F.lit(depth))
         .withColumn("lineage", lineage_column())
+        .observe(
+            obs_kept,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.col("do_index").cast("long")), F.lit(0)).alias("n_idx"),
+        )
         .persist()
     )
-    kept_stats = kept.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.sum(F.col("do_index").cast("long")), F.lit(0)).alias("n_idx"),
-    ).collect()[0]
-    _t = _tick("batch+shard+politeness+kept_stats", _t)
+    _t = _tick("batch+shard+politeness plan", _t)
 
     frontier = kept.select(
         "crawl_id", "url", "url_id", "depth", "lane", "do_index",
@@ -232,42 +293,12 @@ def run_wave(
         "crawl_id", "url_id", F.lit(depth).alias("first_depth")
     )
 
-    counts = {
-        "extracted": stats1["extracted"],
-        "parsed_ok": stats1["parsed_ok"],
-        "deduped_session": stats1["after_f1"] - n_novel,
-        "deduped_persistent": reason_counts.get("pass", 0) - kept_stats["n"],
-        "rejected_filter": reason_counts.get("filter", 0),
-        "rejected_blacklist": reason_counts.get("blacklist", 0),
-        "rejected_robots": reason_counts.get("robots", 0),
-        "accepted": kept_stats["n"],
-        "do_index": kept_stats["n_idx"],
-    }
-    metrics = spark.createDataFrame(
-        [
-            (
-                crawl_id,
-                depth,
-                counts["extracted"],
-                counts["parsed_ok"],
-                counts["deduped_session"],
-                counts["deduped_persistent"],
-                counts["rejected_filter"],
-                counts["rejected_blacklist"],
-                counts["rejected_robots"],
-                counts["accepted"],
-                counts["do_index"],
-            )
-        ],
-        "crawl_id string, depth int, extracted long, parsed_ok long, "
-        "deduped_session long, deduped_persistent long, rejected_filter long, "
-        "rejected_blacklist long, rejected_robots long, accepted long, do_index long",
-    )
     return WaveResult(
         frontier=frontier,
         status=status,
         seen=seen_new,
-        metrics=metrics,
-        counts=counts,
-        cached=[c, flagged, kept],
+        crawl_id=crawl_id,
+        depth=depth,
+        observations={"parse": obs_parse, "flag": obs_flag, "kept": obs_kept},
+        cached=[flagged, kept],
     )

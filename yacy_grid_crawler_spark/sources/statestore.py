@@ -156,6 +156,16 @@ class StateStore:
         return df.drop("commit")
 
     # ---- write -----------------------------------------------------
+    def begin(self) -> "PendingCommit":
+        """Staged variant of `commit` for callers that need to interleave
+        writes with driver-side logic (e.g. reading `observe()` counters
+        after the first sink write to build the metrics append). Data
+        dirs written through the pending commit stay inert until
+        `finalize()` publishes the manifest — same atomicity as
+        `commit`."""
+        prev = self.manifest()
+        return PendingCommit(self, prev, prev["version"] + 1)
+
     def commit(
         self,
         appends: dict[str, DataFrame] | None = None,
@@ -165,25 +175,12 @@ class StateStore:
         """One atomic multi-table commit. `appends[t]` adds rows to t;
         `replaces[t]` rewrites t wholesale (S8 delete-at-crawl-start,
         CrawlStartService.java:141-173, is a filtered replace)."""
-        appends = appends or {}
-        replaces = replaces or {}
-        prev = self.manifest()
-        new_v = prev["version"] + 1
-        tables = {t: list(cs) for t, cs in prev["tables"].items()}
-        for t, df in appends.items():
-            path = os.path.join(self.root, t, f"commit={new_v}")
-            df.coalesce(self.write_partitions).write.mode("errorifexists").parquet(path)
-            tables.setdefault(t, []).append(new_v)
-        for t, df in replaces.items():
-            path = os.path.join(self.root, t, f"commit={new_v}")
-            df.coalesce(self.write_partitions).write.mode("errorifexists").parquet(path)
-            tables[t] = [new_v]
-        man = {"version": new_v, "tables": tables, "meta": meta or {}}
-        tmp = os.path.join(self._snapdir(), f".tmp_v{new_v:06d}.json")
-        with open(tmp, "w") as fh:
-            json.dump(man, fh)
-        os.rename(tmp, os.path.join(self._snapdir(), f"v{new_v:06d}.json"))
-        return new_v
+        pc = self.begin()
+        for t, df in (appends or {}).items():
+            pc.append(t, df)
+        for t, df in (replaces or {}).items():
+            pc.replace(t, df)
+        return pc.finalize(meta)
 
     def rollback_orphans(self) -> None:
         """Drop data dirs not referenced by any manifest (crash debris)."""
@@ -213,3 +210,38 @@ class StateStore:
             .alias("complete"),
             F.count("*").alias("n_urls"),
         )
+
+
+class PendingCommit:
+    """A multi-table commit in flight (from `StateStore.begin`).
+    Writes land as data dirs immediately; the manifest — and therefore
+    visibility — appears only at `finalize()` (atomic rename). A crash
+    before finalize leaves orphan dirs that `rollback_orphans` drops."""
+
+    def __init__(self, store: StateStore, prev_manifest: dict, version: int):
+        self.store = store
+        self.version = version
+        self.tables = {t: list(cs) for t, cs in prev_manifest["tables"].items()}
+
+    def _write(self, table: str, df: DataFrame) -> None:
+        path = os.path.join(self.store.root, table, f"commit={self.version}")
+        df.coalesce(self.store.write_partitions).write.mode(
+            "errorifexists"
+        ).parquet(path)
+
+    def append(self, table: str, df: DataFrame) -> None:
+        self._write(table, df)
+        self.tables.setdefault(table, []).append(self.version)
+
+    def replace(self, table: str, df: DataFrame) -> None:
+        self._write(table, df)
+        self.tables[table] = [self.version]
+
+    def finalize(self, meta: dict | None = None) -> int:
+        man = {"version": self.version, "tables": self.tables, "meta": meta or {}}
+        snapdir = self.store._snapdir()
+        tmp = os.path.join(snapdir, f".tmp_v{self.version:06d}.json")
+        with open(tmp, "w") as fh:
+            json.dump(man, fh)
+        os.rename(tmp, os.path.join(snapdir, f"v{self.version:06d}.json"))
+        return self.version
