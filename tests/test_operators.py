@@ -138,6 +138,19 @@ def test_distributed_rank_matches_window(spark):
     assert a == b
 
 
+def test_distributed_rank_empty_input(spark):
+    """An all-duplicate wave reaches batching with zero rows — the
+    two-phase rank must not choke on the empty offsets table."""
+    from yacy_grid_crawler_spark.operators.batching import assign_batches
+
+    df = spark.createDataFrame(
+        [], "crawl_id string, do_index boolean, parent_ord int, span_offset int"
+    )
+    out = assign_batches(df, order=("parent_ord", "span_offset"), distributed=True)
+    assert out.count() == 0
+    assert "batch_no" in out.columns and "batch_pos" in out.columns
+
+
 def test_bloom_no_false_negatives():
     # SURVEY.md §7: bloom FP must never cause a false DROP; negatives
     # are exact by construction

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..config import BATCH_SIZE
 
@@ -114,9 +115,14 @@ def global_positions(
         for pid, n in sorted(lst):
             rows.append((*g, pid, acc))
             acc += n
-    off_df = df.sparkSession.createDataFrame(
-        rows, [*group_cols, "_pid", "_offset"]
+    # explicit schema: an all-duplicate wave yields zero groups, and
+    # schema inference cannot handle an empty local list
+    gfields = [df.schema[c] for c in group_cols]
+    off_schema = T.StructType(
+        [*gfields, T.StructField("_pid", T.IntegerType()),
+         T.StructField("_offset", T.LongType())]
     )
+    off_df = df.sparkSession.createDataFrame(rows, off_schema)
     w = Window.partitionBy("_pid", *group_cols).orderBy(
         *[F.col(c) for c in order_cols]
     )
