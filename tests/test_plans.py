@@ -1,0 +1,133 @@
+"""Physical-plan audits: assert the plans Catalyst produces are the
+ones the scale design calls for (SURVEY.md §4; README 'Scale design').
+
+These guard against silent plan regressions — a lost broadcast hint, a
+filter that stops reaching the parquet scan, or a window that
+introduces a single-partition exchange would all pass row-equality
+tests while destroying 100-TB behavior.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_lineitem_filter_pushdown_and_pruning(spark):
+    """Filters and column selection must reach the parquet scan."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1998-09-02").groupBy(
+        "l_returnflag"
+    ).agg(F.sum("l_quantity").alias("sum_qty"))
+    plan = _formatted(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan reads only the 3 referenced columns
+    rs = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_returnflag" in rs and "l_quantity" in rs and "l_shipdate" in rs
+    assert "l_comment" not in rs and "l_extendedprice" not in rs
+
+
+def test_blacklist_host_join_is_broadcast(spark):
+    """13k blacklist hosts must join as a broadcast, never a shuffle
+    (and never a 13k-literal In-list — measured 10× wave slowdown)."""
+    from yacy_grid_crawler_spark.operators.blacklist import (
+        BlacklistRule,
+        apply_blacklist,
+    )
+
+    df = spark.range(1000).select(
+        F.concat(F.lit("http://h"), F.col("id").cast("string"), F.lit(".example/p")).alias("url"),
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example")).alias("host"),
+    )
+    rules = [
+        BlacklistRule("host", f"evil{i:05d}.example.net", "", "s", "")
+        for i in range(13434)
+    ]
+    out = apply_blacklist(df, rules, out_col="_bl")
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # no giant literal list compiled into the plan
+    assert "evil00001.example.net, evil00002" not in plan
+
+
+def test_seen_anti_join_shape(spark):
+    """The persistent seen check must be a (hash) anti join on url_id."""
+    from yacy_grid_crawler_spark.operators.dedup import dedup_against_seen
+
+    cand = spark.range(1000).select(F.md5(F.col("id").cast("string")).alias("url_id"))
+    seen = spark.range(100).select(F.md5(F.col("id").cast("string")).alias("url_id"))
+    out = dedup_against_seen(cand, seen, key="url_id", crawl_col=None, use_bloom=False)
+    plan = _plan(out)
+    assert "LeftAnti" in plan
+
+
+def test_distributed_rank_has_no_global_window(spark):
+    """The two-phase rank must not fall back to a single-partition
+    window: no `Window` over an Exchange SinglePartition."""
+    from yacy_grid_crawler_spark.operators.batching import assign_batches
+
+    df = spark.createDataFrame(
+        [("c", i % 2 == 0, i, 0) for i in range(100)],
+        "crawl_id string, do_index boolean, parent_ord int, span_offset int",
+    )
+    out = assign_batches(df, order=("parent_ord", "span_offset"), distributed=True)
+    plan = _plan(out)
+    assert "SinglePartition" not in plan
+    # every window in the two-phase plan is keyed by the physical
+    # partition id — per-partition parallel, never per-group serial
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "_pid" in line, f"window not pid-local: {line[:120]}"
+
+
+def test_ann_brute_force_broadcasts_queries(spark):
+    """Brute-force ANN: the small query side must broadcast so the
+    big candidate side never shuffles."""
+    from yacy_grid_crawler_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = brute_force_topk(emb)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_wave_stays_whole_stage_codegen(spark):
+    """The wave's JVM-side expression stages must compile to
+    whole-stage codegen (the Arrow kernels are the only interpreted
+    islands)."""
+    from yacy_grid_crawler_spark.config import build_crawl_start, make_profile
+    from yacy_grid_crawler_spark.plans.wave import run_wave
+
+    candidates = spark.range(200).select(
+        F.lit(0).alias("parent_ini"),
+        F.col("id").alias("parent_batch_no"),
+        F.lit(0).alias("parent_batch_pos"),
+        F.lit(0).alias("span_offset"),
+        F.concat(F.lit("http://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".example.org/p/"), F.col("id").cast("string")).alias("url_raw"),
+    )
+    profile = build_crawl_start(make_profile({}), "http://h0.example.org/p/0")
+    seen = spark.createDataFrame([], "crawl_id string, url_id string, first_depth int")
+    status = spark.createDataFrame([], "url_id string")
+    res = run_wave(candidates, profile, seen=seen, status_ids=status, depth=1)
+    res.frontier.collect()  # AQE finalizes the plan only after a run
+    plan = _formatted(res.frontier)
+    assert "isFinalPlan=true" in plan
+    # '*' prefixes mark operators inside whole-stage-codegen spans
+    starred = [
+        ln for ln in plan.splitlines() if "+- * " in ln or ":- * " in ln
+    ]
+    assert len(starred) >= 5, f"too few codegen spans:\n{plan[:800]}"
+    res.unpersist()

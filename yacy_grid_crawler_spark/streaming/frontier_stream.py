@@ -39,13 +39,15 @@ STATE_SCHEMA = "ids array<string>"
 SEEN_TTL_MS = 7 * 24 * 3600 * 1000  # doublesCleanupTimeout, CrawlerListener.java:84
 
 
-def read_candidate_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_candidate_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
     """File-source stream of candidate URLs (stand-in for the broker).
     maxFilesPerTrigger bounds micro-batch size like the reference's
     queue throttling (conf/config.properties:5)."""
     return (
         spark.readStream.schema(CANDIDATE_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
 
@@ -61,19 +63,22 @@ def _make_dedup_fn(ttl: bool):
             state.remove()
             return
         seen = set(state.get[0]) if state.exists else set()
-        out = []
+        cols = ["crawl_id", "url", "url_id", "depth"]
+        frames = []
         for pdf in pdf_iter:
-            for _, row in pdf.iterrows():
-                uid = row["url_id"]
-                if uid not in seen:
-                    seen.add(uid)
-                    out.append(
-                        (row["crawl_id"], row["url"], uid, int(row["depth"]))
-                    )
+            # vectorized first-seen: batch-internal first occurrence
+            # (drop_duplicates keeps the first row) then an isin probe
+            # against the carried state — no per-row Python
+            novel = pdf.loc[~pdf["url_id"].isin(seen)].drop_duplicates("url_id")
+            if len(novel):
+                frames.append(novel[cols])
+                seen.update(novel["url_id"].tolist())
         state.update((list(seen),))
         if ttl:
             state.setTimeoutDuration(SEEN_TTL_MS)
-        yield pd.DataFrame(out, columns=["crawl_id", "url", "url_id", "depth"])
+        out = pd.concat(frames) if frames else pd.DataFrame(columns=cols)
+        out["depth"] = out["depth"].astype("int32")
+        yield out
 
     return _dedup_with_state
 
@@ -101,12 +106,17 @@ def frontier_stream(candidates: DataFrame, ttl: bool = False) -> DataFrame:
 
 
 def run_stream_to_memory(
-    spark: SparkSession, src_path: str, query_name: str = "frontier_out"
+    spark: SparkSession,
+    src_path: str,
+    query_name: str = "frontier_out",
+    max_files_per_trigger: int = 8,
 ):
     """Smoke harness: drain the file stream into an in-memory sink
     synchronously (tests use processAllAvailable)."""
     q = (
-        frontier_stream(read_candidate_stream(spark, src_path))
+        frontier_stream(
+            read_candidate_stream(spark, src_path, max_files_per_trigger)
+        )
         .writeStream.outputMode("append")
         .format("memory")
         .queryName(query_name)
