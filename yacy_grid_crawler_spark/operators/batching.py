@@ -52,6 +52,7 @@ def assign_batches(
     order: tuple[str, ...] = ("parent_ord", "span_offset"),
     batch_size: int = BATCH_SIZE,
     distributed: bool = False,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """G1+G2 — position within the (crawl, index-split) group in
     canonical order → batch_no / batch_pos. Index rows (do_index=true)
@@ -66,7 +67,10 @@ def assign_batches(
     """
     group = ("crawl_id", "do_index")
     if distributed:
-        df = global_positions(df, group_cols=group, order_cols=order, out="_pos")
+        df = global_positions(
+            df, group_cols=group, order_cols=order, out="_pos",
+            cache_registry=cache_registry,
+        )
     else:
         w = Window.partitionBy(*group).orderBy(*[F.col(c) for c in order])
         df = df.withColumn("_pos", F.row_number().over(w) - 1)
@@ -82,6 +86,7 @@ def global_positions(
     group_cols: tuple[str, ...],
     order_cols: tuple[str, ...],
     out: str = "_pos",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Distributed 0-based dense position within each group, ordered by
     `order_cols` — the scale-out replacement for a per-group window.
@@ -100,29 +105,24 @@ def global_positions(
         "_pid", F.spark_partition_id()
     )
     ranged = ranged.persist()
-    counts = (
-        ranged.groupBy("_pid", *group_cols).count().collect()
+    if cache_registry is not None:
+        cache_registry.append(ranged)
+    # Per-group prefix offsets, computed DISTRIBUTED: the (pid × group)
+    # aggregate is tiny (≤ partitions × groups rows), so the running
+    # sum over it is a cheap window and the result broadcast-joins
+    # back. No driver collect → the whole rank stays inside ONE lazy
+    # plan (the wave runs zero mid-pipeline actions).
+    cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # per-group running offset in pid order
-    by_group: dict[tuple, list] = {}
-    for r in counts:
-        g = tuple(r[c] for c in group_cols)
-        by_group.setdefault(g, []).append((r["_pid"], r["count"]))
-    offsets: dict[tuple, int] = {}
-    rows = []
-    for g, lst in by_group.items():
-        acc = 0
-        for pid, n in sorted(lst):
-            rows.append((*g, pid, acc))
-            acc += n
-    # explicit schema: an all-duplicate wave yields zero groups, and
-    # schema inference cannot handle an empty local list
-    gfields = [df.schema[c] for c in group_cols]
-    off_schema = T.StructType(
-        [*gfields, T.StructField("_pid", T.IntegerType()),
-         T.StructField("_offset", T.LongType())]
+    off_df = (
+        ranged.groupBy("_pid", *group_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_offset", F.coalesce(F.sum("_n").over(cum), F.lit(0)))
+        .drop("_n")
     )
-    off_df = df.sparkSession.createDataFrame(rows, off_schema)
     w = Window.partitionBy("_pid", *group_cols).orderBy(
         *[F.col(c) for c in order_cols]
     )
@@ -132,8 +132,7 @@ def global_positions(
         .drop("_pid", "_offset")
     )
     # `ranged` stays cached until the wave's unpersist sweep — the
-    # counts collect above and the downstream materialization both
-    # read it
+    # offsets branch and the downstream materialization both read it
     return result
 
 

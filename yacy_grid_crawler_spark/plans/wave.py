@@ -239,8 +239,10 @@ def run_wave(
         ),
     )
     kept = assign_lane(kept, profile.get("priority", 0))
+    wave_caches: list = []
     kept = assign_batches(
-        kept, order=CANON_ORDER, batch_size=BATCH_SIZE, distributed=distributed_rank
+        kept, order=CANON_ORDER, batch_size=BATCH_SIZE,
+        distributed=distributed_rank, cache_registry=wave_caches,
     )
     kept = assign_shard(kept, n_shards, hot_host_threshold=hot_host_threshold)
     kept = politeness_slots(kept, robots, wave_start_ms=wave_start_ms)
@@ -300,5 +302,5 @@ def run_wave(
         crawl_id=crawl_id,
         depth=depth,
         observations={"parse": obs_parse, "flag": obs_flag, "kept": obs_kept},
-        cached=[flagged, kept],
+        cached=[flagged, kept, *wave_caches],
     )
