@@ -96,6 +96,37 @@ def test_status_equality(crawl_result):
     assert engine_status == oracle.status
 
 
+def test_bloom_path_wave_equals_exact_path(spark, corpus, docs_df, robots_df, tmp_path_factory):
+    """use_bloom=True must be a pure optimization: identical frontier,
+    seen set, and metrics as the exact anti-join path (a bloom FP can
+    shrink the pre-filter but never change the decision)."""
+    from yacy_grid_crawler_spark.fixtures.gen import blacklist_lines
+    from yacy_grid_crawler_spark.operators.blacklist import parse_lines
+
+    rules = parse_lines(blacklist_lines(corpus))
+    seed = corpus.seeds[0]
+    outs = {}
+    for use_bloom in (False, True):
+        store_root = str(tmp_path_factory.mktemp(f"store_bloom_{use_bloom}"))
+        job = CrawlJob(
+            spark, store_root, docs_df, blacklist=rules, robots=robots_df,
+            n_shards=8, use_bloom=use_bloom,
+        )
+        cids = job.start(seed, {"crawlingDepth": 2})
+        job.run(cids)
+        frontier = sorted(
+            tuple(r[c] for c in ("depth", "batch_no", "batch_pos", "url_id"))
+            for r in job.store.read("frontier").collect()
+        )
+        seen = {r["url_id"] for r in job.store.read("url_seen").collect()}
+        metrics = sorted(
+            tuple(r[c] for c in ("depth", "extracted", "accepted", "deduped_session"))
+            for r in job.store.read("crawl_metrics").collect()
+        )
+        outs[use_bloom] = (frontier, seen, metrics)
+    assert outs[False] == outs[True]
+
+
 def test_metrics_equality(crawl_result):
     job, cid, oracle = crawl_result
     keys = [

@@ -66,6 +66,7 @@ def bloom_prefilter(
     key: str = "url_id",
     expected_items: int | None = None,
     fpp: float = 0.01,
+    cache_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split candidates into (definitely_new, maybe_seen) using a
     vectorized bloom filter built over the committed seen-set
@@ -96,6 +97,8 @@ def bloom_prefilter(
     flagged = candidates.withColumn(
         "_maybe_seen", maybe_seen_udf(F.col(key))
     ).persist()
+    if cache_registry is not None:
+        cache_registry.append(flagged)
     definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     maybe_seen = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     return definitely_new, maybe_seen
@@ -108,10 +111,14 @@ def dedup_against_seen(
     crawl_col: str | None = "crawl_id",
     use_bloom: bool = True,
     seen_count: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """bloom pre-filter (fast path) + exact anti-join (decider)."""
     if not use_bloom:
         return anti_join_seen(candidates, seen, key, crawl_col)
-    new, maybe = bloom_prefilter(candidates, seen, key, expected_items=seen_count)
+    new, maybe = bloom_prefilter(
+        candidates, seen, key, expected_items=seen_count,
+        cache_registry=cache_registry,
+    )
     resolved = anti_join_seen(maybe, seen, key, crawl_col)
     return new.unionByName(resolved)

@@ -184,9 +184,11 @@ def run_wave(
     # the seen set before any filter verdict (add-before-filter,
     # CrawlerListener.java:312-315) — i.e. seen_new = ALL novel rows,
     # rejected or not.
+    wave_caches: list = []
     in_wave = first_occurrence(after_f1, key="url_id", order=CANON_ORDER)
     novel = dedup_against_seen(
-        in_wave, seen, key="url_id", crawl_col="crawl_id", use_bloom=use_bloom
+        in_wave, seen, key="url_id", crawl_col="crawl_id", use_bloom=use_bloom,
+        cache_registry=wave_caches,
     )
 
     # F2/F3/RB verdict columns → one `reason` discriminator
@@ -239,7 +241,6 @@ def run_wave(
         ),
     )
     kept = assign_lane(kept, profile.get("priority", 0))
-    wave_caches: list = []
     kept = assign_batches(
         kept, order=CANON_ORDER, batch_size=BATCH_SIZE,
         distributed=distributed_rank, cache_registry=wave_caches,
