@@ -626,6 +626,18 @@ def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_lsh(_emb(spark, sf_dir))
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (coarse quantize → probe n nearest buckets) —
+    the inverted-file scale path alongside the LSH one. Approximate
+    recall → rows-only check; recall vs brute force pinned in
+    tests/test_similarity.py."""
+    from yacy_grid_crawler_spark.operators.similarity import ivf_bucket_topk
+
+    return ivf_bucket_topk(_emb(spark, sf_dir)).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yacy_grid_crawler_spark.operators.textstats import lang_id
 
@@ -992,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "token_count": _q_token_count,
@@ -1031,7 +1044,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": _TOKEN_SQL,
         "doc_fingerprint": _FINGERPRINT_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
-        # ann_lsh_topk, dedup_embedding_lsh, media_features:
-        # non-SQL-expressible (md5-seeded LSH buckets / Arrow batch
-        # iterator) → rows-only
+        # ann_lsh_topk, ann_ivf_topk, dedup_embedding_lsh,
+        # media_features: non-SQL-expressible (md5-seeded LSH buckets,
+        # IVF bucket assignment, Arrow batch iterator) → rows-only
     }

@@ -53,6 +53,30 @@ def test_lsh_results_are_bucket_consistent(spark, emb):
         assert buckets[r["neighbor_id"]] == buckets[r["query_id"]]
 
 
+def test_ivf_recall_and_bucket_consistency(spark, emb):
+    """IVF probe: results come only from the query's probed buckets,
+    and recall vs brute force is non-degenerate even on near-uniform
+    embeddings (n_probe buckets out of 16)."""
+    from yacy_grid_crawler_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_bucket_topk,
+    )
+
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, top_k=5, query_mod=100).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_bucket_topk(
+            emb, top_k=5, query_mod=100, n_centroids=16, n_probe=8
+        ).collect()
+    }
+    assert len(ivf) > 0
+    recall = len(bf & ivf) / max(len(bf), 1)
+    assert recall > 0.3, f"degenerate IVF recall {recall}"
+
+
 def test_embedding_near_dup_lsh_subset_and_recall(spark, emb):
     """LSH-blocked near-dup must be a subset of the exact pairs (the
     verify step is exact) with non-degenerate recall at few planes."""
