@@ -1,0 +1,155 @@
+"""Concurrent multi-crawl tier waves (plans/multiwave.py): one
+combined Spark wave per tier must produce the exact same committed
+state as sequential per-crawl BFS runs.
+
+Exactness precondition (documented in multiwave.py): the crawls'
+footprints must be disjoint, because the persistent exist-check (D3)
+sees a tier-start snapshot — so the fixture is two corpora on
+disjoint host domains, crawled at DIFFERENT max depths to exercise
+tiers where only a subset of crawls is still active.
+"""
+
+import copy
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from yacy_grid_crawler_spark.fixtures.gen import blacklist_lines, generate
+from yacy_grid_crawler_spark.operators.blacklist import parse_lines
+from yacy_grid_crawler_spark.plans.crawl_job import CrawlJob
+
+SPANS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField(
+            "spans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("kind", T.StringType()),
+                        T.StructField("text", T.StringType()),
+                        T.StructField("media_ref", T.StringType()),
+                        T.StructField("offset", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def _rename_domain(corpus, old: str, new: str):
+    """Deep-copy a corpus onto a disjoint host domain."""
+    c = copy.deepcopy(corpus)
+    def sub(s):
+        return s.replace(old, new) if isinstance(s, str) else s
+    for d in c.docs:
+        d["doc_id"] = sub(d["doc_id"])
+        for s in d["spans"]:
+            s["text"] = sub(s["text"])
+            s["media_ref"] = sub(s["media_ref"])
+    c.robots = {sub(h): r for h, r in c.robots.items()}
+    c.seeds = [sub(s) for s in c.seeds]
+    return c
+
+
+@pytest.fixture(scope="module")
+def two_corpora(spark):
+    a = generate(seed=51, n_docs=150, n_hosts=6)
+    b = _rename_domain(generate(seed=52, n_docs=150, n_hosts=6),
+                       ".example.org", ".beta.org")
+    docs = []
+    robots_rows = []
+    for c in (a, b):
+        docs += [
+            (d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
+            for d in c.docs
+        ]
+        robots_rows += [(h, r["disallow"], r["delay_ms"]) for h, r in c.robots.items()]
+    docs_df = spark.createDataFrame(docs, SPANS_SCHEMA)
+    robots_df = spark.createDataFrame(
+        robots_rows, "host string, disallow_prefixes array<string>, crawl_delay_ms int"
+    )
+    rules = parse_lines(blacklist_lines(a))
+    return a, b, docs_df, robots_df, rules
+
+
+def _crawl(spark, store_root, docs_df, robots_df, rules, seeds_depths, concurrent):
+    job = CrawlJob(spark, store_root, docs_df, blacklist=rules,
+                   robots=robots_df, n_shards=8)
+    cids = []
+    for seed, depth in seeds_depths:
+        cids += job.start(seed, {"crawlingDepth": depth})
+    if concurrent:
+        job.run_concurrent(cids)
+    else:
+        job.run(cids)
+    return job, cids
+
+
+def _table_state(job, table, cols):
+    return sorted(tuple(r[c] for c in cols) for r in job.store.read(table).collect())
+
+
+def test_concurrent_tiers_equal_sequential(spark, two_corpora, tmp_path_factory):
+    a, b, docs_df, robots_df, rules = two_corpora
+    seeds_depths = [(a.seeds[0], 2), (b.seeds[0], 3)]
+    seq, seq_ids = _crawl(
+        spark, str(tmp_path_factory.mktemp("seq")), docs_df, robots_df,
+        rules, seeds_depths, concurrent=False,
+    )
+    con, con_ids = _crawl(
+        spark, str(tmp_path_factory.mktemp("con")), docs_df, robots_df,
+        rules, seeds_depths, concurrent=True,
+    )
+    assert seq_ids == con_ids  # deterministic crawl ids
+
+    frontier_cols = (
+        "crawl_id", "depth", "lane", "do_index", "batch_no", "batch_pos",
+        "url", "url_id", "host", "fetch_slot", "not_before_ms", "lineage",
+    )
+    assert _table_state(seq, "frontier", frontier_cols) == _table_state(
+        con, "frontier", frontier_cols
+    )
+    seen_cols = ("crawl_id", "url_id", "first_depth")
+    assert _table_state(seq, "url_seen", seen_cols) == _table_state(
+        con, "url_seen", seen_cols
+    )
+    status_cols = (
+        "crawl_id", "user_id", "url_id", "url", "status", "comment_class",
+        "depth", "start_url", "start_ssld",
+    )
+    assert _table_state(seq, "crawl_status", status_cols) == _table_state(
+        con, "crawl_status", status_cols
+    )
+    metrics_cols = (
+        "crawl_id", "depth", "extracted", "parsed_ok", "deduped_session",
+        "deduped_persistent", "rejected_filter", "rejected_blacklist",
+        "rejected_robots", "accepted", "do_index",
+    )
+    assert _table_state(seq, "crawl_metrics", metrics_cols) == _table_state(
+        con, "crawl_metrics", metrics_cols
+    )
+
+
+def test_concurrent_multi_seed_single_start(spark, two_corpora, tmp_path_factory):
+    """One crawl-start with two '|'-separated seeds → two crawl ids
+    stepped together by run_concurrent (CrawlStartService.java:110-200
+    one-crawl-per-seed), distributed rank path on."""
+    a, b, docs_df, robots_df, rules = two_corpora
+    job = CrawlJob(
+        spark, str(tmp_path_factory.mktemp("multi")), docs_df,
+        blacklist=rules, robots=robots_df, n_shards=8, distributed_rank=True,
+    )
+    cids = job.start(a.seeds[0] + "|" + b.seeds[0], {"crawlingDepth": 2})
+    assert len(cids) == 2
+    job.run_concurrent(cids)
+    per_crawl = {
+        r["crawl_id"]: r["n"]
+        for r in job.store.read("frontier").groupBy("crawl_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert set(per_crawl) == set(cids)
+    assert all(n > 0 for n in per_crawl.values())

@@ -231,6 +231,75 @@ class CrawlJob:
                 pass
 
     # ------------------------------------------------------------------
+    def step_all(self, crawl_ids: list[str]) -> list[str]:
+        """Run ONE tier for every active crawl as a single combined
+        wave (plans/multiwave.py): candidates from all crawls union
+        into one job, profile regexes ride as broadcast columns.
+        Returns the crawl ids still active after the tier."""
+        from .multiwave import profiles_to_df, run_wave_multi
+
+        meta = self.store.manifest().get("meta", {})
+        nd = meta.get("next_depth", {})
+        parts = []
+        stepped: list[str] = []
+        for cid in crawl_ids:
+            depth = int(nd.get(cid, 0))
+            if depth > int(self.profiles[cid].get("crawlingDepth", 3)):
+                continue
+            cand = (
+                self._seed_candidates(cid) if depth == 0
+                else self._expand_candidates(cid, depth)
+            )
+            parts.append(
+                cand.withColumn("crawl_id", F.lit(cid)).withColumn(
+                    "depth", F.lit(depth)
+                )
+            )
+            stepped.append(cid)
+        if not parts:
+            return []
+        candidates = parts[0]
+        for p in parts[1:]:
+            candidates = candidates.unionByName(p)
+        profiles = profiles_to_df(self.spark, {c: self.profiles[c] for c in stepped})
+        seen = self.store.read("url_seen")
+        status_ids = self.store.read("crawl_status").select("url_id")
+        res = run_wave_multi(
+            candidates, profiles, seen=seen, status_ids=status_ids,
+            blacklist=self.blacklist, robots=self.robots,
+            n_shards=self.n_shards, use_bloom=self.use_bloom,
+            distributed_rank=self.distributed_rank,
+            hot_host_threshold=self.hot_host_threshold,
+        )
+        pc = self.store.begin()
+        pc.append("crawl_status", res.status)
+        pc.append("frontier", res.frontier)
+        pc.append("url_seen", res.seen)
+        metrics = res.metrics_df()
+        pc.append("crawl_metrics", metrics)
+        pc.finalize(
+            meta=self._meta({cid: int(nd.get(cid, 0)) + 1 for cid in stepped})
+        )
+        accepted = {
+            r["crawl_id"]: r["accepted"]
+            for r in metrics.groupBy("crawl_id").agg(
+                F.sum("accepted").alias("accepted")
+            ).collect()
+        }
+        res.unpersist()
+        return [
+            cid for cid in stepped
+            if accepted.get(cid, 0) > 0
+            and int(nd.get(cid, 0)) < int(self.profiles[cid].get("crawlingDepth", 3))
+        ]
+
+    def run_concurrent(self, crawl_ids: list[str] | None = None) -> None:
+        """BFS all crawls together, one combined wave per tier."""
+        active = list(crawl_ids or self.profiles)
+        while active:
+            active = self.step_all(active)
+
+    # ------------------------------------------------------------------
     def resume(self) -> None:
         """Continue every crawl from the last committed snapshot."""
         self.run(list(self.profiles))
