@@ -89,13 +89,27 @@ def exact_duplicate_groups(docs: DataFrame) -> DataFrame:
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASHES) -> DataFrame:
     """(doc_id, h0..h{n-1}): minhash_j = MIN over shingles of
     md5('<j>|' || shingle) — salted-md5 minhash, string-min semantics
-    (identical in any ANSI engine)."""
+    (identical in any ANSI engine).
+
+    The explode is deliberate and load-bearing: a generator is a
+    projection-collapse barrier, so the tokenize+shingle expression
+    runs ONCE per document. A per-row formulation (8 columns of
+    `array_min(transform(sh, ...))`) looks shuffle-free but Catalyst's
+    CollapseProject inlines the shingling into every hash column —
+    8× the regex work per row (measured 8× slower at sf0.1). The
+    groupBy shuffles only (doc_id, 8×32B hex) partial-aggregated rows,
+    which map-side combine keeps tiny at any scale."""
     sh = doc_shingles(docs)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"h{j}")
-        for j in range(n_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle"))).alias(f"h{j}")
+            for j in range(n_hashes)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{j}").alias(f"h{j}") for j in range(n_hashes)]
+    )
 
 
 def minhash_lsh_pairs(
@@ -108,19 +122,18 @@ def minhash_lsh_pairs(
     shingle→minhash→band→bucket-join pipeline as pure DataFrame ops."""
     r = n_hashes // bands
     sig = minhash_signatures(docs, n_hashes)
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * r + k}") for k in range(r)]
-        band_rows.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.concat_ws("", *cols).alias("band_key"),
-            )
-        )
-    banded = band_rows[0]
-    for extra in band_rows[1:]:
-        banded = banded.unionByName(extra)
+    # one posexplode pass instead of a `bands`-way union (a union of
+    # selects over `sig` re-executes the signature scan per branch)
+    band_keys = [
+        F.concat_ws("", *[F.col(f"h{b * r + k}") for k in range(r)])
+        for b in range(bands)
+    ]
+    # cache across the self-join: both sides re-execute the signature
+    # pipeline otherwise (at cluster scale this is the standard
+    # materialize-the-signature-table step)
+    banded = sig.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
+    ).persist()
     a = banded.alias("a")
     b_ = banded.alias("b")
     return (
