@@ -210,10 +210,18 @@ def query_bench(cores: int) -> dict:
     spark = get_spark(app="bench-queries", cores=cores, shuffle_partitions=cores)
     q = entry.queries()
     times = {}
+    # min-of-2: the first execution of anything in a fresh JVM pays
+    # one-time costs (codegen compile, python worker spin-up, parquet
+    # footer cache) that say nothing about the engine; the second run
+    # is the steady-state cost a long-lived cluster would see.
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        q[name](spark, SF_DIR).count()
-        times[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            q[name](spark, SF_DIR).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
     spark.stop()
     return times
 

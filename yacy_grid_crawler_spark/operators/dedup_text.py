@@ -160,35 +160,32 @@ def simhash_docs(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     = first 16 hex chars), bit = digit & 1. Sum of (2*bit - 1) per
     position; simhash bit = sum >= 0. All integer arithmetic — exactly
     expressible in ANSI SQL.
+
+    One row per (doc, word) — the per-bit dimension is 16 parallel
+    aggregate columns, not a 16× posexplode row blowup (which costs a
+    16× shuffle and a second aggregation). Map-side combine reduces
+    each partition to one 16-int row per doc before the single
+    shuffle. Hex-digit parity: digit value % 2 == 1 ⟺ the digit is in
+    '13579bdf'.
     """
-    words = (
-        with_words(docs)
-        .select("doc_id", F.explode("words").alias("word"))
-        .withColumn("wh", F.md5(F.col("word")))
-    )
-    # one row per (doc, word, bit)
-    bitted = words.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(1, {b}), i ->"
-                " (position(substring(wh, i, 1) in '0123456789abcdef') - 1) % 2)".format(
-                    b=bits
-                )
-            )
-        ).alias("bit_pos", "bit"),
-    )
-    summed = bitted.groupBy("doc_id", "bit_pos").agg(
-        F.sum(F.col("bit") * 2 - 1).alias("s")
-    )
-    return summed.groupBy("doc_id").agg(
+    words = with_words(docs).select("doc_id", F.explode("words").alias("word"))
+    hashed = words.select("doc_id", F.md5(F.col("word")).alias("wh"))
+    # contribution of one word to bit i (1-based): ±1 by hex-digit parity
+    contrib = [
         F.sum(
-            F.when(F.col("s") >= 0, F.pow(F.lit(2.0), F.col("bit_pos"))).otherwise(
-                F.lit(0.0)
-            )
-        )
-        .cast("bigint")
-        .alias("simhash")
+            F.when(
+                F.instr(F.lit("13579bdf"), F.substring("wh", i, 1)) > 0, 1
+            ).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(1, bits + 1)
+    ]
+    summed = hashed.groupBy("doc_id").agg(*contrib)
+    simhash = None
+    for i in range(1, bits + 1):
+        term = F.when(F.col(f"s{i}") >= 0, F.lit(1 << (i - 1))).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return summed.select(
+        "doc_id", simhash.cast("bigint").alias("simhash")
     )
 
 

@@ -198,27 +198,49 @@ def embedding_near_dup_exact(
     (Driver data note: the synthetic embeddings have max pairwise
     cosine ≈ 0.51, so the default τ=0.4 exercises the operator;
     production near-dup uses τ≈0.95.)
+
+    Physical shape: one side is broadcast as a dense numpy matrix and
+    each partition of the other side computes a BLAS GEMM block
+    against it inside an Arrow-batched `mapInPandas` — the same
+    broadcast-nested-loop geometry as the DataFrame formulation
+    (`a.join(F.broadcast(b), doc_a < doc_b)`) but the 64-wide dot
+    products run vectorized in C instead of one interpreted
+    `zip_with`+`aggregate` lambda per pair (~10× at sf0.1).
     """
-    v = with_norm(vectors).select("vec_id", "_emb", "_norm")
-    a = v.select(
-        F.col("vec_id").alias("doc_a"),
-        F.col("_emb").alias("_ea"),
-        F.col("_norm").alias("_na"),
-    )
-    b = v.select(
-        F.col("vec_id").alias("doc_b"),
-        F.col("_emb").alias("_eb"),
-        F.col("_norm").alias("_nb"),
-    )
-    pairs = a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
-    sims = pairs.withColumn(
-        "cos_sim",
-        F.round(
-            _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb")), 4
-        ),
-    )
-    return sims.filter(F.col("cos_sim") >= threshold).select(
-        "doc_a", "doc_b", "cos_sim"
+    import numpy as np
+
+    pdf = vectors.select("vec_id", "embedding").toPandas()
+    ids_all = pdf["vec_id"].to_numpy()
+    mat = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = vectors.sparkSession.sparkContext.broadcast((ids_all, mat, norms))
+
+    def block_sims(batches):
+        import pandas as pd
+
+        ids_b, mat_b, norms_b = bc.value
+        for part in batches:
+            if part.empty:
+                continue
+            block = np.vstack(part["embedding"].to_numpy()).astype("float64")
+            bn = np.sqrt((block * block).sum(axis=1))
+            sims = np.round(
+                (block @ mat_b.T) / np.outer(bn, norms_b), 4
+            )
+            ia, ib = np.where(sims >= threshold)
+            doc_a = part["vec_id"].to_numpy()[ia]
+            doc_b = ids_b[ib]
+            keep = doc_a < doc_b
+            yield pd.DataFrame(
+                {
+                    "doc_a": doc_a[keep],
+                    "doc_b": doc_b[keep],
+                    "cos_sim": sims[ia, ib][keep],
+                }
+            )
+
+    return vectors.select("vec_id", "embedding").mapInPandas(
+        block_sims, "doc_a bigint, doc_b bigint, cos_sim double"
     )
 
 
