@@ -136,3 +136,80 @@ def test_canonicalize_idempotent(u):
 def test_fragment_invariance(u):
     base = u.split("#")[0]
     assert canonicalize_url(u) == canonicalize_url(base)
+
+
+# --- vectorized fast-path equality (the hot kernel must equal the spec) ---
+
+vec_url_strategy = st.builds(
+    lambda scheme, host, port, path, query, frag: f"{scheme}://{host}{port}/{path}{query}{frag}",
+    st.sampled_from(["http", "HTTP", "https", "ftp", "Https"]),
+    st.from_regex(r"[A-Za-z0-9][A-Za-z0-9.-]{0,20}[A-Za-z0-9]", fullmatch=True),
+    st.sampled_from(["", ":80", ":443", ":8080", ":0", ":x"]),
+    st.from_regex(r"[A-Za-z0-9._~/%!$&'()*+,;=:@-]{0,30}", fullmatch=True),
+    st.sampled_from(["", "?a=1", "?", "?a=%20b"]),
+    st.sampled_from(["", "#frag"]),
+)
+
+
+@given(st.lists(vec_url_strategy, min_size=1, max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_vectorized_equals_spec(urls):
+    import pandas as pd
+
+    from yacy_grid_crawler_spark.functions.urlnorm import (
+        canonicalize_series,
+        content_domain,
+        content_domain_series,
+    )
+
+    s = pd.Series(urls, dtype=object)
+    vec = canonicalize_series(s)
+    for raw, got in zip(urls, vec):
+        want = canonicalize_url(raw)
+        got = None if pd.isna(got) else got
+        assert got == want, f"fast-path drift: {raw!r} spec={want!r} vec={got!r}"
+    doms = content_domain_series(vec)
+    for canon, got in zip(vec, doms):
+        if pd.isna(canon):
+            assert pd.isna(got)
+        else:
+            assert got == content_domain(canon), f"domain drift on {canon!r}"
+
+
+def test_vectorized_fast_gate_is_identity_only():
+    """Anything the fast gate accepts must be a fixed point of the
+    scalar spec (the gate's one correctness obligation)."""
+    import pandas as pd
+
+    from yacy_grid_crawler_spark.functions.urlnorm import (
+        _FAST_CANONICAL_RE,
+        canonicalize_url,
+    )
+
+    accepted = [
+        "http://a.com/",
+        "https://sub.a-b.com/p/q/r.PDF",
+        "http://a.com/.hidden",
+        "http://a.com/a.b.c/d.e",
+        "http://x.org/a/b/",
+        "http://x.org/a~b/_c-d",
+    ]
+    for u in accepted:
+        assert _FAST_CANONICAL_RE.match(u), u
+        assert canonicalize_url(u) == u, u
+    rejected_needing_work = [
+        "http://a.com",        # missing path
+        "HTTP://a.com/x",      # uppercase scheme
+        "http://A.com/x",      # uppercase host
+        "http://a.com:80/x",   # default port strip
+        "http://a.com//x",     # empty segment
+        "http://a.com/./x",    # dot segment
+        "http://a.com/a/../b", # dotdot segment
+        "http://a.com/%7Ex",   # pct decode
+        "http://a.com/x?q=1",  # query (pct-normal pass required)
+        "http://a.com/x#f",    # fragment strip
+        "http://u@a.com/x",    # userinfo
+        "http://a.com./x",     # trailing host dot
+    ]
+    for u in rejected_needing_work:
+        assert not _FAST_CANONICAL_RE.match(u), f"gate must reject {u!r}"

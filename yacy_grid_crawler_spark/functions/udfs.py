@@ -16,14 +16,15 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .urlnorm import canonicalize_url, content_domain, smart_sld
+from .urlnorm import canonicalize_series, content_domain_series, smart_sld
 
 
 @F.pandas_udf(T.StringType())
 def canonicalize(urls: pd.Series) -> pd.Series:
     """URL normal form; None for malformed (P2,
-    CrawlerListener.java:277-292, 308)."""
-    return urls.map(canonicalize_url, na_action="ignore")
+    CrawlerListener.java:277-292, 308). Vectorized fast-gate +
+    scalar-spec fallback (urlnorm.canonicalize_series)."""
+    return canonicalize_series(urls)
 
 
 _CANON_DOMAIN_SCHEMA = T.StructType(
@@ -39,8 +40,8 @@ def canonicalize_with_domain(urls: pd.Series) -> pd.DataFrame:
     """Fused P2+F1 kernel: one Arrow pass computing the normal form AND
     its content domain — halves the Python round-trips on the hottest
     path (every candidate URL of every wave)."""
-    canon = urls.map(canonicalize_url, na_action="ignore")
-    dom = canon.map(content_domain, na_action="ignore")
+    canon = canonicalize_series(urls)
+    dom = content_domain_series(canon)
     return pd.DataFrame({"url": canon, "domain": dom})
 
 
@@ -48,7 +49,7 @@ def canonicalize_with_domain(urls: pd.Series) -> pd.DataFrame:
 def classify_content_domain(urls: pd.Series) -> pd.Series:
     """'text'|'image'|'audio'|'video'|'app'|'all' by extension (F1,
     CrawlerListener.java:304-306). Input must already be canonical."""
-    return urls.map(content_domain, na_action="ignore")
+    return content_domain_series(urls)
 
 
 @F.pandas_udf(T.StringType())

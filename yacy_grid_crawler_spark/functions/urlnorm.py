@@ -320,3 +320,64 @@ def smart_sld(host: str) -> str:
     if len(parts) >= 3 and ".".join(parts[-2:]) in _TWO_LABEL_SUFFIXES:
         return parts[-3]
     return parts[-2]
+
+
+# ---------------------------------------------------------------------------
+# vectorized fast path (engine hot kernel)
+#
+# The scalar functions above are the SPEC. At 10^10-URL scale the
+# per-string Python call is the single largest wave cost, so the Arrow
+# UDFs route each batch through a conservative "already canonical"
+# gate: URLs matching _FAST_CANONICAL_RE are provably fixed points of
+# canonicalize_url (identity), everything else falls back to the
+# scalar spec. Equality fast-vs-spec is pinned by
+# tests/test_urlnorm.py (bulk corpus + hypothesis).
+#
+# The gate is deliberately strict — it must only accept URLs where
+# every normalization rule is a no-op:
+#   * scheme: lowercase http/https literal        (rule 1/2)
+#   * host: lowercase a-z0-9- labels, no leading/trailing/double dots,
+#     no userinfo '@', no port ':'                (rules 2, 4)
+#   * path: present (non-empty), segments of unreserved chars only
+#     (quote() identity set minus '%'), no '.'/'..' segments, no '//'
+#                                                  (rules 5, 6)
+#   * no '?'/'#' (query/fragment) and no '%' (pct-encoding), no
+#     whitespace (excluded by the charsets)        (rules 3, 6, 7)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_FAST_SEG = r"(?:(?!\.{1,2}(?:/|$))[A-Za-z0-9_\-.~]+)"
+_FAST_CANONICAL_RE = _re.compile(
+    r"^https?://(?:[a-z0-9][a-z0-9\-]*)(?:\.[a-z0-9][a-z0-9\-]*)*"
+    rf"/(?:{_FAST_SEG}(?:/{_FAST_SEG})*/?)?$"
+)
+
+# content-domain extension sniff on a CANONICAL url: the last path
+# segment's trailing '.ext' (1-5 alnum chars) before query/end —
+# mirrors url_ext()'s rsplit semantics ([^/?]* is greedy, so the
+# capture starts after the segment's LAST dot).
+_EXT_RE = _re.compile(r"^[a-z]+://[^?]*/[^/?]*\.([A-Za-z0-9]{1,5})(?:\?|$)")
+
+
+def canonicalize_series(urls):
+    """pd.Series[str] -> pd.Series[str|None]: vectorized
+    canonicalize_url. Fast-gate identity rows in C, scalar spec for
+    the rest."""
+    fast = urls.str.match(_FAST_CANONICAL_RE, na=False)
+    out = urls.where(fast)
+    slow = ~fast
+    if slow.any():
+        out[slow] = urls[slow].map(canonicalize_url, na_action="ignore")
+    return out
+
+
+def content_domain_series(canon):
+    """pd.Series[str] -> pd.Series[str]: vectorized content_domain
+    over already-canonical URLs (None propagates)."""
+    ext = canon.str.extract(_EXT_RE, expand=False).str.lower()
+    dom = ext.map(_EXT_DOMAIN)
+    # no extension → 'all'; unknown extension → 'all'; null url → null
+    dom = dom.where(ext.notna(), "all")
+    dom = dom.fillna("all")
+    return dom.where(canon.notna())

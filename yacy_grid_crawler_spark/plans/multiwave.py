@@ -168,7 +168,12 @@ def run_wave_multi(
         c.filter(F.col("_dom").isin("text", "all"))
         .withColumn("url_id", F.md5(F.col("url")))
     )
-    in_wave = first_occurrence(after_f1, key="url_id", order=CANON_ORDER)
+    in_wave = first_occurrence(
+        after_f1.drop("url_raw", "_dom"),
+        key="url_id",
+        order=CANON_ORDER,
+        carry=("url", "depth"),
+    )
     novel = dedup_against_seen(
         in_wave, seen, key="url_id", crawl_col="crawl_id", use_bloom=use_bloom,
         cache_registry=wave_caches,

@@ -185,7 +185,13 @@ def run_wave(
     # CrawlerListener.java:312-315) — i.e. seen_new = ALL novel rows,
     # rejected or not.
     wave_caches: list = []
-    in_wave = first_occurrence(after_f1, key="url_id", order=CANON_ORDER)
+    # packed-aggregate fast path: url_raw is dead after canonicalize,
+    # so the dedup carries only `url` — min(struct(packed_order, url))
+    # hash-aggregates with map-side combine instead of window-sorting
+    # the whole wave (the former single largest wave cost)
+    in_wave = first_occurrence(
+        after_f1.drop("url_raw"), key="url_id", order=CANON_ORDER, carry=("url",)
+    )
     novel = dedup_against_seen(
         in_wave, seen, key="url_id", crawl_col="crawl_id", use_bloom=use_bloom,
         cache_registry=wave_caches,

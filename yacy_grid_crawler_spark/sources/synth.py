@@ -57,6 +57,36 @@ def synth_docs(
             F.lit(".html"),
         )
 
+    def messy_link(idx_col, k: int):
+        """Deterministically de-canonicalize ~30% of link occurrences
+        (upper-case scheme/host, #fragment, default port + '/./'
+        segment) so the bench exercises the canonicalizer's slow path
+        at a realistic web-crawl rate, not just the vectorized
+        fast-gate. All variants normalize back to page_url(idx), so
+        graph semantics are unchanged."""
+        clean = page_url(idx_col)
+        variant = F.pmod(idx_col * 13 + F.lit(k * 101), F.lit(10))
+        return (
+            F.when(
+                variant == 7,
+                # upper-case scheme+host only (path case is significant
+                # and preserved by the normal form)
+                F.regexp_replace(
+                    F.regexp_replace(clean, "^http://host", "HTTP://HOST"),
+                    r"\.example\.org/",
+                    ".EXAMPLE.ORG/",
+                ),
+            )
+            .when(variant == 8, F.concat(clean, F.lit("#sec"), F.lit(k)))
+            .when(
+                variant == 9,
+                F.concat(
+                    F.regexp_replace(clean, r"\.org/page/", ".org:80/./page/"),
+                ),
+            )
+            .otherwise(clean)
+        )
+
     df = df.withColumn("doc_id", page_url(F.col("i")))
     link_structs = [
         F.struct(
@@ -71,7 +101,7 @@ def synth_docs(
         link_structs.append(
             F.struct(
                 F.lit("outbound").alias("kind"),
-                page_url(tgt).alias("text"),
+                messy_link(tgt, k).alias("text"),
                 F.lit(None).cast("string").alias("media_ref"),
                 F.lit(k).alias("offset"),
             )
