@@ -215,3 +215,62 @@ def test_index_noindex_split(spark):
     # both still crawled, only the flag differs (CrawlerListener.java:368-384)
     assert m["http://a.x/page.html"] is True
     assert m["http://a.x/private.html"] is False
+
+
+def test_jvm_kernels_match_python_spec(spark):
+    """The JVM fast-gate regex and content-domain classifier must agree
+    with the Python spec char-for-char (dialect-drift guard)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from yacy_grid_crawler_spark.functions.urlnorm import (
+        _FAST_CANONICAL_RE,
+        FAST_CANONICAL_PATTERN,
+        canonicalize_url,
+        content_domain,
+    )
+    from yacy_grid_crawler_spark.operators.filters import content_domain_jvm
+
+    urls = [
+        "http://a.com/x.html",
+        "http://a.com/x.HTML",
+        "http://a.com/a/b/",
+        "http://a.com/x.jpg",
+        "http://a.com/x.abcdef",
+        "http://a.com/x.tar.gz",
+        "http://a.com/file.",
+        "http://a.com/.hidden",
+        "http://a.com/x?q=a.jpg",
+        "http://a.com/x.php?a=1?b=2.png",
+        "http://a.com/p%20q/x.mp4",
+        "http://a.com/",
+        "HTTP://a.com/x",
+        "http://a.com//x",
+        "http://a.com/a/../b.pdf",
+        "http://u@a.com/x",
+        "http://a.com./x",
+        "http://a.com:8080/x.mp3",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url_raw string")
+    rows = (
+        df.withColumn("fast", F.regexp_like("url_raw", F.lit(FAST_CANONICAL_PATTERN)))
+        .withColumn(
+            "dom_jvm",
+            content_domain_jvm(
+                F.when(F.col("fast"), F.col("url_raw"))
+            ),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r["fast"] == bool(_FAST_CANONICAL_RE.match(r["url_raw"])), (
+            f"gate dialect drift on {r['url_raw']!r}"
+        )
+        if r["fast"]:
+            canon = canonicalize_url(r["url_raw"])
+            assert canon == r["url_raw"]
+            assert r["dom_jvm"] == content_domain(canon), (
+                f"domain drift on {canon!r}: jvm={r['dom_jvm']}"
+            )
+        else:
+            assert r["dom_jvm"] is None

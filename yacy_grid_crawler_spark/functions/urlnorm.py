@@ -348,16 +348,22 @@ def smart_sld(host: str) -> str:
 import re as _re
 
 _FAST_SEG = r"(?:(?!\.{1,2}(?:/|$))[A-Za-z0-9_\-.~]+)"
-_FAST_CANONICAL_RE = _re.compile(
+# the raw pattern string is shared with the JVM (`regexp_like`) — it
+# uses only syntax Python `re` and java.util.regex interpret
+# identically (char classes, non-capturing groups, lookahead, anchors)
+FAST_CANONICAL_PATTERN = (
     r"^https?://(?:[a-z0-9][a-z0-9\-]*)(?:\.[a-z0-9][a-z0-9\-]*)*"
     rf"/(?:{_FAST_SEG}(?:/{_FAST_SEG})*/?)?$"
 )
+_FAST_CANONICAL_RE = _re.compile(FAST_CANONICAL_PATTERN)
+# content-domain extension sniff shared with the JVM the same way
+EXT_PATTERN = r"^[a-z]+://[^?]*/[^/?]*\.([A-Za-z0-9]{1,5})(?:\?|$)"
 
 # content-domain extension sniff on a CANONICAL url: the last path
 # segment's trailing '.ext' (1-5 alnum chars) before query/end —
 # mirrors url_ext()'s rsplit semantics ([^/?]* is greedy, so the
 # capture starts after the segment's LAST dot).
-_EXT_RE = _re.compile(r"^[a-z]+://[^?]*/[^/?]*\.([A-Za-z0-9]{1,5})(?:\?|$)")
+_EXT_RE = _re.compile(EXT_PATTERN)
 
 
 def canonicalize_series(urls):

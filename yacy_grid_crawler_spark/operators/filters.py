@@ -37,6 +37,33 @@ def content_domain_col(url_col: Column) -> Column:
     return classify_content_domain(url_col)
 
 
+# spec-exact JVM classification over an already-CANONICAL url — the
+# wave's hot path (whole-stage codegen, zero Python). Uses the same
+# EXT_PATTERN as the vectorized pandas kernel (urlnorm._EXT_RE), so
+# engine/spec equality is pinned by tests/test_urlnorm.py +
+# tests/test_wave_oracle.py.
+def content_domain_jvm(url_col: Column) -> Column:
+    from ..functions.urlnorm import (
+        APP_EXTS,
+        AUDIO_EXTS,
+        EXT_PATTERN,
+        IMAGE_EXTS,
+        TEXT_EXTS,
+        VIDEO_EXTS,
+    )
+
+    ext = F.lower(F.regexp_extract(url_col, EXT_PATTERN, 1))
+    return F.when(url_col.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(ext == "", F.lit("all"))
+        .when(ext.isin(sorted(TEXT_EXTS)), F.lit("text"))
+        .when(ext.isin(sorted(IMAGE_EXTS)), F.lit("image"))
+        .when(ext.isin(sorted(AUDIO_EXTS)), F.lit("audio"))
+        .when(ext.isin(sorted(VIDEO_EXTS)), F.lit("video"))
+        .when(ext.isin(sorted(APP_EXTS)), F.lit("app"))
+        .otherwise(F.lit("all"))
+    )
+
+
 # extension classification as a pure-SQL expression — used by the
 # oracle_sql()-checkable query variants (same table as the kernel,
 # functions/urlnorm.py TEXT/IMAGE/... sets must stay in sync).

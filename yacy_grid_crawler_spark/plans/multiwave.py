@@ -37,7 +37,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import BATCH_SIZE
-from ..functions.udfs import canonicalize_with_domain
+from ..functions.udfs import canonicalize
+from ..functions.urlnorm import FAST_CANONICAL_PATTERN
 from ..operators.batching import (
     assign_batches,
     assign_shard,
@@ -155,11 +156,23 @@ def run_wave_multi(
 ) -> MultiWaveResult:
     wave_caches: list = []
 
+    # same gated-UDF + JVM-domain shape as plans/wave.py
+    from ..operators.filters import content_domain_jvm
+
+    _fast = F.regexp_like(F.col("url_raw"), F.lit(FAST_CANONICAL_PATTERN))
     c = (
-        candidates.withColumn("_cd", canonicalize_with_domain(F.col("url_raw")))
-        .withColumn("url", F.col("_cd.url"))
-        .withColumn("_dom", F.col("_cd.domain"))
-        .drop("_cd")
+        candidates.withColumn(
+            "url",
+            F.coalesce(
+                canonicalize(
+                    F.when(_fast, F.lit(None).cast("string")).otherwise(
+                        F.col("url_raw")
+                    )
+                ),
+                F.when(_fast, F.col("url_raw")),
+            ),
+        )
+        .withColumn("_dom", content_domain_jvm(F.col("url")))
         .persist()  # reused by the per-crawl parse metrics
     )
     wave_caches.append(c)

@@ -54,7 +54,8 @@ def _tick(label: str, t0: float) -> float:
     return t1
 
 from ..config import BATCH_SIZE
-from ..functions.udfs import canonicalize_with_domain
+from ..functions.udfs import canonicalize
+from ..functions.urlnorm import FAST_CANONICAL_PATTERN
 from ..operators.batching import (
     assign_batches,
     assign_lane,
@@ -154,15 +155,32 @@ def run_wave(
     crawl_id = profile["id"]
     user_id = profile.get("user_id", "anonymous")
 
-    # P2 canonicalize + F1 content-domain: ONE fused Arrow pass.
+    # P2 canonicalize + F1 content-domain. The fast gate (a JVM regex
+    # deciding "already canonical", shared verbatim with the Python
+    # spec) nulls out ~3/4 of the UDF's INPUT, so the Arrow transfer
+    # carries mostly null bitmaps and Python only touches the messy
+    # minority; `coalesce` stitches identity rows back. Content-domain
+    # classification runs entirely JVM-side (content_domain_jvm) —
+    # spec equality pinned by tests/test_urlnorm.py + the wave oracle.
     # Counters ride as observations — no standalone aggregate job, and
     # no persist: `c` has a single downstream consumer.
+    from ..operators.filters import content_domain_jvm
+
     obs_parse = Observation()
+    _fast = F.regexp_like(F.col("url_raw"), F.lit(FAST_CANONICAL_PATTERN))
     c = (
-        candidates.withColumn("_cd", canonicalize_with_domain(F.col("url_raw")))
-        .withColumn("url", F.col("_cd.url"))
-        .withColumn("_dom", F.col("_cd.domain"))
-        .drop("_cd")
+        candidates.withColumn(
+            "url",
+            F.coalesce(
+                canonicalize(
+                    F.when(_fast, F.lit(None).cast("string")).otherwise(
+                        F.col("url_raw")
+                    )
+                ),
+                F.when(_fast, F.col("url_raw")),
+            ),
+        )
+        .withColumn("_dom", content_domain_jvm(F.col("url")))
         .observe(
             obs_parse,
             F.count(F.lit(1)).alias("extracted"),
