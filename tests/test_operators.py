@@ -274,3 +274,45 @@ def test_jvm_kernels_match_python_spec(spark):
             )
         else:
             assert r["dom_jvm"] is None
+
+
+def test_cli_default_values(capsys):
+    from yacy_grid_crawler_spark.__main__ import main
+
+    assert main(["--default-values"]) == 0
+    import json as _json
+
+    out = _json.loads(capsys.readouterr().out)
+    assert out["crawlingDepth"] == 3
+    assert out["mustmatch"] == ".*"
+
+
+def test_cli_crawl_end_to_end(spark, corpus, docs_df, tmp_path, capsys):
+    """The spark-submit surface drives a real crawl (SURVEY.md §3.3)."""
+    import json as _json
+
+    from yacy_grid_crawler_spark.__main__ import main
+
+    docs_path = str(tmp_path / "docs.parquet")
+    docs_df.write.parquet(docs_path)
+    store = str(tmp_path / "store")
+    rc = main(
+        [
+            "--docs", docs_path,
+            "--store", store,
+            "--crawling-url", corpus.seeds[0],
+            "--crawling-depth", "12",  # must clamp to 8
+            "--cores", "8",
+        ]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["success"] and len(out["crawl_ids"]) == 1
+    cid = out["crawl_ids"][0]
+    assert out["metrics"][cid]["extracted"] > 0
+    from yacy_grid_crawler_spark.plans.crawl_job import CrawlJob
+
+    job = CrawlJob(spark, store, docs_df)
+    assert _json.loads(job.store.manifest()["meta"]["profiles"][cid])[
+        "crawlingDepth"
+    ] == 8

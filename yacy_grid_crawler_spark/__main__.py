@@ -1,0 +1,152 @@
+"""spark-submit entry point — the crawlStart parameter surface as a CLI.
+
+The reference exposes crawl starts over REST
+(`GET /yacy/grid/crawler/crawlStart.json?crawlingURL=…&crawlingDepth=…`,
+CrawlStartService.java:73-94) and profile defaults over
+`defaultValues.json` (CrawlerDefaultValuesService.java:81-95). An
+analytics engine has no REST layer (SURVEY.md §3.3); this module
+reproduces the same parameter surface — typed coercion, the ≤8 depth
+clamp, the multi-separator seed splitter — as a thin CLI:
+
+    spark-submit --py-files engine.zip -m yacy_grid_crawler_spark \
+        --docs /data/documents.parquet \
+        --store /data/crawl_store \
+        --crawling-url 'http://a.com|http://b.org' \
+        --crawling-depth 3 \
+        --profile-json extra.json \
+        --blacklist rules.txt \
+        --robots /data/robots.parquet
+
+    python -m yacy_grid_crawler_spark --default-values   # profile defaults
+
+Exit: prints one JSON line per action (crawl ids, wave metrics
+summary), mirroring the reference's SusiThought JSON responses.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="yacy_grid_crawler_spark",
+        description="PySpark-native URL frontier / crawl scheduler",
+    )
+    ap.add_argument("--docs", help="parquet path of documents(doc_id, spans)")
+    ap.add_argument("--store", help="state-store root directory")
+    ap.add_argument(
+        "--crawling-url",
+        help="seed URL list (separators: | %%7C %%0D%%0A %%0A %%0D space — "
+        "CrawlerListener.java:117)",
+    )
+    ap.add_argument(
+        "--crawling-depth", type=int, default=None, help="BFS depth (clamped to 8)"
+    )
+    ap.add_argument("--mustmatch", default=None)
+    ap.add_argument("--mustnotmatch", default=None)
+    ap.add_argument("--indexmustmatch", default=None)
+    ap.add_argument("--indexmustnotmatch", default=None)
+    ap.add_argument("--priority", type=int, default=None)
+    ap.add_argument("--user-id", default=None)
+    ap.add_argument(
+        "--profile-json", help="JSON file of additional profile overrides"
+    )
+    ap.add_argument("--blacklist", help="blacklist rules file (reference format)")
+    ap.add_argument(
+        "--robots", help="parquet of robots(host, disallow_prefixes, crawl_delay_ms)"
+    )
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--n-shards", type=int, default=32)
+    ap.add_argument("--use-bloom", action="store_true")
+    ap.add_argument(
+        "--resume", action="store_true", help="resume the store's crawls instead of seeding"
+    )
+    ap.add_argument(
+        "--default-values",
+        action="store_true",
+        help="print the profile defaults (defaultValues.json surface) and exit",
+    )
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .config import DEFAULT_PROFILE
+
+    if args.default_values:
+        print(json.dumps(DEFAULT_PROFILE, sort_keys=True))
+        return 0
+
+    if not (args.docs and args.store) or not (args.crawling_url or args.resume):
+        print(
+            json.dumps({"success": False, "error": "need --docs, --store and "
+                        "(--crawling-url or --resume)"}),
+            file=sys.stderr,
+        )
+        return 2
+
+    from .operators.blacklist import load_files
+    from .plans.crawl_job import CrawlJob
+    from .session import get_spark
+
+    spark = get_spark(app="crawl-cli", cores=args.cores)
+    docs = spark.read.parquet(args.docs)
+    robots = spark.read.parquet(args.robots) if args.robots else None
+    blacklist = load_files([args.blacklist]) if args.blacklist else []
+
+    job = CrawlJob(
+        spark,
+        args.store,
+        docs,
+        blacklist=blacklist,
+        robots=robots,
+        n_shards=args.n_shards,
+        use_bloom=args.use_bloom,
+        distributed_rank=True,
+    )
+
+    if args.resume:
+        job.resume()
+        print(json.dumps({"success": True, "resumed": True,
+                          "version": job.store.current_version()}))
+        return 0
+
+    overrides: dict = {}
+    if args.profile_json:
+        with open(args.profile_json) as fh:
+            overrides.update(json.load(fh))
+    for key, val in (
+        ("crawlingDepth", args.crawling_depth),
+        ("mustmatch", args.mustmatch),
+        ("mustnotmatch", args.mustnotmatch),
+        ("indexmustmatch", args.indexmustmatch),
+        ("indexmustnotmatch", args.indexmustnotmatch),
+        ("priority", args.priority),
+        ("user_id", args.user_id),
+    ):
+        if val is not None:
+            overrides[key] = val
+
+    cids = job.start(args.crawling_url, overrides)
+    job.run(cids)
+    metrics = {
+        r["crawl_id"]: {"extracted": r["extracted"], "accepted": r["accepted"]}
+        for r in job.store.read("crawl_metrics")
+        .groupBy("crawl_id")
+        .agg(
+            {"extracted": "sum", "accepted": "sum"}
+        )
+        .withColumnRenamed("sum(extracted)", "extracted")
+        .withColumnRenamed("sum(accepted)", "accepted")
+        .collect()
+    }
+    print(json.dumps({"success": True, "crawl_ids": cids, "metrics": metrics}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
