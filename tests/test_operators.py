@@ -316,3 +316,49 @@ def test_cli_crawl_end_to_end(spark, corpus, docs_df, tmp_path, capsys):
     assert _json.loads(job.store.manifest()["meta"]["profiles"][cid])[
         "crawlingDepth"
     ] == 8
+
+
+def test_cuckoo_filter_contract(spark):
+    """Cuckoo seen-filter: no false negatives, exact deletes (TTL
+    sweep without rebuild), and the bloom_prefilter contract — a FP
+    can never cause a false drop because the anti-join decides."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from yacy_grid_crawler_spark.functions.cuckoo import UrlCuckoo, build_from_spark
+    from yacy_grid_crawler_spark.operators.dedup import dedup_against_seen
+
+    ids = pd.Series([hashlib.md5(f"u{i}".encode()).hexdigest() for i in range(20000)])
+    cf = UrlCuckoo(30000)
+    cf.add_many(ids)
+    assert cf.might_contain(ids).all()  # no false negatives, ever
+    fresh = pd.Series([hashlib.md5(f"x{i}".encode()).hexdigest() for i in range(20000)])
+    assert cf.might_contain(fresh).mean() < 0.01  # sane FP rate
+    # TTL sweep: delete expired ids in place
+    expired = ids[:10000]
+    assert cf.delete_many(expired) == len(expired)
+    assert cf.might_contain(expired).mean() < 0.01
+    assert cf.might_contain(ids[10000:]).all()
+
+    # distributed build + end-to-end prefilter equality vs exact path
+    seen_df = spark.createDataFrame(
+        [(u,) for u in ids[:5000]], "url_id string"
+    ).withColumn("crawl_id", F.lit("c1"))
+    cand = spark.createDataFrame(
+        [(u,) for u in pd.concat([ids[:2000], fresh[:2000]])], "url_id string"
+    ).withColumn("crawl_id", F.lit("c1"))
+    built = build_from_spark(seen_df, key="url_id")
+    assert built.might_contain(ids[:5000]).all()
+    exact = {
+        r["url_id"]
+        for r in dedup_against_seen(cand, seen_df, use_bloom=False).collect()
+    }
+    via_cuckoo = {
+        r["url_id"]
+        for r in dedup_against_seen(
+            cand, seen_df, use_bloom=True, filter_kind="cuckoo"
+        ).collect()
+    }
+    assert via_cuckoo == exact

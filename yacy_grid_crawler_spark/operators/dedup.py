@@ -153,6 +153,7 @@ def bloom_prefilter(
     expected_items: int | None = None,
     fpp: float = 0.01,
     cache_registry: list | None = None,
+    filter_kind: str = "bloom",
 ) -> tuple[DataFrame, DataFrame]:
     """Split candidates into (definitely_new, maybe_seen) using a
     vectorized bloom filter built over the committed seen-set
@@ -162,10 +163,20 @@ def bloom_prefilter(
     maybe_seen (true hits + FPs) goes through anti_join_seen. Returns
     the pair; caller unions definitely_new with the anti-join result —
     a bloom FP can therefore never cause a false drop.
-    """
-    from ..functions.bloom import build_from_spark
 
-    bloom = build_from_spark(seen, key=key, fpp=fpp, n_items=expected_items)
+    `filter_kind='cuckoo'` swaps in the cuckoo filter
+    (functions/cuckoo.py) — identical probe contract, plus in-place
+    deletes for the 7-day TTL sweep (CrawlerListener.java:84-85) so
+    expiry never forces a rebuild.
+    """
+    if filter_kind == "cuckoo":
+        from ..functions.cuckoo import build_from_spark as _build
+
+        bloom = _build(seen, key=key, n_items=expected_items)
+    else:
+        from ..functions.bloom import build_from_spark
+
+        bloom = build_from_spark(seen, key=key, fpp=fpp, n_items=expected_items)
     bc = candidates.sparkSession.sparkContext.broadcast(bloom)
 
     @F.pandas_udf(T.BooleanType())
@@ -198,13 +209,14 @@ def dedup_against_seen(
     use_bloom: bool = True,
     seen_count: int | None = None,
     cache_registry: list | None = None,
+    filter_kind: str = "bloom",
 ) -> DataFrame:
-    """bloom pre-filter (fast path) + exact anti-join (decider)."""
+    """bloom/cuckoo pre-filter (fast path) + exact anti-join (decider)."""
     if not use_bloom:
         return anti_join_seen(candidates, seen, key, crawl_col)
     new, maybe = bloom_prefilter(
         candidates, seen, key, expected_items=seen_count,
-        cache_registry=cache_registry,
+        cache_registry=cache_registry, filter_kind=filter_kind,
     )
     resolved = anti_join_seen(maybe, seen, key, crawl_col)
     return new.unionByName(resolved)
