@@ -362,3 +362,44 @@ def test_cuckoo_filter_contract(spark):
         ).collect()
     }
     assert via_cuckoo == exact
+
+
+def test_distributed_politeness_matches_window(spark):
+    """politeness_slots(distributed=True) must produce the identical
+    fetch_slot/not_before as the window formulation, including on a
+    skewed host distribution (the case it exists for)."""
+    from pyspark.sql import functions as F
+
+    from yacy_grid_crawler_spark.operators.batching import politeness_slots
+
+    df = spark.range(5000).select(
+        F.lit("c1").alias("crawl_id"),
+        F.concat(
+            F.lit("host"),
+            F.when(F.col("id") % 5 < 4, F.lit("hot")).otherwise(
+                (F.col("id") % 37).cast("string")
+            ),
+        ).alias("host"),
+        F.md5(F.col("id").cast("string")).alias("url_id"),
+        (F.col("id") % 3 == 0).alias("do_index"),
+        (F.col("id") / 8).cast("bigint").alias("batch_no"),
+        (F.col("id") % 8).cast("int").alias("batch_pos"),
+    )
+    robots = spark.createDataFrame(
+        [("hosthot", ["/x/"], 250)],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms int",
+    )
+    cols = ["crawl_id", "host", "url_id", "fetch_slot", "not_before_ms"]
+    win = {
+        tuple(r)
+        for r in politeness_slots(df, robots, wave_start_ms=1000)
+        .select(*cols)
+        .collect()
+    }
+    dist = {
+        tuple(r)
+        for r in politeness_slots(df, robots, wave_start_ms=1000, distributed=True)
+        .select(*cols)
+        .collect()
+    }
+    assert dist == win

@@ -131,3 +131,45 @@ def test_wave_stays_whole_stage_codegen(spark):
     ]
     assert len(starred) >= 5, f"too few codegen spans:\n{plan[:800]}"
     res.unpersist()
+
+
+def test_in_wave_dedup_is_sort_free_hash_agg(spark):
+    """first_occurrence's packed-aggregate fast path must plan as a
+    HashAggregate with partial (map-side) aggregation and NO Sort —
+    the sort-free in-wave dedup promise (operators/dedup.py)."""
+    from yacy_grid_crawler_spark.operators.dedup import first_occurrence
+
+    df = spark.range(1000).select(
+        F.lit("c1").alias("crawl_id"),
+        F.md5((F.col("id") % 300).cast("string")).alias("url_id"),
+        F.concat(F.lit("http://x.org/"), (F.col("id") % 300).cast("string")).alias("url"),
+        (F.col("id") % 2).cast("int").alias("parent_ini"),
+        F.col("id").alias("parent_batch_no"),
+        (F.col("id") % 8).cast("int").alias("parent_batch_pos"),
+        (F.col("id") % 40).cast("int").alias("span_offset"),
+    )
+    out = first_occurrence(
+        df,
+        key="url_id",
+        order=("parent_ini", "parent_batch_no", "parent_batch_pos", "span_offset"),
+        carry=("url",),
+    )
+    assert out.count() == 300
+    plan = _formatted(out)
+    # the win over the window formulation: a two-phase aggregate whose
+    # exchange carries map-side-collapsed rows (one per key per task),
+    # not every candidate row — and no Window operator at all
+    aggs = plan.count("Aggregate (")
+    assert aggs >= 2, f"expected partial+final aggregate:\n{plan[:800]}"
+    assert "Window" not in plan, plan[:800]
+    assert "hashpartitioning" in plan, plan[:800]
+    # winner must be the canonical-order first (min packed order key)
+    row = {r["url_id"]: r for r in out.collect()}
+    import hashlib
+
+    uid = hashlib.md5(b"5").hexdigest()
+    w = row[uid]
+    # id%300==5 candidates: ids 5,305,605,905 — all odd → ini=1; the
+    # min order tuple is then batch_no=5
+    assert w["parent_ini"] == 1 and w["parent_batch_no"] == 5
+    assert w["url"].endswith("/5")

@@ -176,13 +176,36 @@ def politeness_slots(
     robots: DataFrame | None = None,
     wave_start_ms: int = 0,
     default_delay_ms: int = 0,
+    distributed: bool = False,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Per-host fetch slots + not_before timestamps [north rule].
-    robots: (host, disallow_prefixes, crawl_delay_ms) — broadcast."""
-    w = Window.partitionBy("crawl_id", "host").orderBy(
-        (1 - F.col("do_index").cast("int")), "batch_no", "batch_pos"
-    )
-    df = df.withColumn("fetch_slot", F.row_number().over(w) - 1)
+    robots: (host, disallow_prefixes, crawl_delay_ms) — broadcast.
+
+    `distributed=True` computes the per-host rank with the same
+    range-partitioned two-phase machinery as G1 batching
+    (`global_positions`) instead of a `Window.partitionBy(host)`.
+    This matters precisely BECAUSE the web is Zipf: the head host of a
+    skewed frontier puts ~20% of the wave into ONE window task, a
+    parallelism-independent straggler that caps scaling efficiency at
+    any cluster size; the two-phase rank spreads the same computation
+    over range partitions (identical slots, pinned by the wave-oracle
+    equality tests and test_distributed_rank_matches_window)."""
+    if distributed:
+        df = df.withColumn("_ini", (1 - F.col("do_index").cast("int")))
+        df = global_positions(
+            df,
+            group_cols=("crawl_id", "host"),
+            order_cols=("_ini", "batch_no", "batch_pos"),
+            out="fetch_slot",
+            cache_registry=cache_registry,
+        ).drop("_ini")
+        df = df.withColumn("fetch_slot", F.col("fetch_slot").cast("int"))
+    else:
+        w = Window.partitionBy("crawl_id", "host").orderBy(
+            (1 - F.col("do_index").cast("int")), "batch_no", "batch_pos"
+        )
+        df = df.withColumn("fetch_slot", F.row_number().over(w) - 1)
     if robots is not None:
         df = df.join(
             F.broadcast(robots.select("host", "crawl_delay_ms")), "host", "left"

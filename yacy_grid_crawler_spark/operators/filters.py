@@ -38,28 +38,29 @@ def content_domain_col(url_col: Column) -> Column:
 
 
 # spec-exact JVM classification over an already-CANONICAL url — the
-# wave's hot path (whole-stage codegen, zero Python). Uses the same
-# EXT_PATTERN as the vectorized pandas kernel (urlnorm._EXT_RE), so
-# engine/spec equality is pinned by tests/test_urlnorm.py +
-# tests/test_wave_oracle.py.
+# wave's hot path (whole-stage codegen, zero Python). Built from
+# substring_index primitives instead of a full-URL regexp_extract
+# (~2μs/row → ~0.3μs/row; the only regex left runs on the ≤5-char
+# extension candidate). Equality with urlnorm.url_ext/content_domain
+# is pinned by tests/test_urlnorm.py, the JVM dialect guard in
+# tests/test_operators.py, and the wave oracle.
 def content_domain_jvm(url_col: Column) -> Column:
-    from ..functions.urlnorm import (
-        APP_EXTS,
-        AUDIO_EXTS,
-        EXT_PATTERN,
-        IMAGE_EXTS,
-        TEXT_EXTS,
-        VIDEO_EXTS,
-    )
+    from ..functions.urlnorm import _EXT_DOMAIN
 
-    ext = F.lower(F.regexp_extract(url_col, EXT_PATTERN, 1))
+    # Expression-count discipline: this column gets INLINED into filter
+    # predicates (no subexpression elimination there), so every named
+    # piece below is referenced the minimum number of times — the
+    # classification is ONE map lookup (`element_at`), not a when-chain
+    # that would re-evaluate the extraction per branch (measured 5×
+    # slower when inlined into the wave's F1 filter).
+    seg = F.substring_index(F.substring_index(url_col, "?", 1), "/", -1)
+    ext = F.lower(F.substring_index(seg, ".", -1))
+    dom_map = F.create_map(
+        *[F.lit(x) for k in sorted(_EXT_DOMAIN) for x in (k, _EXT_DOMAIN[k])]
+    )
+    valid = (F.instr(seg, ".") > 0) & ext.rlike("^[a-z0-9]{1,5}$")
     return F.when(url_col.isNull(), F.lit(None).cast("string")).otherwise(
-        F.when(ext == "", F.lit("all"))
-        .when(ext.isin(sorted(TEXT_EXTS)), F.lit("text"))
-        .when(ext.isin(sorted(IMAGE_EXTS)), F.lit("image"))
-        .when(ext.isin(sorted(AUDIO_EXTS)), F.lit("audio"))
-        .when(ext.isin(sorted(VIDEO_EXTS)), F.lit("video"))
-        .when(ext.isin(sorted(APP_EXTS)), F.lit("app"))
+        F.when(valid, F.coalesce(F.element_at(dom_map, ext), F.lit("all")))
         .otherwise(F.lit("all"))
     )
 

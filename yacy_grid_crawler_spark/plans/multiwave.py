@@ -159,19 +159,29 @@ def run_wave_multi(
     # same gated-UDF + JVM-domain shape as plans/wave.py
     from ..operators.filters import content_domain_jvm
 
+    # `_fast` rides through the Arrow barrier as a real column so the
+    # many downstream consumers of `url` reference cheap attributes —
+    # inlining the gate regex into the coalesce would re-evaluate it
+    # once per consumer (filter predicates get no subexpression
+    # elimination)
     _fast = F.regexp_like(F.col("url_raw"), F.lit(FAST_CANONICAL_PATTERN))
     c = (
-        candidates.withColumn(
-            "url",
-            F.coalesce(
-                canonicalize(
-                    F.when(_fast, F.lit(None).cast("string")).otherwise(
-                        F.col("url_raw")
-                    )
-                ),
-                F.when(_fast, F.col("url_raw")),
+        candidates.withColumn("_fast", _fast)
+        .withColumn(
+            "_slow",
+            canonicalize(
+                F.when(F.col("_fast"), F.lit(None).cast("string")).otherwise(
+                    F.col("url_raw")
+                )
             ),
         )
+        .withColumn(
+            "url",
+            F.coalesce(
+                F.col("_slow"), F.when(F.col("_fast"), F.col("url_raw"))
+            ),
+        )
+        .drop("_fast", "_slow")
         .withColumn("_dom", content_domain_jvm(F.col("url")))
         .persist()  # reused by the per-crawl parse metrics
     )
@@ -236,7 +246,10 @@ def run_wave_multi(
         distributed=distributed_rank, cache_registry=wave_caches,
     )
     kept = assign_shard(kept, n_shards, hot_host_threshold=hot_host_threshold)
-    kept = politeness_slots(kept, robots, wave_start_ms=wave_start_ms)
+    kept = politeness_slots(
+        kept, robots, wave_start_ms=wave_start_ms,
+        distributed=distributed_rank, cache_registry=wave_caches,
+    )
     kept = kept.withColumn("lineage", lineage_column()).persist()
     wave_caches.append(kept)
 
