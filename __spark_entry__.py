@@ -619,8 +619,9 @@ _DEDUP_EMBEDDING_SQL = """
 
 def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: LSH-bucket-blocked near-dup (equi-join on bucket,
-    exact verify inside). Approximate recall → rows-only check;
-    recall vs exact is pinned in tests/test_similarity.py."""
+    exact verify inside). Deterministic buckets → full DuckDB oracle
+    (_DEDUP_EMBEDDING_LSH_SQL); recall vs exact is pinned in
+    tests/test_similarity.py."""
     from yacy_grid_crawler_spark.operators.similarity import embedding_near_dup_lsh
 
     return embedding_near_dup_lsh(_emb(spark, sf_dir))
@@ -628,9 +629,9 @@ def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (coarse quantize → probe n nearest buckets) —
-    the inverted-file scale path alongside the LSH one. Approximate
-    recall → rows-only check; recall vs brute force pinned in
-    tests/test_similarity.py."""
+    the inverted-file scale path alongside the LSH one. Deterministic
+    stride centroids → full DuckDB oracle (_ANN_IVF_SQL); recall vs
+    brute force pinned in tests/test_similarity.py."""
     from yacy_grid_crawler_spark.operators.similarity import ivf_bucket_topk
 
     return ivf_bucket_topk(_emb(spark, sf_dir)).select(
@@ -959,15 +960,113 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN — the scale path (equi-join on
-    bucket, no cross join). Deterministic but the bucket construction
-    (md5-seeded hyperplanes) is impractical to restate in SQL →
-    rows-only check; exactness is measured against brute force in
-    tests/test_similarity.py."""
+    bucket, no cross join). Fully deterministic (md5-seeded
+    hyperplanes), so the DuckDB oracle (_ANN_LSH_SQL) restates the
+    bucket construction in SQL; recall vs brute force is additionally
+    pinned in tests/test_similarity.py."""
     from yacy_grid_crawler_spark.operators.similarity import lsh_bucket_topk
 
     return lsh_bucket_topk(_emb(spark, sf_dir)).select(
         "query_id", "rank", "neighbor_id"
     )
+
+
+
+# Shared CTE text: md5-derived hyperplane buckets, identical to
+# operators/similarity.py::hyperplane_signs (plane p dim d weight =
+# hex-digit-0 of md5('p<p>d<d>') - 7.5; bit = dot >= 0; bucket =
+# concat of bits p ascending). Verified bucket-for-bucket vs Spark.
+def _lsh_bucket_cte(n_planes: int) -> str:
+    return f"""
+  planes AS (
+    SELECT p.p, d.d,
+           (position(substr(md5('p' || p.p || 'd' || d.d), 1, 1)
+                     IN '0123456789abcdef') - 1) - 7.5 AS w
+    FROM generate_series(0, {n_planes - 1}) p(p), generate_series(0, 63) d(d)
+  ),
+  dots AS (
+    SELECT v.vec_id, pl.p,
+           sum(CAST(v.embedding[pl.d + 1] AS DOUBLE) * pl.w) AS dp
+    FROM embeddings v, planes pl
+    GROUP BY 1, 2
+  ),
+  buckets AS (
+    SELECT vec_id,
+           string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+             AS bucket
+    FROM dots GROUP BY vec_id
+  )"""
+
+
+_ANN_LSH_SQL = f"""
+  WITH {_lsh_bucket_cte(8)}
+  SELECT query_id, rank, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(
+                        ce.embedding::double[], qe.embedding::double[]) DESC,
+                      c.vec_id
+           ) AS rank
+    FROM buckets q
+    JOIN buckets c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    JOIN embeddings ce ON ce.vec_id = c.vec_id
+    JOIN embeddings qe ON qe.vec_id = q.vec_id
+    WHERE q.vec_id % 50 = 0
+  ) WHERE rank <= 5
+"""
+
+_DEDUP_EMBEDDING_LSH_SQL = f"""
+  WITH {_lsh_bucket_cte(4)}
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         round(list_cosine_similarity(
+           ae.embedding::double[], be.embedding::double[]), 4) AS cos_sim
+  FROM buckets a
+  JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN embeddings ae ON ae.vec_id = a.vec_id
+  JOIN embeddings be ON be.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(
+          ae.embedding::double[], be.embedding::double[]), 4) >= 0.4
+"""
+
+_ANN_IVF_SQL = """
+  WITH cent AS (
+    SELECT vec_id AS cent_id, embedding
+    FROM embeddings
+    WHERE vec_id % (SELECT greatest(count(*) // 16, 1) FROM embeddings) = 0
+    ORDER BY vec_id LIMIT 16
+  ),
+  ranked AS (
+    SELECT v.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(
+                        v.embedding::double[], c.embedding::double[]) DESC,
+                      c.cent_id
+           ) AS crank
+    FROM embeddings v CROSS JOIN cent c
+  ),
+  assigned AS (
+    SELECT vec_id, cent_id AS bucket FROM ranked WHERE crank = 1
+  ),
+  qprobe AS (
+    SELECT vec_id AS query_id, cent_id AS bucket
+    FROM ranked WHERE vec_id % 50 = 0 AND crank <= 4
+  )
+  SELECT query_id, rank, neighbor_id FROM (
+    SELECT q.query_id, a.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(
+                        ae.embedding::double[], qe.embedding::double[]) DESC,
+                      a.vec_id
+           ) AS rank
+    FROM qprobe q
+    JOIN assigned a ON a.bucket = q.bucket AND a.vec_id <> q.query_id
+    JOIN embeddings ae ON ae.vec_id = a.vec_id
+    JOIN embeddings qe ON qe.vec_id = q.query_id
+  ) WHERE rank <= 5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1044,7 +1143,9 @@ def oracle_sql() -> dict[str, str]:
         "token_count": _TOKEN_SQL,
         "doc_fingerprint": _FINGERPRINT_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
-        # ann_lsh_topk, ann_ivf_topk, dedup_embedding_lsh,
-        # media_features: non-SQL-expressible (md5-seeded LSH buckets,
-        # IVF bucket assignment, Arrow batch iterator) → rows-only
+        "ann_lsh_topk": _ANN_LSH_SQL,
+        "ann_ivf_topk": _ANN_IVF_SQL,
+        "dedup_embedding_lsh": _DEDUP_EMBEDDING_LSH_SQL,
+        # media_features: non-SQL-expressible (stubbed binary decode
+        # over an Arrow batch iterator) → rows-only
     }
