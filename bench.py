@@ -210,7 +210,7 @@ def crawl_bench(cores: int, n_docs: int, wave_only: bool = False) -> dict:
     # ---- deep end-to-end crawl (driver loop + snapshot commits) ----
     store = tempfile.mkdtemp(prefix="bench_store_", dir=SINK_BASE)
     job = CrawlJob(
-        spark, store, docs, n_shards=cores, distributed_rank=True,
+        spark, store, docs, n_shards=cores, distributed_rank="auto",
         hot_host_threshold=max(n_docs // 50, 1000),
     )
     seed = docs.filter(F.col("doc_id").endswith("/page/0.html")).first()["doc_id"]

@@ -43,9 +43,16 @@ class CrawlJob:
         robots: DataFrame | None = None,
         n_shards: int = 32,
         use_bloom: bool = False,
-        distributed_rank: bool = False,
+        distributed_rank: bool | str = "auto",
         hot_host_threshold: int | None = None,
     ):
+        """`distributed_rank`: True forces the range-partitioned
+        two-phase ranking (batching + politeness), False forces the
+        window formulation, "auto" (default) picks per wave from the
+        PREVIOUS wave's accepted count (free — it rides the observe()
+        counters): small waves skip the two range-shuffle sampling
+        passes; big waves never hit a single-partition window. Both
+        paths produce identical output (tests pin equality)."""
         self.spark = spark
         self.store = StateStore(spark, store_root)
         self.docs = docs
@@ -54,6 +61,7 @@ class CrawlJob:
         self.n_shards = n_shards
         self.use_bloom = use_bloom
         self.distributed_rank = distributed_rank
+        self._prev_accepted: dict[str, int] = {}
         self.hot_host_threshold = hot_host_threshold
         self.profiles: dict[str, dict] = {}
         # restore profiles from the last snapshot (resume path)
@@ -180,6 +188,14 @@ class CrawlJob:
         return exploded
 
     # ------------------------------------------------------------------
+    def _rank_mode(self, prev_accepted: int | None) -> bool:
+        """Resolve the per-wave ranking strategy (see __init__ doc).
+        ~8 candidate links per accepted parent; the two-phase rank
+        starts paying for itself around 200k candidates."""
+        if self.distributed_rank == "auto":
+            return prev_accepted is not None and prev_accepted * 8 > 200_000
+        return bool(self.distributed_rank)
+
     def step(self, cid: str) -> bool:
         """Run one wave for crawl `cid`. Returns False when the crawl
         is finished (depth gate F5 or empty frontier)."""
@@ -206,7 +222,7 @@ class CrawlJob:
             robots=self.robots,
             n_shards=self.n_shards,
             use_bloom=self.use_bloom,
-            distributed_rank=self.distributed_rank,
+            distributed_rank=self._rank_mode(self._prev_accepted.get(cid)),
             hot_host_threshold=self.hot_host_threshold,
         )
         # Staged commit: the status write is the ONE action that
@@ -222,6 +238,7 @@ class CrawlJob:
         pc.append("crawl_metrics", res.metrics_df())
         pc.finalize(meta=self._meta({cid: depth + 1}))
         res.unpersist()
+        self._prev_accepted[cid] = counts["accepted"]
         return counts["accepted"] > 0 and depth < max_depth
 
     def run(self, crawl_ids: list[str] | None = None) -> None:
@@ -268,7 +285,9 @@ class CrawlJob:
             candidates, profiles, seen=seen, status_ids=status_ids,
             blacklist=self.blacklist, robots=self.robots,
             n_shards=self.n_shards, use_bloom=self.use_bloom,
-            distributed_rank=self.distributed_rank,
+            distributed_rank=self._rank_mode(
+                sum(self._prev_accepted.get(c, 0) for c in stepped) or None
+            ),
             hot_host_threshold=self.hot_host_threshold,
         )
         pc = self.store.begin()
@@ -287,6 +306,8 @@ class CrawlJob:
             ).collect()
         }
         res.unpersist()
+        for cid in stepped:
+            self._prev_accepted[cid] = accepted.get(cid, 0)
         return [
             cid for cid in stepped
             if accepted.get(cid, 0) > 0
