@@ -87,6 +87,7 @@ def global_positions(
     order_cols: tuple[str, ...],
     out: str = "_pos",
     cache_registry: list | None = None,
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
     """Distributed 0-based dense position within each group, ordered by
     `order_cols` — the scale-out replacement for a per-group window.
@@ -126,8 +127,15 @@ def global_positions(
     w = Window.partitionBy("_pid", *group_cols).orderBy(
         *[F.col(c) for c in order_cols]
     )
+    # offsets table size = (partitions x groups-per-partition). For
+    # batching the group is (crawl_id, do_index) — a handful of rows,
+    # always broadcast. For per-HOST grouping (politeness) the group
+    # cardinality is the host count — 10^8 at target scale — so the
+    # caller disables the hint and AQE picks broadcast only when the
+    # aggregate is actually small.
+    off = F.broadcast(off_df) if broadcast_offsets else off_df
     result = (
-        ranged.join(F.broadcast(off_df), [*group_cols, "_pid"], "left")
+        ranged.join(off, [*group_cols, "_pid"], "left")
         .withColumn(out, F.col("_offset") + F.row_number().over(w) - 1)
         .drop("_pid", "_offset")
     )
@@ -199,6 +207,7 @@ def politeness_slots(
             order_cols=("_ini", "batch_no", "batch_pos"),
             out="fetch_slot",
             cache_registry=cache_registry,
+            broadcast_offsets=False,  # host-cardinality offsets: AQE decides
         ).drop("_ini")
         df = df.withColumn("fetch_slot", F.col("fetch_slot").cast("int"))
     else:
