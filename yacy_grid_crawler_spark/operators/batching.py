@@ -217,7 +217,8 @@ def politeness_slots(
         df = df.withColumn("fetch_slot", F.row_number().over(w) - 1)
     if robots is not None:
         df = df.join(
-            F.broadcast(robots.select("host", "crawl_delay_ms")), "host", "left"
+            # host-cardinality dimension: AQE decides (see robots_verdict)
+            robots.select("host", "crawl_delay_ms"), "host", "left"
         )
         delay = F.coalesce(F.col("crawl_delay_ms"), F.lit(default_delay_ms))
     else:

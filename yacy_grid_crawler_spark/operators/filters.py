@@ -122,7 +122,10 @@ def robots_verdict(df: DataFrame, robots: DataFrame) -> DataFrame:
     relative to the frontier."""
     path = F.regexp_extract(F.col("url"), r"^[a-z]+://[^/]+(/.*)?$", 1)
     joined = df.join(
-        F.broadcast(robots.select("host", "disallow_prefixes")), "host", "left"
+        # no broadcast hint: the robots dimension is host-cardinality
+        # (10^8 at target scale) — AQE broadcasts it only when small;
+        # production co-partitions it with the frontier on host
+        robots.select("host", "disallow_prefixes"), "host", "left"
     )
     blocked = F.exists(
         F.coalesce(F.col("disallow_prefixes"), F.array()),
