@@ -403,3 +403,61 @@ def test_distributed_politeness_matches_window(spark):
         .collect()
     }
     assert dist == win
+
+
+def test_jsonlist_roundtrip(spark, tmp_path):
+    """Reference NDJSON graph-asset format (JSONList,
+    CrawlerListener.java:233-244) → spans model → back: directive
+    lines skipped, field order fixes offsets, images never become link
+    spans, round-trip preserves every field."""
+    import json as _json
+
+    from yacy_grid_crawler_spark.operators.extract import extract_links
+    from yacy_grid_crawler_spark.sources.jsonlist import (
+        read_jsonlist,
+        write_jsonlist,
+    )
+
+    src = tmp_path / "asset"
+    src.mkdir()
+    doc = {
+        "url_s": "http://a.com/p.html",
+        "canonical_s": "http://a.com/p.html",
+        "inboundlinks_sxt": ["http://a.com/x.html", "http://a.com/y.html"],
+        "outboundlinks_sxt": ["http://b.org/z.html"],
+        "frames_sxt": [],
+        "iframes_sxt": ["http://c.net/f.html"],
+        "images_sxt": ["http://a.com/img.jpg"],
+        "text_t": "hello world",
+    }
+    (src / "part.jsonl").write_text(
+        _json.dumps({"index": {"_id": "x"}}) + "\n" + _json.dumps(doc) + "\n"
+    )
+    docs = read_jsonlist(spark, str(src))
+    rows = docs.collect()
+    assert len(rows) == 1  # directive line skipped
+    spans = sorted(rows[0]["spans"], key=lambda s: s["offset"])
+    kinds = [s["kind"] for s in spans]
+    assert kinds == [
+        "canonical", "inbound", "inbound", "outbound", "iframe", "media", "text",
+    ]
+    assert [s["offset"] for s in spans] == list(range(7))
+    media = [s for s in spans if s["kind"] == "media"][0]
+    assert media["media_ref"] == "http://a.com/img.jpg" and media["text"] is None
+    # media spans never yield frontier URLs
+    links = extract_links(docs).collect()
+    assert all(r["kind"] != "media" for r in links)
+    assert {r["url_raw"] for r in links} == {
+        "http://a.com/p.html", "http://a.com/x.html", "http://a.com/y.html",
+        "http://b.org/z.html", "http://c.net/f.html",
+    }
+    # round-trip back to NDJSON
+    out = tmp_path / "out"
+    write_jsonlist(docs, str(out))
+    lines = []
+    for f in out.glob("part-*"):
+        lines += [l for l in f.read_text().splitlines() if l.strip()]
+    assert len(lines) == 1
+    back = _json.loads(lines[0])
+    for k, v in doc.items():
+        assert back.get(k) == v, (k, back.get(k), v)

@@ -35,7 +35,14 @@ def build_parser() -> argparse.ArgumentParser:
         prog="yacy_grid_crawler_spark",
         description="PySpark-native URL frontier / crawl scheduler",
     )
-    ap.add_argument("--docs", help="parquet path of documents(doc_id, spans)")
+    ap.add_argument("--docs", help="path of documents(doc_id, spans)")
+    ap.add_argument(
+        "--docs-format",
+        choices=["parquet", "jsonlist"],
+        default="parquet",
+        help="'jsonlist' reads the reference's NDJSON graph-asset "
+        "format (JSONList, directive lines skipped)",
+    )
     ap.add_argument("--store", help="state-store root directory")
     ap.add_argument(
         "--crawling-url",
@@ -94,7 +101,12 @@ def main(argv: list[str] | None = None) -> int:
     from .session import get_spark
 
     spark = get_spark(app="crawl-cli", cores=args.cores)
-    docs = spark.read.parquet(args.docs)
+    if args.docs_format == "jsonlist":
+        from .sources.jsonlist import read_jsonlist
+
+        docs = read_jsonlist(spark, args.docs)
+    else:
+        docs = spark.read.parquet(args.docs)
     robots = spark.read.parquet(args.robots) if args.robots else None
     blacklist = load_files([args.blacklist]) if args.blacklist else []
 
@@ -106,7 +118,7 @@ def main(argv: list[str] | None = None) -> int:
         robots=robots,
         n_shards=args.n_shards,
         use_bloom=args.use_bloom,
-        distributed_rank=True,
+        distributed_rank="auto",
     )
 
     if args.resume:
