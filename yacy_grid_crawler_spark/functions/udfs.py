@@ -73,8 +73,23 @@ def make_regex_full_match_udf(patterns: list[str]):
     @F.pandas_udf(T.BooleanType())
     def any_full_match(urls: pd.Series) -> pd.Series:
         if not compiled_holder:
-            compiled_holder.append([re.compile(p) for p in patterns])
-        regs = compiled_holder[0]
+            # ONE combined alternation, applied vectorized in C
+            # (pandas str.fullmatch) — any-match ≡ first-match-wins for
+            # a boolean verdict (Blacklist.java:105-126). Falls back to
+            # per-pattern scan only if the union fails to compile
+            # (pathological pattern interaction).
+            try:
+                combined = re.compile(
+                    "|".join(f"(?:{p})" for p in patterns) if patterns else r"(?!)"
+                )
+                compiled_holder.append(("combined", combined))
+            except re.error:
+                compiled_holder.append(
+                    ("list", [re.compile(p) for p in patterns])
+                )
+        mode, regs = compiled_holder[0]
+        if mode == "combined":
+            return urls.str.fullmatch(regs).astype("boolean")
 
         def hit(u: str) -> bool:
             return any(r.fullmatch(u) is not None for r in regs)
