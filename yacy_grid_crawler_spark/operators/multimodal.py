@@ -78,18 +78,6 @@ def synth_media_from_docs(docs: DataFrame, media_ratio_mod: int = 7) -> DataFram
     )
 
 
-def _fake_decode_features(content: bytes, dim: int = 8) -> list[float]:
-    """Deterministic fake 'embedding': byte-histogram moments. Replaced
-    by a real model when decoders exist."""
-    if not content:
-        return [0.0] * dim
-    buckets = [0] * dim
-    for b in content:
-        buckets[b % dim] += 1
-    n = len(content)
-    return [round(c / n, 6) for c in buckets]
-
-
 def extract_media_features(media: DataFrame, n_partitions: int | None = None) -> DataFrame:
     """Decode + feature-extract over Arrow batches (mapInPandas).
 
@@ -103,37 +91,154 @@ def extract_media_features(media: DataFrame, n_partitions: int | None = None) ->
     have_decoders = media_decoders_available()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import math
+        import numpy as np
 
         for pdf in it:
             out = []
-            for _, row in pdf.iterrows():
-                content = row["content"] or b""
+            # the loop is over BLOBS (one unit of decode work each);
+            # all within-blob math is numpy over the byte buffer
+            for media_id, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                content = content or b""
                 if have_decoders:
                     # real path (not reachable in this container)
                     raise NotImplementedError(
                         "real media decode requires PIL/ffmpeg; see module docstring"
                     )
-                n = len(content)
-                counts: dict[int, int] = {}
-                for b in content:
-                    counts[b] = counts.get(b, 0) + 1
-                ent = (
-                    -sum((c / n) * math.log2(c / n) for c in counts.values())
-                    if n
-                    else 0.0
-                )
+                buf = np.frombuffer(content, dtype=np.uint8)
+                n = buf.size
+                if n:
+                    counts = np.bincount(buf, minlength=256)
+                    p = counts[counts > 0] / n
+                    ent = float(-(p * np.log2(p)).sum())
+                    mean = float(buf.mean())
+                    hist = np.bincount(buf % 8, minlength=8) / n
+                    feature = [round(float(x), 6) for x in hist]
+                else:
+                    ent, mean, feature = 0.0, 0.0, [0.0] * 8
                 out.append(
                     {
-                        "media_id": row["media_id"],
-                        "kind": row["kind"],
+                        "media_id": media_id,
+                        "kind": kind,
                         "n_bytes": n,
-                        "byte_mean": round(sum(content) / n, 6) if n else 0.0,
+                        "byte_mean": round(mean, 6),
                         "byte_entropy": round(ent, 6),
-                        "feature": _fake_decode_features(content),
+                        "feature": feature,
                         "decoded": False,
                     }
                 )
-            yield pd.DataFrame(out)
+            if out:
+                yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "media_id string, kind string, content binary, width int, height int, "
+    "decoded boolean"
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 64, height: int = 64,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Image resize over Arrow batches (mapInPandas). Real path
+    (PIL decode → resize → re-encode) is stubbed in this container;
+    the deterministic fake tiles/truncates the byte buffer to
+    width×height so output SIZE and schema behave exactly like the
+    real kernel (plumbing tested, model swapped in later)."""
+    if n_partitions:
+        media = media.repartition(n_partitions, "media_id")
+    have_decoders = media_decoders_available()
+    target = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            pdf = pdf[pdf["kind"] == "image"]
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                content = content or b""
+                if have_decoders:
+                    raise NotImplementedError(
+                        "real image resize requires PIL; see module docstring"
+                    )
+                buf = np.frombuffer(content, dtype=np.uint8)
+                resized = (
+                    np.resize(buf, target) if buf.size else np.zeros(target, np.uint8)
+                )
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "kind": "image",
+                        "content": resized.tobytes(),
+                        "width": width,
+                        "height": height,
+                        "decoded": False,
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "media_id string, frame_no int, ts_ms int, frame binary, decoded boolean"
+)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 16,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Video frame sampling over Arrow batches: one output row per
+    sampled timestamp (`every_ms` grid, capped at `max_frames`). Real
+    path (ffmpeg seek+decode) stubbed; the deterministic fake slices
+    the byte buffer proportionally to the timestamp so frame counts,
+    ordering, and schema are exercised for real."""
+    if n_partitions:
+        media = media.repartition(n_partitions, "media_id")
+    have_decoders = media_decoders_available()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            pdf = pdf[pdf["kind"] == "video"]
+            out = []
+            for media_id, content, dur in zip(
+                pdf["media_id"], pdf["content"], pdf["duration_ms"]
+            ):
+                content = content or b""
+                if have_decoders:
+                    raise NotImplementedError(
+                        "real frame sampling requires ffmpeg; see module docstring"
+                    )
+                dur = int(dur or 0)
+                n_frames = min(max(dur // every_ms, 1), max_frames)
+                buf = np.frombuffer(content, dtype=np.uint8)
+                for i in range(n_frames):
+                    ts = i * every_ms
+                    if buf.size:
+                        a = (i * buf.size) // max(n_frames, 1)
+                        b = ((i + 1) * buf.size) // max(n_frames, 1)
+                        frame = buf[a:b].tobytes()
+                    else:
+                        frame = b""
+                    out.append(
+                        {
+                            "media_id": media_id,
+                            "frame_no": i,
+                            "ts_ms": ts,
+                            "frame": frame,
+                            "decoded": False,
+                        }
+                    )
+            if out:
+                yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)
