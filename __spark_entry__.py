@@ -958,6 +958,34 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing (stubbed decode): fixed-size output blobs
+    per image. Rows-only check (Arrow batch iterator)."""
+    from yacy_grid_crawler_spark.operators.multimodal import (
+        resize_images,
+        synth_media_from_docs,
+    )
+
+    media = synth_media_from_docs(_docs(spark, sf_dir))
+    return resize_images(media, 32, 32).select(
+        "media_id", F.length("content").alias("n_bytes"), "width", "height"
+    )
+
+
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (stubbed decode): one row per
+    sampled timestamp. Rows-only check (Arrow batch iterator)."""
+    from yacy_grid_crawler_spark.operators.multimodal import (
+        sample_frames,
+        synth_media_from_docs,
+    )
+
+    media = synth_media_from_docs(_docs(spark, sf_dir))
+    return sample_frames(media, every_ms=1000, max_frames=8).select(
+        "media_id", "frame_no", "ts_ms"
+    )
+
+
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN — the scale path (equi-join on
     bucket, no cross join). Fully deterministic (md5-seeded
@@ -1110,6 +1138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "events_sessionize": _q_events_sessionize,
         "media_features": _q_media_features,
+        "media_resize": _q_media_resize,
+        "media_frames": _q_media_frames,
     }
 
 
