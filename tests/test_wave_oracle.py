@@ -140,3 +140,59 @@ def test_metrics_equality(crawl_result):
     }
     oracle_m = {m["depth"]: tuple(m[k] for k in keys) for m in oracle.metrics}
     assert engine == oracle_m
+
+
+def test_cross_wave_politeness_budget(spark, tmp_path):
+    """Per-host fetch slots CONTINUE across waves (the cross-wave
+    politeness budget): a host crawled at depth d resumes its slot
+    sequence at depth d+1 instead of restarting at 0."""
+    from pyspark.sql import types as T
+
+    from yacy_grid_crawler_spark.plans.crawl_job import CrawlJob
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("spans", T.ArrayType(T.StructType([
+            T.StructField("kind", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("offset", T.IntegerType()),
+        ]))),
+    ])
+
+    def links(urls):
+        return [("outbound", u, None, i) for i, u in enumerate(urls)]
+
+    H = "http://one.example.com"
+    docs = spark.createDataFrame(
+        [
+            (f"{H}/seed.html", links([f"{H}/a.html", f"{H}/b.html"])),
+            (f"{H}/a.html", links([f"{H}/c.html", f"{H}/d.html"])),
+            (f"{H}/b.html", links([f"{H}/e.html"])),
+        ],
+        schema,
+    )
+    robots = spark.createDataFrame(
+        [("one.example.com", [], 100)],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms int",
+    )
+    job = CrawlJob(spark, str(tmp_path / "store"), docs, robots=robots, n_shards=4)
+    cids = job.start(f"{H}/seed.html", {"crawlingDepth": 3})
+    job.run(cids)
+    rows = sorted(
+        job.store.read("frontier")
+        .select("depth", "fetch_slot", "not_before_ms")
+        .collect(),
+        key=lambda r: (r.depth, r.fetch_slot),
+    )
+    slots = [r.fetch_slot for r in rows]
+    # one host → slots are one strictly increasing global sequence
+    assert slots == list(range(len(rows)))
+    assert [r.not_before_ms for r in rows] == [s * 100 for s in slots]
+    # and slots do not reset at the depth boundary
+    by_depth = {}
+    for r in rows:
+        by_depth.setdefault(r.depth, []).append(r.fetch_slot)
+    depths = sorted(by_depth)
+    for d_prev, d_next in zip(depths, depths[1:]):
+        assert min(by_depth[d_next]) == max(by_depth[d_prev]) + 1

@@ -186,6 +186,7 @@ def politeness_slots(
     default_delay_ms: int = 0,
     distributed: bool = False,
     cache_registry: list | None = None,
+    base_slots: DataFrame | None = None,
 ) -> DataFrame:
     """Per-host fetch slots + not_before timestamps [north rule].
     robots: (host, disallow_prefixes, crawl_delay_ms) — broadcast.
@@ -215,6 +216,23 @@ def politeness_slots(
             (1 - F.col("do_index").cast("int")), "batch_no", "batch_pos"
         )
         df = df.withColumn("fetch_slot", F.row_number().over(w) - 1)
+    if base_slots is not None:
+        # cross-wave politeness budget: fetch slots CONTINUE from the
+        # host's cumulative count over prior waves (base_slots =
+        # (crawl_id, host, next_slot)); host-cardinality dim → AQE
+        # picks the join strategy
+        df = df.join(
+            base_slots.select(
+                "crawl_id", "host", F.col("next_slot").alias("_base")
+            ),
+            ["crawl_id", "host"],
+            "left",
+        ).withColumn(
+            "fetch_slot",
+            (F.coalesce(F.col("_base"), F.lit(0)) + F.col("fetch_slot")).cast(
+                "int"
+            ),
+        ).drop("_base")
     if robots is not None:
         df = df.join(
             # host-cardinality dimension: AQE decides (see robots_verdict)

@@ -74,6 +74,7 @@ def crawl(
     robots = robots or {}
     preexisting = set(preexisting_status or ())
 
+    host_slot: dict[str, int] = {}
     mm = _anchored(profile.get("mustmatch", ".*"))
     mnm = _anchored(profile.get("mustnotmatch", ""))
     imm = _anchored(profile.get("indexmustmatch", ".*"))
@@ -168,8 +169,9 @@ def crawl(
 
         idx = [(uid, u) for uid, u in kept if do_index(u)]
         noidx = [(uid, u) for uid, u in kept if not do_index(u)]
-        # G2 (index pass before noindex) + G1 batches of 8 + politeness
-        host_slot: dict[str, int] = {}
+        # G2 (index pass before noindex) + G1 batches of 8 + politeness.
+        # host_slot is PERSISTENT across waves (cross-wave politeness
+        # budget — the engine's log-structured host_slots table).
         for ini, group in ((0, idx), (1, noidx)):
             for pos, (uid, u) in enumerate(group):
                 h = url_host(u)

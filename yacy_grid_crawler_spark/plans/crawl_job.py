@@ -188,6 +188,16 @@ class CrawlJob:
         return exploded
 
     # ------------------------------------------------------------------
+    def _base_slots(self, cid: str | None = None):
+        """Cumulative per-host fetch-slot bases from the log-structured
+        host_slots table (sum of per-wave appends)."""
+        hs = self.store.read("host_slots")
+        if cid is not None:
+            hs = hs.filter(F.col("crawl_id") == cid)
+        return hs.groupBy("crawl_id", "host").agg(
+            F.sum("n").alias("next_slot")
+        )
+
     def _rank_mode(self, prev_accepted: int | None) -> bool:
         """Resolve the per-wave ranking strategy (see __init__ doc).
         ~8 candidate links per accepted parent; the two-phase rank
@@ -212,6 +222,7 @@ class CrawlJob:
             return False
         seen = self.store.read("url_seen").filter(F.col("crawl_id") == cid)
         status_ids = self.store.read("crawl_status").select("url_id")
+        base_slots = self._base_slots(cid)
         res = run_wave(
             candidates,
             profile,
@@ -224,6 +235,7 @@ class CrawlJob:
             use_bloom=self.use_bloom,
             distributed_rank=self._rank_mode(self._prev_accepted.get(cid)),
             hot_host_threshold=self.hot_host_threshold,
+            base_slots=base_slots,
         )
         # Staged commit: the status write is the ONE action that
         # materializes the whole wave plan (it unions the rejected and
@@ -234,6 +246,14 @@ class CrawlJob:
         pc.append("crawl_status", res.status)
         pc.append("frontier", res.frontier)
         pc.append("url_seen", res.seen)
+        # cross-wave politeness budget: log this wave's per-host counts
+        # (cheap aggregate over the cached frontier stage)
+        pc.append(
+            "host_slots",
+            res.frontier.groupBy("crawl_id", "host").agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+        )
         counts = res.resolve()
         pc.append("crawl_metrics", res.metrics_df())
         pc.finalize(meta=self._meta({cid: depth + 1}))
@@ -289,11 +309,18 @@ class CrawlJob:
                 sum(self._prev_accepted.get(c, 0) for c in stepped) or None
             ),
             hot_host_threshold=self.hot_host_threshold,
+            base_slots=self._base_slots(),
         )
         pc = self.store.begin()
         pc.append("crawl_status", res.status)
         pc.append("frontier", res.frontier)
         pc.append("url_seen", res.seen)
+        pc.append(
+            "host_slots",
+            res.frontier.groupBy("crawl_id", "host").agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+        )
         metrics = res.metrics_df()
         pc.append("crawl_metrics", metrics)
         pc.finalize(

@@ -153,6 +153,7 @@ def run_wave_multi(
     distributed_rank: bool = False,
     hot_host_threshold: int | None = None,
     wave_start_ms: int = 0,
+    base_slots: DataFrame | None = None,  # (crawl_id, host, next_slot)
 ) -> MultiWaveResult:
     wave_caches: list = []
 
@@ -249,6 +250,7 @@ def run_wave_multi(
     kept = politeness_slots(
         kept, robots, wave_start_ms=wave_start_ms,
         distributed=distributed_rank, cache_registry=wave_caches,
+        base_slots=base_slots,
     )
     kept = kept.withColumn("lineage", lineage_column()).persist()
     wave_caches.append(kept)

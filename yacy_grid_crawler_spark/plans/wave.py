@@ -151,6 +151,7 @@ def run_wave(
     distributed_rank: bool = False,
     hot_host_threshold: int | None = None,
     wave_start_ms: int = 0,
+    base_slots: DataFrame | None = None,  # (crawl_id, host, next_slot)
 ) -> WaveResult:
     crawl_id = profile["id"]
     user_id = profile.get("user_id", "anonymous")
@@ -283,6 +284,7 @@ def run_wave(
     kept = politeness_slots(
         kept, robots, wave_start_ms=wave_start_ms,
         distributed=distributed_rank, cache_registry=wave_caches,
+        base_slots=base_slots,
     )
     obs_kept = Observation()
     kept = (

@@ -91,6 +91,16 @@ SCHEMAS: dict[str, T.StructType] = {
             f("profile_json", T.StringType()),
         ]
     ),
+    # log-structured per-host politeness slot counters: one row per
+    # (wave x host) APPEND; the current base = sum(n) on read (cheap
+    # aggregate; avoids rewriting an all-hosts table every wave)
+    "host_slots": S(
+        [
+            f("crawl_id", T.StringType()),
+            f("host", T.StringType()),
+            f("n", T.LongType()),
+        ]
+    ),
     "crawl_metrics": S(
         [
             f("crawl_id", T.StringType()),
