@@ -196,3 +196,59 @@ def test_cross_wave_politeness_budget(spark, tmp_path):
     depths = sorted(by_depth)
     for d_prev, d_next in zip(depths, depths[1:]):
         assert min(by_depth[d_next]) == max(by_depth[d_prev]) + 1
+
+
+def test_wave_invariant_under_repartition_and_permutation(
+    spark, corpus, docs_df, robots_df, tmp_path
+):
+    """SURVEY.md §5.2: the wave's outputs (seen-set, canonically-
+    ordered frontier) are invariant under arbitrary permutation /
+    repartitioning of the candidate input."""
+    from pyspark.sql import functions as F
+
+    from yacy_grid_crawler_spark.config import build_crawl_start, make_profile
+    from yacy_grid_crawler_spark.operators.blacklist import parse_lines
+    from yacy_grid_crawler_spark.fixtures.gen import blacklist_lines
+    from yacy_grid_crawler_spark.plans.wave import run_wave
+
+    profile = build_crawl_start(make_profile({}), corpus.seeds[0].split("|")[0])
+    candidates = docs_df.limit(120).select(
+        F.lit(0).alias("parent_ini"),
+        F.monotonically_increasing_id().alias("parent_batch_no"),
+        F.lit(0).alias("parent_batch_pos"),
+        F.explode("spans").alias("span"),
+    ).select(
+        "parent_ini", "parent_batch_no", "parent_batch_pos",
+        F.col("span.offset").alias("span_offset"),
+        F.col("span.text").alias("url_raw"),
+    ).filter(F.col("url_raw").isNotNull()).persist()
+    candidates.count()
+    scrambled = (
+        candidates.orderBy(F.md5(F.concat_ws("|", "url_raw", "parent_batch_no")))
+        .repartition(13)
+    )
+    empty = spark.createDataFrame([], "crawl_id string, url_id string, first_depth int")
+    status = spark.createDataFrame([], "url_id string")
+    rules = parse_lines(blacklist_lines(corpus))
+
+    def outputs(cand, dist):
+        res = run_wave(
+            cand, profile, seen=empty, status_ids=status, depth=1,
+            blacklist=rules, robots=robots_df, n_shards=8,
+            distributed_rank=dist,
+        )
+        frontier = sorted(
+            tuple(r) for r in res.frontier.select(
+                "url_id", "do_index", "batch_no", "batch_pos", "fetch_slot"
+            ).collect()
+        )
+        seen = {r["url_id"] for r in res.seen.collect()}
+        res.unpersist()
+        return frontier, seen
+
+    f0, s0 = outputs(candidates, False)
+    for cand, dist in ((scrambled, False), (candidates, True), (scrambled, True)):
+        f1, s1 = outputs(cand, dist)
+        assert s1 == s0
+        assert f1 == f0
+    candidates.unpersist()
