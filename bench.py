@@ -38,8 +38,9 @@ N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
 # Scaling trials need a compute-bound wave: below ~10M URLs/wave the
 # per-wave orchestration floor (~4 s: driver scheduling, AQE planning,
 # Arrow round-trips) dominates and the ratio measures the floor, not
-# the engine. 2M docs → 14M candidate URLs/wave.
-SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "2000000"))
+# the engine. 4M docs → 28M candidate URLs/wave (throughput keeps
+# rising with wave size — see the scale-trend table in BASELINE.md).
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "4000000"))
 # Bench I/O lands on tmpfs when available. The sandbox is ONE box with
 # ONE shared disk: sink + shuffle bytes take the same wall-clock at
 # local[8] and local[32], so disk time shows up as a parallelism-
