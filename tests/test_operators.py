@@ -316,6 +316,16 @@ def test_cli_crawl_end_to_end(spark, corpus, docs_df, tmp_path, capsys):
     assert _json.loads(job.store.manifest()["meta"]["profiles"][cid])[
         "crawlingDepth"
     ] == 8
+    # --resume against a finished store is a no-op that succeeds and
+    # leaves the snapshot version unchanged
+    v_before = job.store.current_version()
+    rc = main(["--docs", docs_path, "--store", store, "--resume", "--cores", "8"])
+    assert rc == 0
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["success"] and out2["resumed"]
+    from yacy_grid_crawler_spark.sources.statestore import StateStore
+
+    assert StateStore(spark, store).current_version() == v_before
 
 
 def test_cuckoo_filter_contract(spark):
