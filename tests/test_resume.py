@@ -62,3 +62,49 @@ def test_orphan_cleanup(spark, corpus, docs_df, robots_df, tmp_path):
     assert not os.path.isdir(orphan)
     # committed state unaffected
     assert job.store.read("frontier").count() > 0
+
+
+def test_compact_preserves_state(spark, corpus, docs_df, robots_df, tmp_path):
+    """StateStore.compact folds N commit-dirs into one without
+    changing any table's logical content (incl. the aggregated
+    host_slots fold), and crawls resume correctly afterwards."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from yacy_grid_crawler_spark.operators.blacklist import parse_lines
+    from yacy_grid_crawler_spark.fixtures.gen import blacklist_lines
+    from yacy_grid_crawler_spark.plans.crawl_job import CrawlJob
+
+    store_root = str(tmp_path / "store")
+    job = CrawlJob(
+        spark, store_root, docs_df,
+        blacklist=parse_lines(blacklist_lines(corpus)), robots=robots_df,
+    )
+    cids = job.start(corpus.seeds[0], {"crawlingDepth": 2})
+    job.run(cids)
+
+    def snapshot(t):
+        return sorted(tuple(r) for r in job.store.read(t).collect())
+
+    before = {t: snapshot(t) for t in ("url_seen", "frontier")}
+    slots_before = sorted(
+        tuple(r)
+        for r in job.store.read("host_slots")
+        .groupBy("crawl_id", "host").agg(F.sum("n").alias("n")).collect()
+    )
+    n_dirs_before = len(os.listdir(os.path.join(store_root, "url_seen")))
+    assert n_dirs_before > 1  # one commit-dir per wave accumulated
+    job.store.compact("url_seen")
+    job.store.compact(
+        "host_slots",
+        aggregate=lambda df: df.groupBy("crawl_id", "host").agg(
+            F.sum("n").alias("n")
+        ),
+    )
+    job.store.rollback_orphans()
+    assert {t: snapshot(t) for t in ("url_seen", "frontier")} == before
+    slots_after = sorted(tuple(r) for r in job.store.read("host_slots").collect())
+    assert slots_after == slots_before
+    # manifest now references exactly one commit for the compacted table
+    assert len(job.store.manifest()["tables"]["url_seen"]) == 1

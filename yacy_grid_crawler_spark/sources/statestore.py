@@ -192,6 +192,22 @@ class StateStore:
             pc.replace(t, df)
         return pc.finalize(meta)
 
+    def compact(self, table: str, aggregate=None) -> int:
+        """Maintenance: rewrite a table's accumulated commit-dirs into
+        ONE commit (the snapshot-table analogue of Iceberg's
+        rewrite_data_files). Log-structured tables (host_slots,
+        crawl_metrics, url_seen) grow one dir per wave; read cost is
+        proportional to commit count until compacted. `aggregate`
+        optionally folds rows while rewriting (e.g. host_slots sums
+        its per-wave counts). Readers are unaffected mid-compaction —
+        the new manifest appears atomically at finalize."""
+        df = self.read(table)
+        if aggregate is not None:
+            df = aggregate(df)
+        pc = self.begin()
+        pc.replace(table, df)
+        return pc.finalize(meta=self.manifest().get("meta", {}))
+
     def rollback_orphans(self) -> None:
         """Drop data dirs not referenced by any manifest (crash debris)."""
         referenced: dict[str, set[int]] = {}
