@@ -108,3 +108,32 @@ def test_compact_preserves_state(spark, corpus, docs_df, robots_df, tmp_path):
     assert slots_after == slots_before
     # manifest now references exactly one commit for the compacted table
     assert len(job.store.manifest()["tables"]["url_seen"]) == 1
+
+
+def test_expire_snapshots_reclaims_compacted_dirs(
+    spark, corpus, docs_df, robots_df, tmp_path
+):
+    """compact + expire_snapshots + rollback_orphans reclaims the
+    pre-compaction commit dirs while preserving the current state."""
+    import os
+
+    from yacy_grid_crawler_spark.operators.blacklist import parse_lines
+    from yacy_grid_crawler_spark.fixtures.gen import blacklist_lines
+    from yacy_grid_crawler_spark.plans.crawl_job import CrawlJob
+
+    store_root = str(tmp_path / "store")
+    job = CrawlJob(
+        spark, store_root, docs_df,
+        blacklist=parse_lines(blacklist_lines(corpus)), robots=robots_df,
+    )
+    cids = job.start(corpus.seeds[0], {"crawlingDepth": 2})
+    job.run(cids)
+    before = sorted(tuple(r) for r in job.store.read("url_seen").collect())
+    job.store.compact("url_seen")
+    dirs_pre = set(os.listdir(os.path.join(store_root, "url_seen")))
+    expired = job.store.expire_snapshots(keep_last=1)
+    assert expired
+    job.store.rollback_orphans()
+    dirs_post = set(os.listdir(os.path.join(store_root, "url_seen")))
+    assert len(dirs_post) == 1 and dirs_post < dirs_pre
+    assert sorted(tuple(r) for r in job.store.read("url_seen").collect()) == before

@@ -208,6 +208,19 @@ class StateStore:
         pc.replace(table, df)
         return pc.finalize(meta=self.manifest().get("meta", {}))
 
+    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+        """Maintenance: drop manifests older than the newest
+        `keep_last` (Iceberg's expire_snapshots). After expiry,
+        `rollback_orphans` reclaims data dirs no surviving manifest
+        references — this is what makes `compact` actually free disk.
+        Returns the expired version numbers. Resume always targets the
+        newest manifest, so keep_last>=1 preserves correctness."""
+        vs = self.versions()
+        expired = vs[:-keep_last] if keep_last > 0 else vs
+        for v in expired:
+            os.remove(os.path.join(self._snapdir(), f"v{v:06d}.json"))
+        return expired
+
     def rollback_orphans(self) -> None:
         """Drop data dirs not referenced by any manifest (crash debris)."""
         referenced: dict[str, set[int]] = {}
