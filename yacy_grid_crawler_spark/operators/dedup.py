@@ -109,6 +109,20 @@ def first_occurrence(
     """
     if carry is not None and all(c in _PACK_WIDTHS for c in order):
         gcols = [crawl_col, key] if crawl_col else [key]
+        if not carry:
+            # fixed-width buffer → pure whole-stage-codegen
+            # HashAggregate (the fastest shape; callers that key on
+            # `url` itself and derive url_id AFTER the dedup use this:
+            # md5 then runs once per UNIQUE url, and grouping by url
+            # is exactly grouping by md5(url) minus the collision
+            # merge the reference's id map would perform)
+            agg = df.groupBy(*gcols).agg(
+                F.min(_pack_order(order)).alias("_pk")
+            )
+            unpacked = _unpack_order(F.col("_pk"), order)
+            return agg.select(
+                *gcols, *[expr.alias(c) for c, expr in unpacked.items()]
+            )
         agg = df.groupBy(*gcols).agg(
             F.min(
                 F.struct(

@@ -188,16 +188,13 @@ def run_wave_multi(
     )
     wave_caches.append(c)
 
-    after_f1 = (
-        c.filter(F.col("_dom").isin("text", "all"))
-        .withColumn("url_id", F.md5(F.col("url")))
-    )
+    after_f1 = c.filter(F.col("_dom").isin("text", "all"))
     in_wave = first_occurrence(
         after_f1.drop("url_raw", "_dom"),
-        key="url_id",
+        key="url",
         order=CANON_ORDER,
-        carry=("url", "depth"),
-    )
+        carry=("depth",),  # constant within (crawl_id, url) in a tier
+    ).withColumn("url_id", F.md5(F.col("url")))
     novel = dedup_against_seen(
         in_wave, seen, key="url_id", crawl_col="crawl_id", use_bloom=use_bloom,
         cache_registry=wave_caches,
