@@ -99,8 +99,15 @@ def apply_content_domain_filter(df: DataFrame, url_col: str = "url") -> DataFram
 def mustmatch_verdict(url_col: Column, mustmatch: str, mustnotmatch: str) -> Column:
     """F2 — True where the URL passes mustmatch AND NOT mustnotmatch
     (CrawlerListener.java:330-336). Empty mustnotmatch never matches
-    (the reference compiles '' which full-matches nothing non-empty)."""
-    ok = full_match(url_col, mustmatch) if mustmatch else F.lit(True)
+    (the reference compiles '' which full-matches nothing non-empty).
+
+    The default profile ships mustmatch='.*' — anchored '.*'
+    full-matches every (newline-free, i.e. every canonical) URL, so
+    the match-everything patterns skip the per-row regex entirely."""
+    if mustmatch in ("", ".*", "^(?:.*)$", ".*$", "^.*"):
+        ok = F.lit(True)
+    else:
+        ok = full_match(url_col, mustmatch)
     if mustnotmatch:
         ok = ok & ~full_match(url_col, mustnotmatch)
     return ok
