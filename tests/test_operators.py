@@ -105,6 +105,21 @@ def test_blacklist_apply(spark):
     }
 
 
+def test_blacklist_backreference_pattern(spark):
+    """A pattern with a backreference must not be folded into the
+    combined alternation: '(?:p1)|(?:p2)' renumbers capturing groups,
+    so p2's \\1 would point into p1 — compiles fine, matches wrong."""
+    from yacy_grid_crawler_spark.functions.udfs import make_regex_full_match_udf
+
+    df = spark.createDataFrame(
+        [("cdcdy",), ("cdy",), ("ab",)], "url string"
+    )
+    # first pattern contributes a capturing group; second relies on \1
+    hit = make_regex_full_match_udf([r"(a)b", r"(cd)\1y"])
+    out = {r["url"]: r["hit"] for r in df.select("url", hit("url").alias("hit")).collect()}
+    assert out == {"cdcdy": True, "cdy": False, "ab": True}
+
+
 def test_batch_size_8(spark):
     from yacy_grid_crawler_spark.operators.batching import assign_batches
 
@@ -250,6 +265,12 @@ def test_jvm_kernels_match_python_spec(spark):
         "http://u@a.com/x",
         "http://a.com./x",
         "http://a.com:8080/x.mp3",
+        # trailing-newline regression: '$' matched before a final '\n'
+        # in both dialects, letting the raw URL through the gate with
+        # a different url_id than the stripped canonical form
+        "http://a.com/x\n",
+        "http://a.com/x\r\n",
+        "http://a.com/..\n",
     ]
     df = spark.createDataFrame([(u,) for u in urls], "url_raw string")
     rows = (

@@ -137,3 +137,13 @@ def test_expire_snapshots_reclaims_compacted_dirs(
     dirs_post = set(os.listdir(os.path.join(store_root, "url_seen")))
     assert len(dirs_post) == 1 and dirs_post < dirs_pre
     assert sorted(tuple(r) for r in job.store.read("url_seen").collect()) == before
+
+
+def test_expire_snapshots_rejects_keep_last_zero(spark, tmp_path):
+    import pytest
+
+    from yacy_grid_crawler_spark.sources.statestore import StateStore
+
+    store = StateStore(spark, str(tmp_path / "st"))
+    with pytest.raises(ValueError):
+        store.expire_snapshots(keep_last=0)

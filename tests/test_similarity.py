@@ -121,3 +121,14 @@ def test_lsh_recall_floor(spark, emb):
     }
     recall = len(bf & lsh) / max(len(bf), 1)
     assert recall > 0.1, f"degenerate LSH recall {recall}"
+
+
+def test_embedding_near_dup_exact_empty_input(spark):
+    from yacy_grid_crawler_spark.operators.similarity import (
+        embedding_near_dup_exact,
+    )
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    out = embedding_near_dup_exact(empty)
+    assert out.columns == ["doc_a", "doc_b", "cos_sim"]
+    assert out.count() == 0

@@ -70,15 +70,26 @@ def make_regex_full_match_udf(patterns: list[str]):
 
     compiled_holder: list = []
 
+    # Joining patterns as '(?:p1)|(?:p2)' renumbers capturing groups,
+    # so a backreference like \1 in pattern 2 silently points into
+    # pattern 1's groups — it COMPILES fine, so an except-clause can't
+    # catch it. Detect backreference syntax up front and keep those
+    # patterns on the per-pattern path. (Conservative: an escaped
+    # literal like '\\\\1' false-positives, which only costs speed.)
+    _BACKREF = re.compile(r"\\[1-9]|\(\?P=|\\g<")
+
     @F.pandas_udf(T.BooleanType())
     def any_full_match(urls: pd.Series) -> pd.Series:
         if not compiled_holder:
             # ONE combined alternation, applied vectorized in C
             # (pandas str.fullmatch) — any-match ≡ first-match-wins for
             # a boolean verdict (Blacklist.java:105-126). Falls back to
-            # per-pattern scan only if the union fails to compile
-            # (pathological pattern interaction).
+            # per-pattern scan if the union fails to compile
+            # (pathological pattern interaction) or any pattern uses
+            # backreferences (group renumbering corrupts them).
             try:
+                if any(_BACKREF.search(p) for p in patterns):
+                    raise re.error("backreference-bearing pattern in union")
                 combined = re.compile(
                     "|".join(f"(?:{p})" for p in patterns) if patterns else r"(?!)"
                 )

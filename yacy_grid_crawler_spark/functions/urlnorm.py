@@ -347,15 +347,24 @@ def smart_sld(host: str) -> str:
 
 import re as _re
 
-_FAST_SEG = r"(?:(?!\.{1,2}(?:/|$))[A-Za-z0-9_\-.~]+)"
-# the raw pattern string is shared with the JVM (`regexp_like`) — it
-# uses only syntax Python `re` and java.util.regex interpret
-# identically (char classes, non-capturing groups, lookahead, anchors)
-FAST_CANONICAL_PATTERN = (
-    r"^https?://(?:[a-z0-9][a-z0-9\-]*)(?:\.[a-z0-9][a-z0-9\-]*)*"
-    rf"/(?:{_FAST_SEG}(?:/{_FAST_SEG})*/?)?$"
-)
-_FAST_CANONICAL_RE = _re.compile(FAST_CANONICAL_PATTERN)
+# The pattern body is shared char-for-char between Python `re` and
+# java.util.regex (char classes, non-capturing groups, lookahead);
+# ONLY the end anchor differs per dialect.  `$` is wrong in both
+# dialects: it matches before a trailing '\n', so 'http://a.com/x\n'
+# would pass the gate verbatim while canonicalize_url strips the
+# newline — two different url_ids for the same canonical URL.  The
+# absolute-end anchor is spelled `\Z` in Python and `\z` in Java.
+def _fast_pattern(end: str) -> str:
+    seg = rf"(?:(?!\.{{1,2}}(?:/|{end}))[A-Za-z0-9_\-.~]+)"
+    return (
+        r"^https?://(?:[a-z0-9][a-z0-9\-]*)(?:\.[a-z0-9][a-z0-9\-]*)*"
+        rf"/(?:{seg}(?:/{seg})*/?)?{end}"
+    )
+
+
+FAST_CANONICAL_PATTERN_JVM = _fast_pattern(r"\z")  # java.util.regex
+FAST_CANONICAL_PATTERN = FAST_CANONICAL_PATTERN_JVM  # back-compat alias
+_FAST_CANONICAL_RE = _re.compile(_fast_pattern(r"\Z"))
 # content-domain extension sniff shared with the JVM the same way
 EXT_PATTERN = r"^[a-z]+://[^?]*/[^/?]*\.([A-Za-z0-9]{1,5})(?:\?|$)"
 

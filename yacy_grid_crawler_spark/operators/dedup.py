@@ -54,13 +54,29 @@ _PACK_DTYPES = {
 
 
 def _pack_order(order: tuple[str, ...]):
-    """Single-bigint encoding of the order tuple (tuple-min ≡ long-min)."""
+    """Single-bigint encoding of the order tuple (tuple-min ≡ long-min).
+
+    Each field is range-guarded: a value outside its documented width
+    (e.g. a >=2^18-span document) would silently bleed into the
+    neighboring field and crown the wrong first-occurrence winner, so
+    out-of-range raises loudly instead (two codegen compares per
+    field — noise next to the md5/shuffle cost of the same rows)."""
     total = sum(_PACK_WIDTHS[c] for c in order)
     expr = None
     shift = total
     for c in order:
         shift -= _PACK_WIDTHS[c]
-        term = F.col(c).cast("long")
+        lim = 1 << _PACK_WIDTHS[c]
+        src = F.col(c).cast("long")
+        term = F.when((src >= 0) & (src < lim), src).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"packed-order overflow: {c}="),
+                    F.col(c).cast("string"),
+                    F.lit(f" outside [0, {lim})"),
+                )
+            )
+        )
         if shift:
             term = term * F.lit(1 << shift)
         expr = term if expr is None else expr + term

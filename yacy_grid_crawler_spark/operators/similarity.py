@@ -209,7 +209,21 @@ def embedding_near_dup_exact(
     """
     import numpy as np
 
-    pdf = vectors.select("vec_id", "embedding").toPandas()
+    out_schema = "doc_a bigint, doc_b bigint, cos_sim double"
+    # The broadcast side is collected to the driver — bounded by
+    # design (this is the labeled small-N baseline). Refuse unbounded
+    # collects instead of OOMing the driver at scale.
+    max_rows = 2_000_000  # 64-dim float64 ≈ 1 GiB broadcast
+    capped = vectors.select("vec_id", "embedding").limit(max_rows + 1)
+    pdf = capped.toPandas()
+    if len(pdf) > max_rows:
+        raise ValueError(
+            f"embedding_near_dup_exact: >{max_rows} vectors — the "
+            "all-pairs baseline broadcasts the full matrix; use "
+            "embedding_near_dup_lsh for large inputs"
+        )
+    if pdf.empty:
+        return vectors.sparkSession.createDataFrame([], out_schema)
     ids_all = pdf["vec_id"].to_numpy()
     mat = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
     norms = np.sqrt((mat * mat).sum(axis=1))
@@ -224,9 +238,11 @@ def embedding_near_dup_exact(
                 continue
             block = np.vstack(part["embedding"].to_numpy()).astype("float64")
             bn = np.sqrt((block * block).sum(axis=1))
-            sims = np.round(
-                (block @ mat_b.T) / np.outer(bn, norms_b), 4
-            )
+            raw = (block @ mat_b.T) / np.outer(bn, norms_b)
+            # round HALF-AWAY-FROM-ZERO to match SQL ROUND() (np.round
+            # is banker's half-to-even; the two differ exactly at the
+            # threshold boundary the filter below compares against)
+            sims = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
             ia, ib = np.where(sims >= threshold)
             doc_a = part["vec_id"].to_numpy()[ia]
             doc_b = ids_b[ib]
@@ -240,7 +256,7 @@ def embedding_near_dup_exact(
             )
 
     return vectors.select("vec_id", "embedding").mapInPandas(
-        block_sims, "doc_a bigint, doc_b bigint, cos_sim double"
+        block_sims, out_schema
     )
 
 

@@ -214,9 +214,17 @@ class StateStore:
         `rollback_orphans` reclaims data dirs no surviving manifest
         references — this is what makes `compact` actually free disk.
         Returns the expired version numbers. Resume always targets the
-        newest manifest, so keep_last>=1 preserves correctness."""
+        newest manifest, so keep_last>=1 is REQUIRED for correctness —
+        keep_last<1 would delete every manifest (the store then reads
+        as empty and rollback_orphans would reclaim all data dirs), so
+        it raises instead of silently destroying the store."""
+        if keep_last < 1:
+            raise ValueError(
+                f"expire_snapshots(keep_last={keep_last}): keep_last must "
+                "be >= 1 — expiring every manifest would empty the store"
+            )
         vs = self.versions()
-        expired = vs[:-keep_last] if keep_last > 0 else vs
+        expired = vs[:-keep_last]
         for v in expired:
             os.remove(os.path.join(self._snapdir(), f"v{v:06d}.json"))
         return expired
