@@ -147,3 +147,72 @@ def test_expire_snapshots_rejects_keep_last_zero(spark, tmp_path):
     store = StateStore(spark, str(tmp_path / "st"))
     with pytest.raises(ValueError):
         store.expire_snapshots(keep_last=0)
+
+
+def _accepted(job, cid):
+    return {
+        r["url_id"]
+        for r in job.store.read("crawl_status")
+        .filter((F.col("crawl_id") == cid) & (F.col("status") == "accepted"))
+        .collect()
+    }
+
+
+def test_restrictive_mustmatch_recrawl_unblocked(
+    spark, corpus, docs_df, robots_df, tmp_path
+):
+    """S8 exact-mustmatch delete branch (CrawlStartService.java:167-171):
+    a re-crawl with the SAME restrictive mustmatch must delete the old
+    crawl's status entries, or D3 permanently blocks every URL."""
+    from yacy_grid_crawler_spark.plans.crawl_job import CrawlJob
+
+    from datetime import datetime, timezone
+
+    seed = corpus.seeds[0].split("|")[0]
+    mm = r"http://host00[0-3]\.example\.org/.*"
+    job = CrawlJob(spark, str(tmp_path / "st"), docs_df, robots=robots_df, n_shards=4)
+    (cid1,) = job.start(seed, {"crawlingDepth": 1, "mustmatch": mm})
+    job.run([cid1])
+    first = _accepted(job, cid1)
+    assert first, "restrictive crawl accepted nothing — bad test setup"
+
+    # a later start time → a distinct crawl_id, as in the reference
+    # (the id embeds the start timestamp, CrawlStartService.java:99)
+    (cid2,) = job.start(
+        seed,
+        {"crawlingDepth": 1, "mustmatch": mm},
+        now=datetime(2020, 1, 2, tzinfo=timezone.utc),
+    )
+    job.run([cid2])
+    assert _accepted(job, cid2) == first
+
+    # a DIFFERENT restrictive mustmatch must NOT delete those entries:
+    # its URLs stay blocked by the D3 exist-check
+    surviving = {
+        r["crawl_id"]
+        for r in job.store.read("crawl_status").select("crawl_id").distinct().collect()
+    }
+    assert cid2 in surviving and cid1 not in surviving
+
+
+def test_wide_mustmatch_recrawl_deletes_prior_crawl_entries(
+    spark, corpus, docs_df, robots_df, tmp_path
+):
+    """S8 '.*' branch (CrawlStartService.java:152-166): prior-crawl
+    lookup by start_url plus start_url/ssld deletes unblock a re-crawl."""
+    from yacy_grid_crawler_spark.plans.crawl_job import CrawlJob
+
+    from datetime import datetime, timezone
+
+    seed = corpus.seeds[0].split("|")[0]
+    job = CrawlJob(spark, str(tmp_path / "st"), docs_df, robots=robots_df, n_shards=4)
+    (cid1,) = job.start(seed, {"crawlingDepth": 1})
+    job.run([cid1])
+    first = _accepted(job, cid1)
+    assert first
+
+    (cid2,) = job.start(
+        seed, {"crawlingDepth": 1}, now=datetime(2020, 1, 2, tzinfo=timezone.utc)
+    )
+    job.run([cid2])
+    assert _accepted(job, cid2) == first

@@ -108,20 +108,57 @@ class CrawlJob:
         )
         # S8 — delete conflicting old status entries so the D3
         # exist-check does not block the re-crawl
-        # (CrawlStartService.java:141-173): with the default
-        # mustmatch='.*' delete by start_url/ssld of prior crawls,
-        # else by exact mustmatch.
+        # (CrawlStartService.java:141-173). Three delete rules:
+        #   1. ALWAYS: the start URL's own entry by _id = md5(url)
+        #      (:143-147)
+        #   2. mustmatch=='.*': prior crawl_ids for the same start_url
+        #      from the crawlstart index (limit 100 per url, :153-160),
+        #      plus all entries with the same start_url / start_ssld
+        #      (:162-166)
+        #   3. else: entries whose crawl used the EXACT same mustmatch
+        #      (:167-171) — the crawler doc's mustmatch_s equals its
+        #      crawl_start's mustmatch, so this is a semi-join on
+        #      crawl_id through the (tiny, broadcastable) crawl_starts
+        #      dimension.
+        from ..functions.urlnorm import url_id as _url_id
+
         status = self.store.read("crawl_status")
+        starts_tbl = self.store.read("crawl_starts")
+        start_urls = sorted({s[4] for s in start_rows})
+        sslds = sorted({s[5] for s in start_rows})
+        keep = ~F.col("url_id").isin([_url_id(u) for u in start_urls])
         if profile.get("mustmatch", ".*") == ".*":
-            starts_urls = {s[4] for s in start_rows}
-            ssl = {s[5] for s in start_rows}
-            keep = ~(
-                F.col("start_url").isin(sorted(starts_urls))
-                | F.col("start_ssld").isin(sorted(ssl))
+            # crawlstart-index lookup, limit 100 per start_url
+            # (driver-side: crawl_starts is one metadata row per crawl)
+            prior = (
+                starts_tbl.filter(F.col("start_url").isin(start_urls))
+                .select("start_url", "crawl_id")
+                .collect()
             )
+            by_url: dict[str, list[str]] = {}
+            for r in prior:
+                by_url.setdefault(r["start_url"], []).append(r["crawl_id"])
+            prior_ids = sorted(
+                {c for cs in by_url.values() for c in sorted(cs)[:100]}
+            )
+            if prior_ids:
+                keep &= ~F.col("crawl_id").isin(prior_ids)
+            keep &= ~(
+                F.col("start_url").isin(start_urls)
+                | F.col("start_ssld").isin(sslds)
+            )
+            replaced = status.filter(keep)
         else:
-            keep = F.lit(True)
-        replaced = status.filter(keep)
+            same_mm = (
+                starts_tbl.filter(
+                    F.col("mustmatch") == profile.get("mustmatch")
+                )
+                .select("crawl_id")
+                .distinct()
+            )
+            replaced = status.filter(keep).join(
+                same_mm, "crawl_id", "left_anti"
+            )
         self.store.commit(
             appends={"crawl_starts": starts},
             replaces={"crawl_status": replaced},
