@@ -269,8 +269,9 @@ _MUSTMATCH_SQL = """
 
 def _q_dedup_within_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 — within-batch url-id collapse with deterministic first-wins
-    tiebreak (CrawlerListener.java:432-441 → row_number()==1)."""
-    from pyspark.sql import Window
+    tiebreak (CrawlerListener.java:432-441), through the engine's
+    `first_occurrence` operator (the same code path the wave runs)."""
+    from yacy_grid_crawler_spark.operators.dedup import first_occurrence
 
     docs = _docs(spark, sf_dir)
     cand = docs.select(
@@ -279,12 +280,9 @@ def _q_dedup_within_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "url_id"
         ),
     )
-    w = Window.partitionBy("url_id").orderBy("arrival_ord")
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("url_id", F.col("arrival_ord").alias("first_arrival"))
-    )
+    return first_occurrence(
+        cand, key="url_id", order=("arrival_ord",), crawl_col=None
+    ).select("url_id", F.col("arrival_ord").alias("first_arrival"))
 
 
 _DEDUP_BATCH_SQL = """
@@ -300,12 +298,16 @@ _DEDUP_BATCH_SQL = """
 def _q_anti_join_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3 — persistent seen-set exist-check as LEFT ANTI JOIN
     (existBulk, CrawlerListener.java:360-365)."""
+    from yacy_grid_crawler_spark.operators.dedup import anti_join_seen
+
     docs = _docs(spark, sf_dir)
     cand = docs.select(F.md5(F.col("doc_id").cast("string")).alias("url_id"), "doc_id")
     seen = docs.filter(F.col("doc_id") % 3 == 0).select(
         F.md5(F.col("doc_id").cast("string")).alias("url_id")
     )
-    return cand.join(seen, "url_id", "left_anti").select("url_id", "doc_id")
+    return anti_join_seen(cand, seen, key="url_id", crawl_col=None).select(
+        "url_id", "doc_id"
+    )
 
 
 _ANTI_JOIN_SQL = """
@@ -319,17 +321,15 @@ _ANTI_JOIN_SQL = """
 
 def _q_batch8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1+G2 — size-8 batching in canonical order, index split before
-    noindex (CrawlerListener.java:406, 451-462, :412)."""
-    from pyspark.sql import Window
+    noindex (CrawlerListener.java:406, 451-462, :412), through the
+    engine's `assign_batches` operator."""
+    from yacy_grid_crawler_spark.operators.batching import assign_batches
 
-    fr = _frontier_synth(_docs(spark, sf_dir))
-    w = Window.partitionBy("do_index").orderBy("doc_id")
-    pos = F.row_number().over(w) - 1
-    return fr.select(
-        "doc_id",
-        "do_index",
-        (pos / 8).cast("bigint").alias("batch_no"),
-        (pos % 8).cast("int").alias("batch_pos"),
+    fr = _frontier_synth(_docs(spark, sf_dir)).withColumn(
+        "crawl_id", F.lit("c0")
+    )
+    return assign_batches(fr, order=("doc_id",)).select(
+        "doc_id", "do_index", "batch_no", "batch_pos"
     )
 
 
@@ -371,18 +371,30 @@ _LANE_SHARD_SQL = f"""
 
 def _q_politeness_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule politeness scheduler: per-host fetch slots →
-    not_before offsets (window over un-salted host)."""
-    from pyspark.sql import Window
+    not_before offsets, through the engine's `politeness_slots`
+    operator (per-host delay dimension joined like robots
+    crawl_delay_ms; single lane so slot order ≡ doc order)."""
+    from yacy_grid_crawler_spark.operators.batching import (
+        assign_batches,
+        politeness_slots,
+    )
 
-    fr = _frontier_synth(_docs(spark, sf_dir))
-    delay = (F.ascii(F.substring(F.col("host"), 2, 1)) % 5) * 100
-    w = Window.partitionBy("host").orderBy("doc_id")
-    slot = F.row_number().over(w) - 1
-    return fr.select(
-        "doc_id",
+    fr = (
+        _frontier_synth(_docs(spark, sf_dir))
+        .withColumn("crawl_id", F.lit("c0"))
+        .withColumn("do_index", F.lit(True))
+    )
+    # batch positions are monotone in doc_id, so the operator's
+    # (ini, batch_no, batch_pos) per-host order ≡ doc_id order
+    fr = assign_batches(fr, order=("doc_id",))
+    delays = fr.select("host").distinct().select(
         "host",
-        slot.alias("fetch_slot"),
-        (slot * delay).cast("bigint").alias("not_before_ms"),
+        ((F.ascii(F.substring(F.col("host"), 2, 1)) % 5) * 100).alias(
+            "crawl_delay_ms"
+        ),
+    )
+    return politeness_slots(fr, robots=delays, wave_start_ms=0).select(
+        "doc_id", "host", "fetch_slot", F.col("not_before_ms")
     )
 
 
@@ -943,10 +955,45 @@ _LINEITEM_PRICING_SQL = """
 """
 
 
+# The synthetic media table is a deterministic projection of
+# `documents` (synth_media_from_docs), and in this container the
+# decode libs are absent so every blob takes the deterministic
+# fallback — which makes all three media queries fully
+# SQL-expressible: n_bytes is octet_length of the utf-8 text,
+# resize output size is exactly width*height, and the frame grid is
+# min(max(duration_ms/1000, 1), 8) rows.
+_MEDIA_FEATURES_SQL = """
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         FALSE AS decoded
+  FROM documents WHERE doc_id % 7 = 0
+"""
+
+_MEDIA_RESIZE_SQL = """
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+         CAST(1024 AS INTEGER) AS n_bytes,
+         CAST(32 AS INTEGER) AS width,
+         CAST(32 AS INTEGER) AS height
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 3 = 0
+"""
+
+_MEDIA_FRAMES_SQL = """
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+         CAST(f AS INTEGER) AS frame_no,
+         CAST(f * 1000 AS INTEGER) AS ts_ms
+  FROM documents,
+       unnest(range(least(greatest((n_chars * 10) // 1000, 1), 8))) AS t(f)
+  WHERE doc_id % 7 = 0 AND doc_id % 3 = 2
+"""
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary column + mapInPandas feature
-    extraction (stubbed decode — see operators/multimodal.py). Not
-    SQL-expressible (Arrow batch iterator) → rows-only check."""
+    extraction (real PIL path when available, deterministic fallback
+    here — see operators/multimodal.py)."""
     from yacy_grid_crawler_spark.operators.multimodal import (
         extract_media_features,
         synth_media_from_docs,
@@ -959,8 +1006,8 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image resize plumbing (stubbed decode): fixed-size output blobs
-    per image. Rows-only check (Arrow batch iterator)."""
+    """Image resize plumbing: fixed-size output blobs per image (real
+    PIL path when available, deterministic fallback here)."""
     from yacy_grid_crawler_spark.operators.multimodal import (
         resize_images,
         synth_media_from_docs,
@@ -973,8 +1020,8 @@ def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plumbing (stubbed decode): one row per
-    sampled timestamp. Rows-only check (Arrow batch iterator)."""
+    """Video frame-sampling plumbing: one row per sampled timestamp
+    (real PyAV path when available, deterministic fallback here)."""
     from yacy_grid_crawler_spark.operators.multimodal import (
         sample_frames,
         synth_media_from_docs,
@@ -1176,6 +1223,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ANN_LSH_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
         "dedup_embedding_lsh": _DEDUP_EMBEDDING_LSH_SQL,
-        # media_features: non-SQL-expressible (stubbed binary decode
-        # over an Arrow batch iterator) → rows-only
+        # media oracles: the synthetic media table is a deterministic
+        # projection of `documents` and the no-decoder fallback is
+        # closed-form, so all three are SQL-expressible here
+        "media_features": _MEDIA_FEATURES_SQL,
+        "media_resize": _MEDIA_RESIZE_SQL,
+        "media_frames": _MEDIA_FRAMES_SQL,
     }

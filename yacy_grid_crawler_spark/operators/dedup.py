@@ -153,7 +153,8 @@ def first_occurrence(
             *[F.col(f"_w.{c}").alias(c) for c in carry],
             *[expr.alias(c) for c, expr in unpacked.items()],
         )
-    w = Window.partitionBy(crawl_col, key).orderBy(*[F.col(c) for c in order])
+    pcols = [c for c in (crawl_col, key) if c]
+    w = Window.partitionBy(*pcols).orderBy(*[F.col(c) for c in order])
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -47,9 +47,21 @@ FEATURE_SCHEMA = (
 
 
 def media_decoders_available() -> bool:
-    """True when real decode libs are importable (not in this image)."""
+    """True when real image decode libs are importable (not in this
+    container image)."""
     try:
         import PIL.Image  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def video_decoder_available() -> bool:
+    """True when a real video demux/decode lib (PyAV) is importable
+    (not in this container image)."""
+    try:
+        import av  # noqa: F401
 
         return True
     except Exception:
@@ -81,10 +93,12 @@ def synth_media_from_docs(docs: DataFrame, media_ratio_mod: int = 7) -> DataFram
 def extract_media_features(media: DataFrame, n_partitions: int | None = None) -> DataFrame:
     """Decode + feature-extract over Arrow batches (mapInPandas).
 
-    With real decoders: image → resize(64,64) → channel stats; audio →
-    frame-sample → spectral stats. Without (this image): raises
-    NotImplementedError inside the decode branch and falls back to the
-    deterministic byte-histogram fake, flagged `decoded=false`.
+    With real decoders (PIL present): image blobs are decoded,
+    resized to 64×64 RGB, and summarized by channel stats
+    (`decoded=true`). Blobs that fail to decode — or any blob when the
+    libs are absent, as in this container — fall back to the
+    deterministic byte-histogram fake, flagged `decoded=false`
+    (a corrupt blob degrades to the fallback; it never kills the job).
     """
     if n_partitions:
         media = media.repartition(n_partitions, "media_id")
@@ -96,16 +110,51 @@ def extract_media_features(media: DataFrame, n_partitions: int | None = None) ->
         for pdf in it:
             out = []
             # the loop is over BLOBS (one unit of decode work each);
-            # all within-blob math is numpy over the byte buffer
+            # all within-blob math is numpy over the decoded buffer
             for media_id, kind, content in zip(
                 pdf["media_id"], pdf["kind"], pdf["content"]
             ):
                 content = content or b""
-                if have_decoders:
-                    # real path (not reachable in this container)
-                    raise NotImplementedError(
-                        "real media decode requires PIL/ffmpeg; see module docstring"
-                    )
+                if have_decoders and kind == "image":
+                    try:
+                        import io
+
+                        import PIL.Image
+
+                        img = PIL.Image.open(io.BytesIO(content))
+                        ow, oh = img.size
+                        arr = np.asarray(
+                            img.convert("RGB").resize((64, 64)),
+                            dtype=np.float64,
+                        )
+                        gray = arr.mean(axis=2).astype(np.uint8)
+                        counts = np.bincount(gray.ravel(), minlength=256)
+                        p = counts[counts > 0] / gray.size
+                        feature = [
+                            round(float(x), 6)
+                            for x in (
+                                *arr.reshape(-1, 3).mean(axis=0) / 255.0,
+                                *arr.reshape(-1, 3).std(axis=0) / 255.0,
+                                ow / 65536.0,
+                                oh / 65536.0,
+                            )
+                        ]
+                        out.append(
+                            {
+                                "media_id": media_id,
+                                "kind": kind,
+                                "n_bytes": len(content),
+                                "byte_mean": round(float(arr.mean()), 6),
+                                "byte_entropy": round(
+                                    float(-(p * np.log2(p)).sum()), 6
+                                ),
+                                "feature": feature,
+                                "decoded": True,
+                            }
+                        )
+                        continue
+                    except Exception:
+                        pass  # undecodable blob → deterministic fallback
                 buf = np.frombuffer(content, dtype=np.uint8)
                 n = buf.size
                 if n:
@@ -144,11 +193,12 @@ def resize_images(
     media: DataFrame, width: int = 64, height: int = 64,
     n_partitions: int | None = None,
 ) -> DataFrame:
-    """Image resize over Arrow batches (mapInPandas). Real path
-    (PIL decode → resize → re-encode) is stubbed in this container;
-    the deterministic fake tiles/truncates the byte buffer to
-    width×height so output SIZE and schema behave exactly like the
-    real kernel (plumbing tested, model swapped in later)."""
+    """Image resize over Arrow batches (mapInPandas). With PIL present
+    the real path decodes, resizes, and emits raw 8-bit grayscale
+    (`decoded=true`, len == width*height — same output size contract
+    as the fake). Undecodable blobs, or all blobs when PIL is absent
+    (this container), use the deterministic fake that tiles/truncates
+    the byte buffer to width×height (`decoded=false`)."""
     if n_partitions:
         media = media.repartition(n_partitions, "media_id")
     have_decoders = media_decoders_available()
@@ -163,9 +213,26 @@ def resize_images(
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 content = content or b""
                 if have_decoders:
-                    raise NotImplementedError(
-                        "real image resize requires PIL; see module docstring"
-                    )
+                    try:
+                        import io
+
+                        import PIL.Image
+
+                        img = PIL.Image.open(io.BytesIO(content))
+                        resized = img.convert("L").resize((width, height))
+                        out.append(
+                            {
+                                "media_id": media_id,
+                                "kind": "image",
+                                "content": resized.tobytes(),
+                                "width": width,
+                                "height": height,
+                                "decoded": True,
+                            }
+                        )
+                        continue
+                    except Exception:
+                        pass  # undecodable blob → deterministic fallback
                 buf = np.frombuffer(content, dtype=np.uint8)
                 resized = (
                     np.resize(buf, target) if buf.size else np.zeros(target, np.uint8)
@@ -196,13 +263,16 @@ def sample_frames(
     n_partitions: int | None = None,
 ) -> DataFrame:
     """Video frame sampling over Arrow batches: one output row per
-    sampled timestamp (`every_ms` grid, capped at `max_frames`). Real
-    path (ffmpeg seek+decode) stubbed; the deterministic fake slices
+    sampled timestamp (`every_ms` grid, capped at `max_frames`). With
+    PyAV present the real path seeks and decodes the nearest keyframe
+    per grid point and emits raw grayscale frame bytes
+    (`decoded=true`); undecodable blobs, or all blobs when PyAV is
+    absent (this container), use the deterministic fake that slices
     the byte buffer proportionally to the timestamp so frame counts,
-    ordering, and schema are exercised for real."""
+    ordering, and schema are exercised for real (`decoded=false`)."""
     if n_partitions:
         media = media.repartition(n_partitions, "media_id")
-    have_decoders = media_decoders_available()
+    have_decoders = video_decoder_available()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -215,9 +285,37 @@ def sample_frames(
             ):
                 content = content or b""
                 if have_decoders:
-                    raise NotImplementedError(
-                        "real frame sampling requires ffmpeg; see module docstring"
-                    )
+                    try:
+                        import io
+
+                        import av
+
+                        with av.open(io.BytesIO(content)) as container:
+                            stream = container.streams.video[0]
+                            n = 0
+                            for i in range(max_frames):
+                                ts = i * every_ms
+                                if dur and ts >= int(dur):
+                                    break
+                                container.seek(
+                                    int(ts * 1000), stream=stream, any_frame=False
+                                )
+                                frame = next(container.decode(stream))
+                                gray = frame.to_ndarray(format="gray")
+                                out.append(
+                                    {
+                                        "media_id": media_id,
+                                        "frame_no": i,
+                                        "ts_ms": ts,
+                                        "frame": gray.tobytes(),
+                                        "decoded": True,
+                                    }
+                                )
+                                n += 1
+                            if n:
+                                continue
+                    except Exception:
+                        pass  # undecodable blob → deterministic fallback
                 dur = int(dur or 0)
                 n_frames = min(max(dur // every_ms, 1), max_frames)
                 buf = np.frombuffer(content, dtype=np.uint8)
