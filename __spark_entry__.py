@@ -514,7 +514,7 @@ _SHINGLES_CTE = """
 def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yacy_grid_crawler_spark.operators.dedup_text import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs(spark, sf_dir))
+    return minhash_lsh_pairs(_docs(spark, sf_dir), cache_registry=_QUERY_CACHES)
 
 
 _MINHASH_SQL = f"""
@@ -565,7 +565,7 @@ _SIMHASH_SQL = """
 def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yacy_grid_crawler_spark.operators.dedup_text import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir))
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), cache_registry=_QUERY_CACHES)
 
 
 _JACCARD_SQL = f"""
@@ -1148,8 +1148,29 @@ _ANN_IVF_SQL = """
 # contract surface
 # ---------------------------------------------------------------------------
 
+# Operator-internal persists (minhash banded table, jaccard shingles)
+# register here; each queries() callable sweeps the PREVIOUS query's
+# caches before building its plan, so a driver looping over many
+# queries holds at most one query's cached tables at a time.
+_QUERY_CACHES: list = []
+
+
+def _sweeping(fn):
+    def run(spark, sf_dir):
+        while _QUERY_CACHES:
+            try:
+                _QUERY_CACHES.pop().unpersist()
+            except Exception:
+                pass
+        return fn(spark, sf_dir)
+
+    run.__name__ = fn.__name__
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    qs = {
         # crawl-side (SURVEY.md §2)
         "seed_split": _q_seed_split,
         "url_canonicalize": _q_url_canonicalize,
@@ -1188,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
     }
+    return {k: _sweeping(v) for k, v in qs.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -154,3 +154,22 @@ def test_multimodal_resize_and_frames(spark):
     for r in fr:
         assert again[(r["media_id"], r["frame_no"])] == r["frame"]
     media.unpersist()
+
+
+def test_query_caches_swept_between_queries(spark):
+    """Operator-internal persists (minhash banded table, jaccard
+    shingles) must not accumulate across queries() invocations: each
+    call sweeps the previous query's caches."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    sf = "/root/testdata/sf0.001"
+    qs["dedup_minhash_lsh"](spark, sf).count()
+    assert len(e._QUERY_CACHES) == 1
+    qs["dedup_ngram_jaccard"](spark, sf).count()
+    # the minhash cache was swept when jaccard started
+    assert len(e._QUERY_CACHES) == 1
+    qs["token_count"](spark, sf).count()
+    assert len(e._QUERY_CACHES) == 0
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0

@@ -116,6 +116,7 @@ def minhash_lsh_pairs(
     docs: DataFrame,
     n_hashes: int = N_MINHASHES,
     bands: int = LSH_BANDS,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (doc_a < doc_b) that collide in ≥1 LSH
     band; band key = concat of the band's r minhashes. The classic
@@ -131,9 +132,14 @@ def minhash_lsh_pairs(
     # cache across the self-join: both sides re-execute the signature
     # pipeline otherwise (at cluster scale this is the standard
     # materialize-the-signature-table step)
+    # cache across the self-join; registered with the caller's sweep
+    # (same hygiene as plans/wave.py cache_registry) so long-running
+    # pipelines don't accumulate one cached table per call
     banded = sig.select(
         "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
     ).persist()
+    if cache_registry is not None:
+        cache_registry.append(banded)
     a = banded.alias("a")
     b_ = banded.alias("b")
     return (
@@ -208,6 +214,7 @@ def ngram_jaccard_pairs(
     n: int = SHINGLE_N,
     threshold: float = 0.5,
     df_cap: int = JACCARD_DF_CAP,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing ≥1 rare
     shingle (document frequency ≤ df_cap — the inverted-index bound
@@ -217,6 +224,8 @@ def ngram_jaccard_pairs(
     jaccard = |A∩B| / |A∪B| ≥ threshold.
     """
     sh = doc_shingles(docs, n).persist()
+    if cache_registry is not None:
+        cache_registry.append(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     rare = (
         sh.groupBy("shingle")
