@@ -164,6 +164,10 @@ def test_query_caches_swept_between_queries(spark):
 
     qs = e.queries()
     sf = "/root/testdata/sf0.001"
+    jsc = spark.sparkContext._jsc.sc()
+    # other tests in the shared session may hold persists
+    # (e.g. localCheckpoint lineage cuts) — pin NO GROWTH, not zero
+    baseline = jsc.getPersistentRDDs().size()
     qs["dedup_minhash_lsh"](spark, sf).count()
     assert len(e._QUERY_CACHES) == 1
     qs["dedup_ngram_jaccard"](spark, sf).count()
@@ -171,5 +175,4 @@ def test_query_caches_swept_between_queries(spark):
     assert len(e._QUERY_CACHES) == 1
     qs["token_count"](spark, sf).count()
     assert len(e._QUERY_CACHES) == 0
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() == 0
+    assert jsc.getPersistentRDDs().size() <= baseline
