@@ -783,24 +783,57 @@ _SESSIONIZE_SQL = """
 """
 
 
-def _q_lineage_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S9 — deterministic per-partition lineage ids
-    (CrawlerListener.java:497-503, 569-573 zero-padded asset names)."""
-    from yacy_grid_crawler_spark.operators.batching import lineage_column
+_LINEAGE_TS_MS = 1577836800123  # 2020-01-01 00:00:00.123 UTC
 
-    docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id",
-        lineage_column(
-            (F.col("doc_id") % 9).cast("int"), (F.col("doc_id") % 1000).cast("int")
-        ).alias("lineage"),
+
+def _q_lineage_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 — full asset lineage (CrawlerListener.java:497-503,
+    569-573): docname d{depth:02}-t{ts+ini}-p{batch:04} plus the three
+    asset-path variants gated on archiveWARC/Index/Graph (graph off
+    here, so its column is NULL)."""
+    from yacy_grid_crawler_spark.operators.batching import (
+        asset_columns,
+        lineage_column,
     )
 
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 4 != 0).alias("do_index"),
+    ).withColumn(
+        "lineage",
+        lineage_column(
+            (F.col("doc_id") % 9).cast("int"),
+            (F.col("doc_id") % 1000).cast("int"),
+            timestamp_ms=_LINEAGE_TS_MS,
+            ini_col=(1 - F.col("do_index").cast("int")),
+        ),
+    )
+    return asset_columns(
+        base, user_id="anonymous", crawl_id="c0",
+        archive_warc=True, archive_index=True, archive_graph=False,
+    ).select("doc_id", "lineage", "warc_asset", "index_asset", "graph_asset")
 
-_LINEAGE_SQL = """
-  SELECT doc_id,
-         printf('d%02d-p%04d', (doc_id % 9)::int, (doc_id % 1000)::int) AS lineage
-  FROM documents
+
+_LINEAGE_SQL = f"""
+  WITH named AS (
+    SELECT doc_id,
+           {_LINEAGE_TS_MS} + CASE WHEN doc_id % 4 <> 0 THEN 0 ELSE 1 END AS ts,
+           printf('d%02d', (doc_id % 9)::int) AS d,
+           printf('p%04d', (doc_id % 1000)::int) AS p
+    FROM documents
+  ),
+  lin AS (
+    SELECT doc_id,
+           d || '-t' || strftime(make_timestamp(ts * 1000), '%Y%m%d%H%M%S')
+             || printf('%03d', (ts % 1000)::int) || '-' || p AS lineage
+    FROM named
+  )
+  SELECT doc_id, lineage,
+         '/data/aaaaa/accounting/anonymous/warc/c0/' || lineage || '.warc.gz' AS warc_asset,
+         '/data/aaaaa/accounting/anonymous/index/c0/' || lineage || '.index.jsonlist' AS index_asset,
+         CAST(NULL AS VARCHAR) AS graph_asset
+  FROM lin
 """
 
 

@@ -492,3 +492,41 @@ def test_jsonlist_roundtrip(spark, tmp_path):
     back = _json.loads(lines[0])
     for k, v in doc.items():
         assert back.get(k) == v, (k, back.get(k), v)
+
+
+def test_asset_lineage_naming(spark):
+    """S9 full asset naming (CrawlerListener.java:497-503): docname
+    d{depth:02}-t{ts+ini}-p{part:04}; asset paths gated per archive
+    flag; noindex rows get the +1ms ini offset (:412)."""
+    from pyspark.sql import functions as F
+
+    from yacy_grid_crawler_spark.operators.batching import (
+        asset_columns,
+        lineage_column,
+    )
+
+    df = spark.createDataFrame(
+        [(3, 7, True), (3, 7, False)], "depth int, batch_no long, do_index boolean"
+    ).withColumn(
+        "lineage",
+        lineage_column(
+            timestamp_ms=1577836800999,
+            ini_col=(1 - F.col("do_index").cast("int")),
+        ),
+    )
+    out = {
+        r["do_index"]: r
+        for r in asset_columns(
+            df, user_id="u1", crawl_id="cid9",
+            archive_warc=True, archive_index=False, archive_graph=True,
+        ).collect()
+    }
+    assert out[True]["lineage"] == "d03-t20200101000000999-p0007"
+    # noindex: timestamp + 1 ms rolls into the next second
+    assert out[False]["lineage"] == "d03-t20200101000001000-p0007"
+    assert (
+        out[True]["warc_asset"]
+        == "/data/aaaaa/accounting/u1/warc/cid9/d03-t20200101000000999-p0007.warc.gz"
+    )
+    assert out[True]["index_asset"] is None  # archiveIndex off
+    assert out[True]["graph_asset"].endswith(".graph.jsonlist")

@@ -247,13 +247,70 @@ def politeness_slots(
     ).drop("crawl_delay_ms")
 
 
-def lineage_column(depth_col=None, partition_col=None):
-    """S9 — deterministic per-partition lineage id
-    ``d{depth:02}-p{batch:04}`` mirroring the reference's asset naming
-    (CrawlerListener.java:497-503, 569-573; zero-padding via `intf`)."""
+ASSET_BASEPATH = "/data/aaaaa/accounting"  # CrawlerListener.java:499
+
+
+def lineage_column(depth_col=None, partition_col=None, timestamp_ms=None, ini_col=None):
+    """S9 — deterministic per-partition lineage docname mirroring the
+    reference's asset naming (CrawlerListener.java:497-503):
+    ``d{depth:02}-t{YYYYMMddHHmmssSSS}-p{batch:04}`` (zero-padding via
+    `intf`, :569-573). The timestamp is the wave's loader timestamp
+    PLUS the ini offset (0 index / 1 noindex, :412) — the reference's
+    trick that makes index batches sort strictly before noindex
+    batches sharing a wall-clock start. Formatted in UTC (the
+    reference's SimpleDateFormat uses the JVM default zone — a
+    deployment setting; UTC makes the name deterministic).
+
+    With ``timestamp_ms=None`` emits the short ``d..-p..`` form (used
+    where no wave clock exists)."""
     depth_col = depth_col if depth_col is not None else F.col("depth")
     partition_col = partition_col if partition_col is not None else F.col("batch_no")
-    return F.format_string("d%02d-p%04d", depth_col, partition_col.cast("int"))
+    if timestamp_ms is None:
+        return F.format_string("d%02d-p%04d", depth_col, partition_col.cast("int"))
+    ts = F.lit(timestamp_ms).cast("long")
+    if ini_col is not None:
+        ts = ts + ini_col.cast("long")
+    # rendered in the session zone — the engine pins
+    # spark.sql.session.timeZone=UTC (session.get_spark)
+    stamp = F.concat(
+        F.date_format(F.timestamp_millis(ts), "yyyyMMddHHmmss"),
+        F.format_string("%03d", F.pmod(ts, F.lit(1000)).cast("int")),
+    )
+    return F.format_string(
+        "d%02d-t%s-p%04d", depth_col, stamp, partition_col.cast("int")
+    )
+
+
+def asset_columns(
+    df: DataFrame,
+    user_id: str,
+    crawl_id: str,
+    archive_warc: bool = False,
+    archive_index: bool = False,
+    archive_graph: bool = False,
+    lineage_col: str = "lineage",
+) -> DataFrame:
+    """S9 — full asset paths from the lineage docname
+    (CrawlerListener.java:499-503):
+    ``{base}/{user_id}/{warc|index|graph}/{crawl_id}/{docname}.{ext}``.
+    Each variant is gated on its archive flag (profile fields
+    archiveWARC/Index/Graph, :211-213; defaults false,
+    CrawlerDefaultValuesService.java:76-78): NULL when the flag is
+    off — the asset will never be written, so no name is minted."""
+    def path(kind: str, ext: str, flag: bool):
+        if not flag:
+            return F.lit(None).cast("string")
+        return F.concat(
+            F.lit(f"{ASSET_BASEPATH}/{user_id}/{kind}/{crawl_id}/"),
+            F.col(lineage_col),
+            F.lit(ext),
+        )
+
+    return (
+        df.withColumn("warc_asset", path("warc", ".warc.gz", archive_warc))
+        .withColumn("index_asset", path("index", ".index.jsonlist", archive_index))
+        .withColumn("graph_asset", path("graph", ".graph.jsonlist", archive_graph))
+    )
 
 
 def canonical_order(df: DataFrame) -> DataFrame:

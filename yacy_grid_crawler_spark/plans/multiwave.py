@@ -249,7 +249,13 @@ def run_wave_multi(
         distributed=distributed_rank, cache_registry=wave_caches,
         base_slots=base_slots,
     )
-    kept = kept.withColumn("lineage", lineage_column()).persist()
+    kept = kept.withColumn(
+        "lineage",
+        lineage_column(
+            timestamp_ms=wave_start_ms,
+            ini_col=(1 - F.col("do_index").cast("int")),
+        ),
+    ).persist()
     wave_caches.append(kept)
 
     frontier = kept.select(

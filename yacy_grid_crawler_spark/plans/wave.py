@@ -288,7 +288,18 @@ def run_wave(
     obs_kept = Observation()
     kept = (
         kept.withColumn("depth", F.lit(depth))
-        .withColumn("lineage", lineage_column())
+        # full reference docname d{depth:02}-t{wave_ts+ini}-p{batch:04}
+        # (S9); asset PATHS are derived on export by
+        # operators.batching.asset_columns — not persisted per frontier
+        # row (3 ~90-char strings × 10^10 rows would bloat the
+        # checkpoint for a string that is a pure function of this one)
+        .withColumn(
+            "lineage",
+            lineage_column(
+                timestamp_ms=wave_start_ms,
+                ini_col=(1 - F.col("do_index").cast("int")),
+            ),
+        )
         .observe(
             obs_kept,
             F.count(F.lit(1)).alias("n"),
