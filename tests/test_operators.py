@@ -530,3 +530,52 @@ def test_asset_lineage_naming(spark):
     )
     assert out[True]["index_asset"] is None  # archiveIndex off
     assert out[True]["graph_asset"].endswith(".graph.jsonlist")
+
+
+def test_collection_parser():
+    """WebMapping.collectionParser contract (CrawlerListener.java:
+    257-258): comma list of name or name:pattern; bare name → '.*'."""
+    from yacy_grid_crawler_spark.config import parse_collections
+
+    assert parse_collections("user") == {"user": ".*"}
+    assert parse_collections("") == {}
+    assert parse_collections(None) == {}
+    assert parse_collections("news:.*/news/.*,user,media:.*\\.jpg") == {
+        "news": ".*/news/.*",
+        "user": ".*",
+        "media": ".*\\.jpg",
+    }
+
+
+def test_collections_verdict_matches_subset(spark):
+    """Per-URL collection pattern matching: a patterned collection
+    string tags only the URLs its pattern full-matches."""
+    from yacy_grid_crawler_spark.config import parse_collections
+    from yacy_grid_crawler_spark.operators.filters import collections_verdict
+
+    colls = parse_collections("news:.*/news/.*,all")
+    df = spark.createDataFrame(
+        [("http://a.x/news/1.html",), ("http://a.x/blog/2.html",)],
+        "url string",
+    )
+    out = {
+        r["url"]: list(r["colls"])
+        for r in df.select(
+            "url", collections_verdict(F.col("url"), colls).alias("colls")
+        ).collect()
+    }
+    assert out["http://a.x/news/1.html"] == ["news", "all"]
+    assert out["http://a.x/blog/2.html"] == ["all"]
+
+
+def test_wave_status_carries_collection_names(spark, corpus, docs_df, robots_df, tmp_path):
+    """Every status doc carries the profile's parsed collection name
+    set (CrawlerListener.java:322 setCollections(keySet()))."""
+    from yacy_grid_crawler_spark.plans.crawl_job import CrawlJob
+
+    seed = corpus.seeds[0].split("|")[0]
+    job = CrawlJob(spark, str(tmp_path / "st"), docs_df, robots=robots_df, n_shards=4)
+    (cid,) = job.start(seed, {"crawlingDepth": 1, "collection": "user,extra:.*x.*"})
+    job.run([cid])
+    rows = job.store.read("crawl_status").select("collections").distinct().collect()
+    assert len(rows) == 1 and list(rows[0]["collections"]) == ["user", "extra"]

@@ -82,6 +82,28 @@ def make_profile(overrides: dict[str, Any] | None = None) -> dict[str, Any]:
     return p
 
 
+def parse_collections(collection_str: str | None) -> dict[str, str]:
+    """Collection parser (WebMapping.collectionParser, called at
+    CrawlerListener.java:257-258 and CrawlStartService.java:102; the
+    parser itself lives in the yacy_grid library — same public
+    contract as YaCy's CrawlProfile.collectionParser): a
+    comma-separated list of ``name`` or ``name:pattern`` entries →
+    ordered name→pattern map; a bare name gets the catch-all ``.*``.
+    Empty/blank input → empty map. The crawler stamps only the NAMES
+    on status docs (keySet(), :322); the patterns are matched per-URL
+    downstream (see operators.filters.collections_verdict)."""
+    if not collection_str or not collection_str.strip():
+        return {}
+    out: dict[str, str] = {}
+    for piece in collection_str.strip().split(","):
+        p = piece.find(":")
+        if p < 0:
+            out[piece] = ".*"
+        else:
+            out[piece[:p]] = piece[p + 1 :]
+    return out
+
+
 def crawl_id(start_url_norm: str, date: datetime, count: int) -> str:
     """``host[:80](+hashCode)-yyyy-MM-dd-HH-mm-ss-count``
     (getCrawlID, CrawlerListener.java:142-147). Java's String.hashCode

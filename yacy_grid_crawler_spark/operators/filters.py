@@ -121,6 +121,28 @@ def do_index_verdict(
     return mustmatch_verdict(url_col, indexmustmatch, indexmustnotmatch)
 
 
+def collections_verdict(url_col: Column, collections: dict[str, str]) -> Column:
+    """Per-URL collection membership: array of the collection names
+    whose patterns full-match the URL (anchored, Matcher.matches
+    semantics). The crawler itself stamps only the name set on status
+    docs (keySet(), CrawlerListener.java:322) — config.
+    parse_collections + the wave handle that; THIS is the downstream
+    per-URL pattern match the indexer applies when routing documents
+    into collections (the patterns the parser at :257-258 compiles).
+    A handful of JVM rlike predicates — codegen, no Python."""
+    if not collections:
+        return F.array().cast("array<string>")
+    return F.filter(
+        F.array(
+            *[
+                F.when(full_match(url_col, pat), F.lit(name))
+                for name, pat in collections.items()
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+
 def robots_verdict(df: DataFrame, robots: DataFrame) -> DataFrame:
     """RB [north-rule addition — no reference counterpart, SURVEY.md
     §1.6]: join per-host robots rules, True where some disallow prefix

@@ -45,6 +45,7 @@ from ..operators.batching import (
     lineage_column,
     politeness_slots,
 )
+from ..config import parse_collections
 from ..operators.blacklist import BlacklistRule, apply_blacklist
 from ..operators.dedup import dedup_against_seen, first_occurrence
 from ..operators.filters import anchored, robots_verdict
@@ -53,7 +54,7 @@ from .wave import CANON_ORDER
 PROFILE_SCHEMA = (
     "crawl_id string, _mm string, _mnm string, _imm string, _imnm string, "
     "priority int, user_id string, start_url string, start_ssld string, "
-    "max_depth int"
+    "max_depth int, collections array<string>"
 )
 
 
@@ -75,6 +76,7 @@ def profiles_to_df(spark: SparkSession, profiles: dict[str, dict]) -> DataFrame:
                 p.get("start_url"),
                 p.get("start_ssld"),
                 int(p.get("crawlingDepth", 3)),
+                list(parse_collections(p.get("collection"))),
             )
         )
     return spark.createDataFrame(rows, PROFILE_SCHEMA)
@@ -267,13 +269,13 @@ def run_wave_multi(
         "crawl_id", "user_id", "url_id", "url",
         F.lit("rejected").alias("status"),
         F.col("reason").alias("comment_class"),
-        "depth", "start_url", "start_ssld",
+        "depth", "start_url", "start_ssld", "collections",
     ).unionByName(
         kept.select(
             "crawl_id", "user_id", "url_id", "url",
             F.lit("accepted").alias("status"),
             F.when(F.col("do_index"), "index").otherwise("noindex").alias("comment_class"),
-            "depth", "start_url", "start_ssld",
+            "depth", "start_url", "start_ssld", "collections",
         )
     )
     seen_new = flagged.select(

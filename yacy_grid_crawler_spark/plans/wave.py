@@ -155,6 +155,14 @@ def run_wave(
 ) -> WaveResult:
     crawl_id = profile["id"]
     user_id = profile.get("user_id", "anonymous")
+    # parsed collection NAMES stamped on every status doc
+    # (CrawlerListener.java:257-258 keySet() at :322)
+    from ..config import parse_collections
+
+    collection_names = list(parse_collections(profile.get("collection")))
+    colls_col = F.array(*[F.lit(n) for n in collection_names]).cast(
+        "array<string>"
+    )
 
     # P2 canonicalize + F1 content-domain. The fast gate (a JVM regex
     # deciding "already canonical", shared verbatim with the Python
@@ -325,6 +333,7 @@ def run_wave(
         F.lit(depth).alias("depth"),
         F.lit(profile.get("start_url")).alias("start_url"),
         F.lit(profile.get("start_ssld")).alias("start_ssld"),
+        colls_col.alias("collections"),
     ).unionByName(
         kept.select(
             "crawl_id",
@@ -338,6 +347,7 @@ def run_wave(
             F.lit(depth).alias("depth"),
             F.lit(profile.get("start_url")).alias("start_url"),
             F.lit(profile.get("start_ssld")).alias("start_ssld"),
+            colls_col.alias("collections"),
         )
     )
 

@@ -71,6 +71,10 @@ SCHEMAS: dict[str, T.StructType] = {
             f("depth", T.IntegerType()),
             f("start_url", T.StringType()),
             f("start_ssld", T.StringType()),
+            # collection NAMES from the profile's parsed collection
+            # map (keySet() like CrawlerListener.java:322; patterns
+            # are matched downstream, operators.filters)
+            f("collections", T.ArrayType(T.StringType())),
         ]
     ),
     "url_seen": S(
