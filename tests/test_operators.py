@@ -579,3 +579,20 @@ def test_wave_status_carries_collection_names(spark, corpus, docs_df, robots_df,
     job.run([cid])
     rows = job.store.read("crawl_status").select("collections").distinct().collect()
     assert len(rows) == 1 and list(rows[0]["collections"]) == ["user", "extra"]
+
+
+def test_user_ids_plural():
+    """CrawlerListener.java:195-199: user_ids array accepted; the
+    singular user_id appended iff absent."""
+    from yacy_grid_crawler_spark.config import build_crawl_start, make_profile
+
+    p = build_crawl_start(make_profile({}), "http://a.x/p")
+    assert p["user_ids"] == ["anonymous"]
+    p2 = build_crawl_start(
+        make_profile({"user_id": "u1", "user_ids": ["u2", "u1"]}), "http://a.x/p"
+    )
+    assert p2["user_ids"] == ["u2", "u1"]
+    p3 = build_crawl_start(
+        make_profile({"user_id": "u3", "user_ids": ["u2"]}), "http://a.x/p"
+    )
+    assert p3["user_ids"] == ["u2", "u3"]

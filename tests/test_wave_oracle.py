@@ -252,3 +252,69 @@ def test_wave_invariant_under_repartition_and_permutation(
         assert s1 == s0
         assert f1 == f0
     candidates.unpersist()
+
+
+def test_checkpointed_seen_filter_equals_exact(
+    spark, corpus, docs_df, robots_df, tmp_path_factory
+):
+    """North star: the seen bloom is built at wave COMMIT, persisted in
+    the snapshot, and PROBED next wave — never rebuilt from the seen
+    table mid-crawl. Results must equal the exact anti-join path."""
+    import yacy_grid_crawler_spark.operators.dedup as dedup_mod
+    from yacy_grid_crawler_spark.fixtures.gen import blacklist_lines
+    from yacy_grid_crawler_spark.operators.blacklist import parse_lines
+    from yacy_grid_crawler_spark.plans.crawl_job import CrawlJob
+
+    rules = parse_lines(blacklist_lines(corpus))
+    seed = corpus.seeds[0]
+    outs = {}
+    for ckpt in (False, True):
+        root = str(tmp_path_factory.mktemp(f"store_ckpt_{ckpt}"))
+        job = CrawlJob(
+            spark, root, docs_df, blacklist=rules, robots=robots_df,
+            n_shards=8, checkpoint_filters=ckpt,
+        )
+        if ckpt:
+            # probing a checkpointed filter must never trigger an
+            # O(seen) per-wave rebuild inside the wave
+            import yacy_grid_crawler_spark.functions.bloom as bloom_mod
+
+            def _no_rebuild(*a, **k):
+                raise AssertionError(
+                    "per-wave bloom rebuild reached with checkpoint_filters=True"
+                )
+
+            # bloom_prefilter imports build_from_spark at call time,
+            # so patching the module attribute intercepts any rebuild
+            orig_build = bloom_mod.build_from_spark
+            bloom_mod.build_from_spark = _no_rebuild
+        try:
+            cids = job.start(seed, {"crawlingDepth": 2})
+            job.run(cids)
+        finally:
+            if ckpt:
+                bloom_mod.build_from_spark = orig_build
+        outs[ckpt] = (
+            frozenset(
+                (r["crawl_id"], r["url_id"])
+                for r in job.store.read("url_seen").collect()
+            ),
+            sorted(
+                (r["depth"], r["do_index"], r["batch_no"], r["batch_pos"], r["url_id"])
+                for r in job.store.read("frontier").collect()
+            ),
+        )
+        if ckpt:
+            # filter persisted in the snapshot with a sane fill count
+            meta = job.store.manifest()["meta"]["seen_filters"]
+            assert cids[0] in meta and meta[cids[0]]["n"] > 0
+            loaded = job.store.load_seen_filter(cids[0])
+            assert loaded is not None
+            bloom, ent = loaded
+            import pandas as pd
+
+            seen_ids = pd.Series(
+                [r["url_id"] for r in job.store.read("url_seen").collect()]
+            )
+            assert bloom.might_contain(seen_ids).all()  # no false negatives
+    assert outs[False] == outs[True]

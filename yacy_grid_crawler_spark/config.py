@@ -137,4 +137,13 @@ def build_crawl_start(
     single["start_url"] = norm
     single["start_ssld"] = smart_sld(url_host(norm))
     single["init_date"] = now
+    # plural user_ids (CrawlerListener.java:195-199): an action may
+    # carry a user_ids array; the singular user_id is appended iff
+    # absent. Rides the profile (our action envelope analogue) and is
+    # persisted in profile_json for the export layer.
+    uid = single.get("user_id") or ANONYMOUS_USER
+    user_ids = list(single.get("user_ids") or [])
+    if uid not in user_ids:
+        user_ids.append(uid)
+    single["user_ids"] = user_ids
     return single

@@ -75,6 +75,44 @@ class UrlBloom:
         return self
 
 
+def fold_into(bloom: UrlBloom, df, key: str = "url_id") -> UrlBloom:
+    """Distributed incremental add: fold `df`'s ids into an EXISTING
+    bloom's bit space (same m/k — per-partition bitmaps OR'd into
+    `bloom.bits`). This is what makes the checkpointed filter cheap:
+    each wave folds only its DELTA (the newly-seen ids) instead of
+    rebuilding from the full 10^10-row seen table."""
+    m, k = bloom.m, bloom.k
+
+    def fold(batches):
+        local = UrlBloom(1)
+        local.m, local.k = m, k
+        local.bits = np.zeros(m // 64, dtype=np.uint64)
+        for pdf in batches:
+            local.add_many(pdf[key].dropna())
+        yield pd.DataFrame({"bits": [local.bits.tobytes()]})
+
+    for row in df.select(key).mapInPandas(fold, "bits binary").collect():
+        bloom.bits |= np.frombuffer(row["bits"], dtype=np.uint64)
+    return bloom
+
+
+def to_bytes(bloom: UrlBloom) -> bytes:
+    """m/k header + bitmap — the snapshot-file payload."""
+    import struct
+
+    return struct.pack("<QQ", bloom.m, bloom.k) + bloom.bits.tobytes()
+
+
+def from_bytes(payload: bytes) -> UrlBloom:
+    import struct
+
+    m, k = struct.unpack_from("<QQ", payload, 0)
+    bloom = UrlBloom(1)
+    bloom.m, bloom.k = int(m), int(k)
+    bloom.bits = np.frombuffer(payload, dtype=np.uint64, offset=16).copy()
+    return bloom
+
+
 def build_from_spark(seen_df, key: str = "url_id", fpp: float = 0.01, n_items: int | None = None) -> UrlBloom:
     """Distributed build: each partition folds its ids into a local
     bitmap (mapInPandas — Arrow batches), the driver ORs the per-

@@ -185,6 +185,7 @@ def bloom_prefilter(
     fpp: float = 0.01,
     cache_registry: list | None = None,
     filter_kind: str = "bloom",
+    prebuilt=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split candidates into (definitely_new, maybe_seen) using a
     vectorized bloom filter built over the committed seen-set
@@ -200,7 +201,12 @@ def bloom_prefilter(
     deletes for the 7-day TTL sweep (CrawlerListener.java:84-85) so
     expiry never forces a rebuild.
     """
-    if filter_kind == "cuckoo":
+    if prebuilt is not None:
+        # checkpointed filter (north star: built at wave commit,
+        # persisted in the snapshot, probed next wave) — skips the
+        # O(seen) per-wave rebuild entirely
+        bloom = prebuilt
+    elif filter_kind == "cuckoo":
         from ..functions.cuckoo import build_from_spark as _build
 
         bloom = _build(seen, key=key, n_items=expected_items)
@@ -241,6 +247,7 @@ def dedup_against_seen(
     seen_count: int | None = None,
     cache_registry: list | None = None,
     filter_kind: str = "bloom",
+    prebuilt=None,
 ) -> DataFrame:
     """bloom/cuckoo pre-filter (fast path) + exact anti-join (decider)."""
     if not use_bloom:
@@ -248,6 +255,7 @@ def dedup_against_seen(
     new, maybe = bloom_prefilter(
         candidates, seen, key, expected_items=seen_count,
         cache_registry=cache_registry, filter_kind=filter_kind,
+        prebuilt=prebuilt,
     )
     resolved = anti_join_seen(maybe, seen, key, crawl_col)
     return new.unionByName(resolved)

@@ -45,6 +45,7 @@ class CrawlJob:
         use_bloom: bool = False,
         distributed_rank: bool | str = "auto",
         hot_host_threshold: int | None = None,
+        checkpoint_filters: bool = False,
     ):
         """`distributed_rank`: True forces the range-partitioned
         two-phase ranking (batching + politeness), False forces the
@@ -60,6 +61,11 @@ class CrawlJob:
         self.robots = robots
         self.n_shards = n_shards
         self.use_bloom = use_bloom
+        # checkpointed seen filters (north star): build the bloom at
+        # wave COMMIT (fold only the wave's delta), persist it in the
+        # snapshot, probe it next wave — no O(seen) rebuild per wave.
+        self.checkpoint_filters = checkpoint_filters
+        self._seen_filters: dict[str, list] = {}  # cid -> [bloom, n, cap]
         self.distributed_rank = distributed_rank
         self._prev_accepted: dict[str, int] = {}
         self.hot_host_threshold = hot_host_threshold
@@ -174,7 +180,69 @@ class CrawlJob:
         profiles = dict(prev.get("profiles", {}))
         for cid, p in self.profiles.items():
             profiles[cid] = json.dumps(p, default=str)
-        return {"next_depth": nd, "profiles": profiles}
+        return {
+            "next_depth": nd,
+            "profiles": profiles,
+            # carried forward; _update_seen_filter overwrites one entry
+            "seen_filters": dict(prev.get("seen_filters", {})),
+        }
+
+    # ---- checkpointed seen filters (north star) -------------------
+    def _load_seen_filter(self, cid: str):
+        """The UrlBloom committed by this crawl's previous wave (or
+        None on the first wave / fresh process — resume reloads from
+        the snapshot)."""
+        ent = self._seen_filters.get(cid)
+        if ent is None:
+            loaded = self.store.load_seen_filter(cid)
+            if loaded is None:
+                return None
+            bloom, m = loaded
+            ent = self._seen_filters[cid] = [bloom, m["n"], m["capacity"]]
+        return ent[0]
+
+    def _update_seen_filter(self, cid: str, version: int, meta: dict) -> None:
+        """Fold this wave's url_seen DELTA (already written to the
+        pending commit's data dir) into the crawl's bloom and persist
+        it BEFORE the manifest referencing it. Amortized-growth
+        rebuild: when fill passes 80% of capacity the filter is
+        rebuilt 4× larger from the full seen table — O(seen) but only
+        log-many times over a crawl's life; every other wave is
+        O(delta)."""
+        import os
+
+        from ..functions.bloom import UrlBloom, fold_into
+
+        delta_path = os.path.join(
+            self.store.root, "url_seen", f"commit={version}"
+        )
+        delta = (
+            self.spark.read.parquet(delta_path)
+            .filter(F.col("crawl_id") == cid)
+            .select("url_id")
+        )
+        n_delta = delta.count()
+        ent = self._seen_filters.get(cid)
+        if ent is None:
+            cap = max(1 << 17, 4 * n_delta)
+            ent = [UrlBloom(cap, fpp=0.01), 0, cap]
+        bloom, n, cap = ent
+        n += n_delta
+        if n > 0.8 * cap:
+            cap = max(cap * 4, 2 * n)
+            bloom = UrlBloom(cap, fpp=0.01)
+            full = (
+                self.store.read("url_seen")
+                .filter(F.col("crawl_id") == cid)
+                .select("url_id")
+                .unionByName(delta)
+            )
+            fold_into(bloom, full)
+        elif n_delta:
+            fold_into(bloom, delta)
+        entry = self.store.write_seen_filter(cid, bloom, n, cap, version)
+        meta.setdefault("seen_filters", {})[cid] = entry
+        self._seen_filters[cid] = [bloom, n, cap]
 
     def _seed_candidates(self, cid: str) -> DataFrame:
         """S2 — the rootasset graph: one canonical link = the start
@@ -260,6 +328,7 @@ class CrawlJob:
         seen = self.store.read("url_seen").filter(F.col("crawl_id") == cid)
         status_ids = self.store.read("crawl_status").select("url_id")
         base_slots = self._base_slots(cid)
+        seen_filter = self._load_seen_filter(cid) if self.checkpoint_filters else None
         res = run_wave(
             candidates,
             profile,
@@ -273,6 +342,7 @@ class CrawlJob:
             distributed_rank=self._rank_mode(self._prev_accepted.get(cid)),
             hot_host_threshold=self.hot_host_threshold,
             base_slots=base_slots,
+            seen_filter=seen_filter,
         )
         # Staged commit: the status write is the ONE action that
         # materializes the whole wave plan (it unions the rejected and
@@ -293,7 +363,10 @@ class CrawlJob:
         )
         counts = res.resolve()
         pc.append("crawl_metrics", res.metrics_df())
-        pc.finalize(meta=self._meta({cid: depth + 1}))
+        meta = self._meta({cid: depth + 1})
+        if self.checkpoint_filters:
+            self._update_seen_filter(cid, pc.version, meta)
+        pc.finalize(meta=meta)
         res.unpersist()
         self._prev_accepted[cid] = counts["accepted"]
         return counts["accepted"] > 0 and depth < max_depth

@@ -152,6 +152,7 @@ def run_wave(
     hot_host_threshold: int | None = None,
     wave_start_ms: int = 0,
     base_slots: DataFrame | None = None,  # (crawl_id, host, next_slot)
+    seen_filter=None,  # checkpointed UrlBloom from the prior wave's commit
 ) -> WaveResult:
     crawl_id = profile["id"]
     user_id = profile.get("user_id", "anonymous")
@@ -229,8 +230,9 @@ def run_wave(
         after_f1.drop("url_raw"), key="url", order=CANON_ORDER, carry=()
     ).withColumn("url_id", F.md5(F.col("url")))  # P3
     novel = dedup_against_seen(
-        in_wave, seen, key="url_id", crawl_col="crawl_id", use_bloom=use_bloom,
-        cache_registry=wave_caches,
+        in_wave, seen, key="url_id", crawl_col="crawl_id",
+        use_bloom=use_bloom or seen_filter is not None,
+        cache_registry=wave_caches, prebuilt=seen_filter,
     )
 
     # F2/F3/RB verdict columns → one `reason` discriminator

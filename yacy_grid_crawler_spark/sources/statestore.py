@@ -41,6 +41,11 @@ from pyspark.sql import types as T
 S = T.StructType
 f = T.StructField
 
+
+def _safe_name(s: str) -> str:
+    """Filesystem-safe filter-file stem for a crawl id."""
+    return "".join(c if c.isalnum() or c in "-._" else "_" for c in s)
+
 SCHEMAS: dict[str, T.StructType] = {
     "frontier": S(
         [
@@ -196,6 +201,48 @@ class StateStore:
             pc.replace(t, df)
         return pc.finalize(meta)
 
+    # ---- checkpointed seen filters --------------------------------
+    # North star: "per-partition bloom/cuckoo filters ... checkpointed
+    # ... to Iceberg snapshots". The filter file is written BEFORE the
+    # manifest that references it (same crash-atomicity as data dirs:
+    # an unreferenced filter file is inert debris), and the manifest
+    # meta carries {crawl_id: {file, n, capacity}} under
+    # "seen_filters". Next wave loads + probes instead of re-scanning
+    # the whole seen table to rebuild (O(delta) per wave, not O(seen)).
+    def _filterdir(self) -> str:
+        d = os.path.join(self.root, "_filters")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def write_seen_filter(
+        self, crawl_id: str, bloom, n: int, capacity: int, version: int
+    ) -> dict:
+        """Persist `bloom` for `crawl_id`; returns the manifest meta
+        entry the caller must place under meta['seen_filters']."""
+        from ..functions.bloom import to_bytes
+
+        fname = f"{_safe_name(crawl_id)}-v{version:06d}.bloom"
+        tmp = os.path.join(self._filterdir(), f".tmp_{fname}")
+        with open(tmp, "wb") as fh:
+            fh.write(to_bytes(bloom))
+        os.rename(tmp, os.path.join(self._filterdir(), fname))
+        return {"file": fname, "n": int(n), "capacity": int(capacity)}
+
+    def load_seen_filter(self, crawl_id: str):
+        """(UrlBloom, meta_entry) for the current manifest, or None."""
+        from ..functions.bloom import from_bytes
+
+        entry = (
+            self.manifest().get("meta", {}).get("seen_filters", {}).get(crawl_id)
+        )
+        if not entry:
+            return None
+        path = os.path.join(self._filterdir(), entry["file"])
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as fh:
+            return from_bytes(fh.read()), entry
+
     def compact(self, table: str, aggregate=None) -> int:
         """Maintenance: rewrite a table's accumulated commit-dirs into
         ONE commit (the snapshot-table analogue of Iceberg's
@@ -248,6 +295,20 @@ class StateStore:
                     c = int(name.split("=", 1)[1])
                     if c not in referenced.get(t, set()):
                         shutil.rmtree(os.path.join(tdir, name))
+        # filter files not referenced by any surviving manifest
+        fdir = os.path.join(self.root, "_filters")
+        if os.path.isdir(fdir):
+            live = {
+                e["file"]
+                for v in self.versions()
+                for e in self.manifest(v)
+                .get("meta", {})
+                .get("seen_filters", {})
+                .values()
+            }
+            for name in os.listdir(fdir):
+                if name not in live:
+                    os.remove(os.path.join(fdir, name))
 
     # ---- domain helpers ---------------------------------------------
     def completion(self) -> DataFrame:
