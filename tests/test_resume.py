@@ -216,3 +216,38 @@ def test_wide_mustmatch_recrawl_deletes_prior_crawl_entries(
     )
     job.run([cid2])
     assert _accepted(job, cid2) == first
+
+
+def test_long_crawl_commit_dirs_stay_bounded(
+    spark, corpus, docs_df, robots_df, tmp_path
+):
+    """Driver-loop maintenance cadence: with compact_every=N the
+    commit-dir count of every log-structured table stays bounded and
+    the final crawl state is unchanged vs an unmaintained run."""
+    import os
+
+    from yacy_grid_crawler_spark.fixtures.gen import blacklist_lines
+    from yacy_grid_crawler_spark.operators.blacklist import parse_lines
+    from yacy_grid_crawler_spark.plans.crawl_job import CrawlJob
+
+    rules = parse_lines(blacklist_lines(corpus))
+    seed = corpus.seeds[0]
+    state = {}
+    for label, compact_every in (("plain", 0), ("maintained", 2)):
+        root = str(tmp_path / label)
+        job = CrawlJob(spark, root, docs_df, blacklist=rules, robots=robots_df, n_shards=8)
+        cids = job.start(seed, {"crawlingDepth": 3})
+        job.run(cids, compact_every=compact_every)
+        state[label] = frozenset(
+            (r["crawl_id"], r["url_id"])
+            for r in job.store.read("url_seen").collect()
+        )
+        if label == "maintained":
+            for t in ("url_seen", "crawl_status"):
+                dirs = [
+                    d
+                    for d in os.listdir(os.path.join(root, t))
+                    if d.startswith("commit=")
+                ]
+                assert len(dirs) <= 3, f"{t} has {len(dirs)} commit dirs"
+    assert state["plain"] == state["maintained"]

@@ -371,11 +371,46 @@ class CrawlJob:
         self._prev_accepted[cid] = counts["accepted"]
         return counts["accepted"] > 0 and depth < max_depth
 
-    def run(self, crawl_ids: list[str] | None = None) -> None:
-        """BFS all waves of the given crawls (default: all known)."""
+    # log-structured tables that accumulate one commit-dir per wave;
+    # read cost grows with commit count until compacted
+    _LOG_TABLES = ("url_seen", "host_slots", "crawl_status", "frontier", "crawl_metrics")
+
+    def maintain(self, max_commits: int = 16, keep_snapshots: int = 2) -> None:
+        """Compact log-structured tables whose commit-dir count exceeds
+        `max_commits`, then expire old snapshots and reclaim orphaned
+        dirs — bounds both read amplification (dirs scanned per read)
+        and disk growth over a long crawl. Safe mid-crawl: compaction
+        commits atomically and resume always targets the newest
+        manifest."""
+        man = self.store.manifest()
+        for t in self._LOG_TABLES:
+            if len(man["tables"].get(t, [])) > max_commits:
+                if t == "host_slots":
+                    self.store.compact(
+                        t,
+                        aggregate=lambda df: df.groupBy("crawl_id", "host").agg(
+                            F.sum("n").alias("n")
+                        ),
+                    )
+                else:
+                    self.store.compact(t)
+        self.store.expire_snapshots(keep_last=max(1, keep_snapshots))
+        self.store.rollback_orphans()
+
+    def run(
+        self, crawl_ids: list[str] | None = None, compact_every: int = 16
+    ) -> None:
+        """BFS all waves of the given crawls (default: all known).
+        Every `compact_every` waves the driver runs `maintain()` so
+        commit-dir counts stay bounded on long crawls (0 = never)."""
+        waves = 0
         for cid in crawl_ids or list(self.profiles):
             while self.step(cid):
-                pass
+                waves += 1
+                if compact_every and waves % compact_every == 0:
+                    self.maintain(max_commits=compact_every)
+        if compact_every and waves:
+            self.maintain(max_commits=compact_every)
 
     # ------------------------------------------------------------------
     def step_all(self, crawl_ids: list[str]) -> list[str]:
