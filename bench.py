@@ -196,7 +196,7 @@ def crawl_bench(cores: int, n_docs: int, wave_only: bool = False) -> dict:
         docs.unpersist()
         candidates.unpersist()
         seen.unpersist()
-        spark.stop()
+        _stop(spark)
         shutil.rmtree(local_dir, ignore_errors=True)
         return {
             "cores": cores,
@@ -246,10 +246,22 @@ def crawl_bench(cores: int, n_docs: int, wave_only: bool = False) -> dict:
     docs.unpersist()
     candidates.unpersist()
     seen.unpersist()
-    spark.stop()
+    _stop(spark)
     shutil.rmtree(store, ignore_errors=True)
     shutil.rmtree(local_dir, ignore_errors=True)
     return out
+
+
+def _stop(spark) -> None:
+    """Graceful session stop: give the DAG event loop a moment to
+    drain in-flight task-completion events (zombie tasks of finished
+    stages still push Python-accumulator updates; stopping the Python
+    accumulator server mid-flush produces a harmless-but-noisy
+    DataOutputStream.flush stack trace in stderr — BENCH_r01 tail)."""
+    import time as _time
+
+    _time.sleep(1.5)
+    spark.stop()
 
 
 def query_bench(cores: int) -> dict:
@@ -272,7 +284,7 @@ def query_bench(cores: int) -> dict:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)
-    spark.stop()
+    _stop(spark)
     return times
 
 

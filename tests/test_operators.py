@@ -596,3 +596,41 @@ def test_user_ids_plural():
         make_profile({"user_id": "u3", "user_ids": ["u2"]}), "http://a.x/p"
     )
     assert p3["user_ids"] == ["u2", "u3"]
+
+
+def test_tier2_jvm_equals_spec(spark):
+    """JVM tier-2 gate + string repair vs the Python spec, char for
+    char (dialect-drift guard like the tier-1 test)."""
+    from yacy_grid_crawler_spark.functions.urlnorm import (
+        _TIER2_CANONICAL_RE,
+        TIER2_CANONICAL_PATTERN_JVM,
+        canonicalize_url,
+        tier2_fix_jvm,
+    )
+
+    urls = [
+        "HTTP://Host0.Example.ORG/page/1.html",
+        "hTtPs://A.B/x/y/",
+        "http://a.com/x.html#frag",
+        "HTTP://A.COM/Path.CASE/kept#f#g",
+        "http://a.com/#",
+        "http://a.com/x#frag/with/slash?and=query",
+        "http://a.com/x#f g",   # whitespace in fragment → malformed
+        "http://a.com:80/x",    # port → python path
+        "http://a.com/x?q=1",   # query → python path
+        "http://a.com/a/../b",  # dot segment → python path
+        "http://u@a.com/x",     # userinfo → python path
+        "http://a.com/x\n",     # trailing newline → python path
+        "http://a.com/x",       # tier-1 too (gate may overlap)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        "url",
+        F.regexp_like("url", F.lit(TIER2_CANONICAL_PATTERN_JVM)).alias("t2"),
+        tier2_fix_jvm(F.col("url")).alias("fixed"),
+    ).collect()
+    for r in rows:
+        py = bool(_TIER2_CANONICAL_RE.match(r["url"]))
+        assert r["t2"] == py, f"tier2 gate dialect drift on {r['url']!r}"
+        if py:
+            assert r["fixed"] == canonicalize_url(r["url"]), r["url"]

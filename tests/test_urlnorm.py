@@ -213,3 +213,61 @@ def test_vectorized_fast_gate_is_identity_only():
     ]
     for u in rejected_needing_work:
         assert not _FAST_CANONICAL_RE.match(u), f"gate must reject {u!r}"
+
+
+def test_tier2_gate_subset_of_spec_identity():
+    """Every tier-2 URL's python-side repair (lower head + strip
+    fragment) must equal canonicalize_url exactly."""
+    from yacy_grid_crawler_spark.functions.urlnorm import (
+        _TIER2_CANONICAL_RE,
+        canonicalize_url,
+    )
+
+    cases = [
+        "HTTP://Host0.Example.ORG/page/1.html",
+        "hTtPs://A.B/x/y/",
+        "http://a.com/x.html#frag",
+        "HTTP://A.COM/Path.CASE/kept#f#g",
+        "http://a.com/#",
+        "HTTPS://A-B.c0m/",
+        "http://a.com/x#frag/with/slash?and=query",
+    ]
+    for u in cases:
+        assert _TIER2_CANONICAL_RE.match(u), u
+        base = u.split("#", 1)[0]
+        head, _, rest = base.partition("//")
+        hostpart, slash, path = rest.partition("/")
+        fixed = head.lower() + "//" + hostpart.lower() + slash + path
+        assert fixed == canonicalize_url(u), u
+    # NOT tier-2: whitespace in fragment (spec: malformed), ports,
+    # query, pct, dot segments, userinfo
+    for u in [
+        "http://a.com/x#f g",
+        "http://a.com:80/x",
+        "http://a.com/x?q=1",
+        "http://a.com/p%20q",
+        "http://a.com/a/../b",
+        "http://u@a.com/x",
+        "http://a.com./x",
+        "http://a.com/x\n",
+    ]:
+        assert not _TIER2_CANONICAL_RE.match(u), u
+
+
+@given(st.text(alphabet="abcXYZ09.-_~/#: \n%?", max_size=40))
+def test_tier2_fix_equals_spec_on_gate(suffix):
+    """Property: whenever the tier-2 gate accepts, the string repair
+    equals the full spec canonicalization."""
+    from yacy_grid_crawler_spark.functions.urlnorm import (
+        _TIER2_CANONICAL_RE,
+        canonicalize_url,
+    )
+
+    u = "HTTP://Host.Example.org/" + suffix
+    if not _TIER2_CANONICAL_RE.match(u):
+        return
+    base = u.split("#", 1)[0]
+    head, _, rest = base.partition("//")
+    hostpart, slash, path = rest.partition("/")
+    fixed = head.lower() + "//" + hostpart.lower() + slash + path
+    assert fixed == canonicalize_url(u)

@@ -365,6 +365,45 @@ def _fast_pattern(end: str) -> str:
 FAST_CANONICAL_PATTERN_JVM = _fast_pattern(r"\z")  # java.util.regex
 FAST_CANONICAL_PATTERN = FAST_CANONICAL_PATTERN_JVM  # back-compat alias
 _FAST_CANONICAL_RE = _re.compile(_fast_pattern(r"\Z"))
+
+
+# ---------------------------------------------------------------------------
+# Tier-2 gate: "canonical except scheme/host CASE and/or a #fragment".
+# For URLs matching this gate, canonicalize_url reduces to exactly
+#   lower(scheme://host) + path-without-fragment
+# because: the path is already in the strict canonical charset (rules
+# 5/6 no-ops), there is no port/userinfo/query/percent-encoding, and
+# whitespace anywhere makes the spec return None (so the gate excludes
+# it everywhere, including inside the fragment). The fix is pure JVM
+# string ops — this routes the two most common real-web non-canonical
+# shapes (case, fragment) around the Python kernel entirely.
+# ---------------------------------------------------------------------------
+
+
+def _tier2_pattern(end: str) -> str:
+    seg = rf"(?:(?!\.{{1,2}}(?:/|{end}))[A-Za-z0-9_\-.~]+)"
+    return (
+        r"^(?i:https?://(?:[a-z0-9][a-z0-9\-]*)(?:\.[a-z0-9][a-z0-9\-]*)*)"
+        rf"/(?:{seg}(?:/{seg})*/?)?(?:#[^ \t\r\n]*)?{end}"
+    )
+
+
+TIER2_CANONICAL_PATTERN_JVM = _tier2_pattern(r"\z")
+_TIER2_CANONICAL_RE = _re.compile(_tier2_pattern(r"\Z"))
+
+
+def tier2_fix_jvm(url_col):
+    """JVM repair for tier-2 URLs: strip from the first '#', lowercase
+    the scheme://host head (path case is significant and preserved).
+    ONLY valid on rows matching TIER2_CANONICAL_PATTERN — equality
+    with canonicalize_url on that subset is pinned by
+    tests/test_urlnorm.py::test_tier2_jvm_equals_spec."""
+    from pyspark.sql import functions as F
+
+    base = F.substring_index(url_col, "#", 1)
+    head = F.substring_index(base, "/", 3)  # scheme://host
+    rest = base.substr(F.length(head) + F.lit(1), F.length(base))
+    return F.concat(F.lower(head), rest)
 # content-domain extension sniff shared with the JVM the same way
 EXT_PATTERN = r"^[a-z]+://[^?]*/[^/?]*\.([A-Za-z0-9]{1,5})(?:\?|$)"
 

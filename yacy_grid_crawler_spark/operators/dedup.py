@@ -167,14 +167,36 @@ def anti_join_seen(
     seen: DataFrame,
     key: str = "url_id",
     crawl_col: str | None = "crawl_id",
+    assume_unique: bool = False,
+    join_hint: str | None = None,
 ) -> DataFrame:
     """Exact cross-wave dedup (D2 layer-2 / D3): NOT EXISTS as a left
     anti join. With `crawl_col`, membership is per-crawl (the session
     double cache is keyed by crawl_id, CrawlerListener.java:82);
     without, it is global (the crawler index is keyed by _id only,
-    :434-441)."""
+    :434-441).
+
+    `assume_unique=True` skips the defensive distinct() on the seen
+    side — for a LEFT ANTI join duplicate build keys never change the
+    result, only build size, so callers whose seen side is unique by
+    construction (the committed url_seen table: anti-joined before
+    every append) drop a full shuffle of the seen table per wave.
+
+    `join_hint='shuffle_hash'` pins ShuffledHashJoin: no sort of the
+    10^10-row probe side (vs sort-merge), and no driver-serial
+    broadcast build (AQE happily broadcasts a multi-MB seen side at
+    bench scale — a few seconds of SERIAL driver work that caps
+    scaling at any core count and would be the wrong plan at real
+    scale anyway). With the wave side already hash-partitioned on the
+    key, the probe side's exchange is reused — only the seen side
+    shuffles."""
     on = [key] if crawl_col is None else [crawl_col, key]
-    return candidates.join(seen.select(*on).distinct(), on=on, how="left_anti")
+    right = seen.select(*on)
+    if not assume_unique:
+        right = right.distinct()
+    if join_hint:
+        right = right.hint(join_hint)
+    return candidates.join(right, on=on, how="left_anti")
 
 
 def bloom_prefilter(
@@ -248,14 +270,22 @@ def dedup_against_seen(
     cache_registry: list | None = None,
     filter_kind: str = "bloom",
     prebuilt=None,
+    assume_unique: bool = False,
+    join_hint: str | None = None,
 ) -> DataFrame:
     """bloom/cuckoo pre-filter (fast path) + exact anti-join (decider)."""
     if not use_bloom:
-        return anti_join_seen(candidates, seen, key, crawl_col)
+        return anti_join_seen(
+            candidates, seen, key, crawl_col,
+            assume_unique=assume_unique, join_hint=join_hint,
+        )
     new, maybe = bloom_prefilter(
         candidates, seen, key, expected_items=seen_count,
         cache_registry=cache_registry, filter_kind=filter_kind,
         prebuilt=prebuilt,
     )
-    resolved = anti_join_seen(maybe, seen, key, crawl_col)
+    resolved = anti_join_seen(
+        maybe, seen, key, crawl_col,
+        assume_unique=assume_unique, join_hint=join_hint,
+    )
     return new.unionByName(resolved)

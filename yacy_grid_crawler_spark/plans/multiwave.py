@@ -38,7 +38,11 @@ from pyspark.sql import functions as F
 
 from ..config import BATCH_SIZE
 from ..functions.udfs import canonicalize
-from ..functions.urlnorm import FAST_CANONICAL_PATTERN
+from ..functions.urlnorm import (
+    FAST_CANONICAL_PATTERN,
+    TIER2_CANONICAL_PATTERN_JVM,
+    tier2_fix_jvm,
+)
 from ..operators.batching import (
     assign_batches,
     assign_shard,
@@ -168,23 +172,34 @@ def run_wave_multi(
     # once per consumer (filter predicates get no subexpression
     # elimination)
     _fast = F.regexp_like(F.col("url_raw"), F.lit(FAST_CANONICAL_PATTERN))
+    # tier-2: canonical except scheme/host case / #fragment — repaired
+    # by pure JVM string ops (urlnorm.tier2_fix_jvm); only the residue
+    # (ports, dot-segments, pct-encoding, querystrings...) pays the
+    # Arrow round trip
+    _t2 = (~F.col("_fast")) & F.regexp_like(
+        F.col("url_raw"), F.lit(TIER2_CANONICAL_PATTERN_JVM)
+    )
     c = (
         candidates.withColumn("_fast", _fast)
+        .withColumn("_t2", _t2)
         .withColumn(
             "_slow",
             canonicalize(
-                F.when(F.col("_fast"), F.lit(None).cast("string")).otherwise(
-                    F.col("url_raw")
-                )
+                F.when(
+                    F.col("_fast") | F.col("_t2"), F.lit(None).cast("string")
+                ).otherwise(F.col("url_raw"))
             ),
         )
         .withColumn(
             "url",
             F.coalesce(
-                F.col("_slow"), F.when(F.col("_fast"), F.col("url_raw"))
+                F.col("_slow"),
+                F.when(F.col("_fast"), F.col("url_raw")).when(
+                    F.col("_t2"), tier2_fix_jvm(F.col("url_raw"))
+                ),
             ),
         )
-        .drop("_fast", "_slow")
+        .drop("_fast", "_t2", "_slow")
         .withColumn("_dom", content_domain_jvm(F.col("url")))
         .persist()  # reused by the per-crawl parse metrics
     )

@@ -55,7 +55,11 @@ def _tick(label: str, t0: float) -> float:
 
 from ..config import BATCH_SIZE
 from ..functions.udfs import canonicalize
-from ..functions.urlnorm import FAST_CANONICAL_PATTERN
+from ..functions.urlnorm import (
+    FAST_CANONICAL_PATTERN,
+    TIER2_CANONICAL_PATTERN_JVM,
+    tier2_fix_jvm,
+)
 from ..operators.batching import (
     assign_batches,
     assign_lane,
@@ -183,23 +187,34 @@ def run_wave(
     # once per consumer (filter predicates get no subexpression
     # elimination)
     _fast = F.regexp_like(F.col("url_raw"), F.lit(FAST_CANONICAL_PATTERN))
+    # tier-2: canonical except scheme/host case / #fragment — repaired
+    # by pure JVM string ops (urlnorm.tier2_fix_jvm); only the residue
+    # (ports, dot-segments, pct-encoding, querystrings...) pays the
+    # Arrow round trip
+    _t2 = (~F.col("_fast")) & F.regexp_like(
+        F.col("url_raw"), F.lit(TIER2_CANONICAL_PATTERN_JVM)
+    )
     c = (
         candidates.withColumn("_fast", _fast)
+        .withColumn("_t2", _t2)
         .withColumn(
             "_slow",
             canonicalize(
-                F.when(F.col("_fast"), F.lit(None).cast("string")).otherwise(
-                    F.col("url_raw")
-                )
+                F.when(
+                    F.col("_fast") | F.col("_t2"), F.lit(None).cast("string")
+                ).otherwise(F.col("url_raw"))
             ),
         )
         .withColumn(
             "url",
             F.coalesce(
-                F.col("_slow"), F.when(F.col("_fast"), F.col("url_raw"))
+                F.col("_slow"),
+                F.when(F.col("_fast"), F.col("url_raw")).when(
+                    F.col("_t2"), tier2_fix_jvm(F.col("url_raw"))
+                ),
             ),
         )
-        .drop("_fast", "_slow")
+        .drop("_fast", "_t2", "_slow")
         .withColumn("_dom", content_domain_jvm(F.col("url")))
         .observe(
             obs_parse,
@@ -225,14 +240,34 @@ def run_wave(
     # packed-aggregate fast path keyed on the URL STRING: a pure
     # codegen HashAggregate (fixed-width min(packed_order) buffer), and
     # md5 (P3) runs once per UNIQUE url after the collapse instead of
-    # once per candidate — measured 2× the md5-first formulation
-    in_wave = first_occurrence(
-        after_f1.drop("url_raw"), key="url", order=CANON_ORDER, carry=()
-    ).withColumn("url_id", F.md5(F.col("url")))  # P3
+    # once per candidate — measured 2× the md5-first formulation.
+    # Single-crawl wave: crawl_id is a LITERAL here, so it is kept OUT
+    # of every shuffle key — a constant key column only fragments
+    # exchange reuse (hash(crawl_id, url) ≠ hash(url) to Catalyst even
+    # when crawl_id never varies). With both anti-joins keyed on bare
+    # url_id, the seen join's exchange is REUSED by the status join —
+    # one url_id shuffle of the wave instead of two (the multiwave
+    # keeps crawl_id in its keys because there it truly varies).
+    in_wave = (
+        first_occurrence(
+            after_f1.drop("url_raw", "crawl_id"),
+            key="url",
+            order=CANON_ORDER,
+            carry=(),
+            crawl_col=None,
+        )
+        .withColumn("url_id", F.md5(F.col("url")))  # P3
+        .withColumn("crawl_id", F.lit(crawl_id))
+    )
+    # url_seen is unique by construction (anti-joined before every
+    # append) → no defensive distinct; shuffle_hash → no sort of the
+    # wave side and no AQE driver-serial broadcast build (see
+    # anti_join_seen docstring)
     novel = dedup_against_seen(
-        in_wave, seen, key="url_id", crawl_col="crawl_id",
+        in_wave, seen.select("url_id"), key="url_id", crawl_col=None,
         use_bloom=use_bloom or seen_filter is not None,
         cache_registry=wave_caches, prebuilt=seen_filter,
+        assume_unique=True, join_hint="shuffle_hash",
     )
 
     # F2/F3/RB verdict columns → one `reason` discriminator
@@ -272,7 +307,8 @@ def run_wave(
 
     # D3 persistent exist-check (bulk anti-join, CrawlerListener.java:360-365)
     kept = dedup_against_seen(
-        passed, status_ids, key="url_id", crawl_col=None, use_bloom=False
+        passed, status_ids, key="url_id", crawl_col=None, use_bloom=False,
+        join_hint="shuffle_hash",
     )
 
     # F4 index/noindex steering + G1/G2/G3/G4 + politeness + lineage
