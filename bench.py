@@ -315,9 +315,50 @@ def query_bench(cores: int) -> dict:
     return times
 
 
+def _phase(kind: str, **params) -> dict:
+    """Run one bench phase in a SUBPROCESS: each phase gets a fresh
+    JVM, so no cross-session Python-accumulator noise lands in the
+    recorded stderr tail and per-phase /proc CPU accounting is exact.
+    Falls back to in-process execution if the subprocess fails."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_PHASE"] = json.dumps({"kind": kind, **params})
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        capture_output=True, text=True, env=env,
+    )
+    for line in reversed(proc.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    # subprocess produced no result — run inline (noisier but robust)
+    print(
+        f"bench phase {kind} subprocess failed (rc={proc.returncode}); "
+        "running inline", file=sys.stderr,
+    )
+    return (query_bench if kind == "queries" else crawl_bench)(**params)
+
+
+def _run_phase_from_env() -> bool:
+    spec = os.environ.get("SPARK_GRAFT_BENCH_PHASE")
+    if not spec:
+        return False
+    params = json.loads(spec)
+    kind = params.pop("kind")
+    out = (query_bench if kind == "queries" else crawl_bench)(**params)
+    print(json.dumps(out), flush=True)
+    return True
+
+
 def main() -> None:
-    queries = query_bench(CPUS)
-    crawl = crawl_bench(CPUS, N_DOCS)
+    if _run_phase_from_env():
+        return
+    queries = _phase("queries", cores=CPUS)
+    crawl = _phase("crawl", cores=CPUS, n_docs=N_DOCS)
     result = {
         "metric": "frontier_urls_per_sec",
         "value": crawl["urls_per_sec"],
@@ -343,11 +384,28 @@ def main() -> None:
         # AQE barriers, dispatch) so ratios can be floor-adjusted;
         # JVM CPU totals measured from /proc give the work-
         # normalization term. Full decomposition: BASELINE.md.
+        # Hypervisor neighbor noise on this sandbox comes in multi-
+        # minute bursts (documented: identical waves 2-3x apart), so
+        # each level is VISITED TWICE in interleaved order and the
+        # faster visit kept — a burst that lands on one visit of one
+        # level no longer poisons the ratio.
+        rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
         levels = {}
         floors = {}
         for cores in (2, 8, 32):
-            floors[cores] = crawl_bench(cores, 2000, wave_only=True)["wave_sec"]
-            levels[cores] = crawl_bench(cores, SCALING_DOCS, wave_only=True)
+            floors[cores] = _phase(
+                "crawl", cores=cores, n_docs=2000, wave_only=True
+            )["wave_sec"]
+        for _ in range(rounds):
+            for cores in (2, 8, 32):
+                r = _phase(
+                    "crawl", cores=cores, n_docs=SCALING_DOCS, wave_only=True
+                )
+                prev = levels.get(cores)
+                visits = (prev or {}).get("visits", []) + [r["wave_sec"]]
+                if prev is None or r["wave_sec"] < prev["wave_sec"]:
+                    levels[cores] = r
+                levels[cores]["visits"] = visits
 
         def pair(lo_c, hi_c):
             lo, hi = levels[lo_c], levels[hi_c]

@@ -260,7 +260,6 @@ def test_checkpointed_seen_filter_equals_exact(
     """North star: the seen bloom is built at wave COMMIT, persisted in
     the snapshot, and PROBED next wave — never rebuilt from the seen
     table mid-crawl. Results must equal the exact anti-join path."""
-    import yacy_grid_crawler_spark.operators.dedup as dedup_mod
     from yacy_grid_crawler_spark.fixtures.gen import blacklist_lines
     from yacy_grid_crawler_spark.operators.blacklist import parse_lines
     from yacy_grid_crawler_spark.plans.crawl_job import CrawlJob

@@ -69,6 +69,16 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--n-shards", type=int, default=32)
     ap.add_argument("--use-bloom", action="store_true")
     ap.add_argument(
+        "--checkpoint-filters", action="store_true",
+        help="persist per-crawl seen blooms in the snapshot and probe "
+             "them next wave (north-star checkpointed filters)",
+    )
+    ap.add_argument(
+        "--compact-every", type=int, default=16,
+        help="run store maintenance (compaction + snapshot expiry) "
+             "every N waves; 0 disables",
+    )
+    ap.add_argument(
         "--resume", action="store_true", help="resume the store's crawls instead of seeding"
     )
     ap.add_argument(
@@ -119,6 +129,7 @@ def main(argv: list[str] | None = None) -> int:
         n_shards=args.n_shards,
         use_bloom=args.use_bloom,
         distributed_rank="auto",
+        checkpoint_filters=args.checkpoint_filters,
     )
 
     if args.resume:
@@ -144,7 +155,7 @@ def main(argv: list[str] | None = None) -> int:
             overrides[key] = val
 
     cids = job.start(args.crawling_url, overrides)
-    job.run(cids)
+    job.run(cids, compact_every=args.compact_every)
     metrics = {
         r["crawl_id"]: {"extracted": r["extracted"], "accepted": r["accepted"]}
         for r in job.store.read("crawl_metrics")

@@ -212,9 +212,13 @@ def run_wave_multi(
         order=CANON_ORDER,
         carry=("depth",),  # constant within (crawl_id, url) in a tier
     ).withColumn("url_id", F.md5(F.col("url")))
+    # url_seen unique by construction; shuffle_hash avoids both the
+    # probe-side sort and the AQE driver-serial broadcast build (see
+    # anti_join_seen docstring)
     novel = dedup_against_seen(
         in_wave, seen, key="url_id", crawl_col="crawl_id", use_bloom=use_bloom,
         cache_registry=wave_caches,
+        assume_unique=True, join_hint="shuffle_hash",
     )
 
     novel = novel.join(F.broadcast(profiles), "crawl_id").withColumn(
@@ -246,7 +250,8 @@ def run_wave_multi(
     passed = flagged.filter(F.col("reason") == "pass").drop("reason")
 
     kept = dedup_against_seen(
-        passed, status_ids, key="url_id", crawl_col=None, use_bloom=False
+        passed, status_ids, key="url_id", crawl_col=None, use_bloom=False,
+        join_hint="shuffle_hash",
     )
     kept = kept.withColumn(
         "do_index",

@@ -89,8 +89,37 @@ def frontier_stream(candidates: DataFrame, ttl: bool = False) -> DataFrame:
     operators inside foreachBatch. `ttl=True` arms the 7-day state
     sweep (keeps the query's trigger loop alive between batches —
     production mode; leave off for drain-and-stop smoke runs)."""
+    # same tiered gate as the batch wave: tier-1 identity and tier-2
+    # case/fragment repair stay JVM-side; only the residue pays the
+    # Arrow round trip (equality pinned by the urlnorm test suite)
+    from ..functions.urlnorm import (
+        FAST_CANONICAL_PATTERN,
+        TIER2_CANONICAL_PATTERN_JVM,
+        tier2_fix_jvm,
+    )
+
+    _fast = F.regexp_like(F.col("url_raw"), F.lit(FAST_CANONICAL_PATTERN))
+    _t2 = (~F.col("_fast")) & F.regexp_like(
+        F.col("url_raw"), F.lit(TIER2_CANONICAL_PATTERN_JVM)
+    )
     canon = (
-        candidates.withColumn("url", canonicalize(F.col("url_raw")))
+        candidates.withColumn("_fast", _fast)
+        .withColumn("_t2", _t2)
+        .withColumn(
+            "url",
+            F.coalesce(
+                canonicalize(
+                    F.when(
+                        F.col("_fast") | F.col("_t2"),
+                        F.lit(None).cast("string"),
+                    ).otherwise(F.col("url_raw"))
+                ),
+                F.when(F.col("_fast"), F.col("url_raw")).when(
+                    F.col("_t2"), tier2_fix_jvm(F.col("url_raw"))
+                ),
+            ),
+        )
+        .drop("_fast", "_t2")
         .filter(F.col("url").isNotNull())
         .withColumn("url_id", F.md5(F.col("url")))
     )
