@@ -173,3 +173,42 @@ def test_in_wave_dedup_is_sort_free_hash_agg(spark):
     # min order tuple is then batch_no=5
     assert w["parent_ini"] == 1 and w["parent_batch_no"] == 5
     assert w["url"].endswith("/5")
+
+
+def test_wave_reuses_one_url_id_exchange(spark):
+    """The single-crawl wave keys the dedup aggregate and BOTH
+    anti-joins so that the wave side shuffles on url-ish keys exactly
+    twice in total (agg key + one shared url_id exchange): the status
+    anti-join must REUSE the seen anti-join's exchange, and the seen
+    side must be a ShuffledHashJoin (no probe-side sort, no
+    driver-serial broadcast of the seen table)."""
+    from yacy_grid_crawler_spark.config import build_crawl_start, make_profile
+    from yacy_grid_crawler_spark.plans.wave import run_wave
+
+    candidates = spark.range(2000).select(
+        F.lit(0).alias("parent_ini"),
+        F.col("id").alias("parent_batch_no"),
+        F.lit(0).alias("parent_batch_pos"),
+        F.lit(0).alias("span_offset"),
+        F.concat(F.lit("http://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".example.org/p/"), (F.col("id") % 900).cast("string")).alias("url_raw"),
+    )
+    profile = build_crawl_start(make_profile({}), "http://h0.example.org/p/0")
+    seen = spark.range(300).select(
+        F.lit(profile["id"]).alias("crawl_id"),
+        F.md5(F.col("id").cast("string")).alias("url_id"),
+        F.lit(0).alias("first_depth"),
+    )
+    status = spark.range(200).select(
+        F.md5(F.concat(F.lit("s"), F.col("id").cast("string"))).alias("url_id")
+    )
+    res = run_wave(candidates, profile, seen=seen, status_ids=status, depth=1)
+    res.frontier.collect()
+    plan = _formatted(res.frontier)
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ShuffledHashJoin") >= 2, plan[:1200]
+    # the wave side is exchanged on url_id ONCE; the second anti-join
+    # reuses it (AQE prints the reuse as ReusedExchange / ReusedQueryStage)
+    assert "Reused" in plan, plan[:1200]
+    assert "BroadcastHashJoin LeftAnti" not in plan, plan[:1200]
+    res.unpersist()
