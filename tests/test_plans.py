@@ -175,13 +175,17 @@ def test_in_wave_dedup_is_sort_free_hash_agg(spark):
     assert w["url"].endswith("/5")
 
 
-def test_wave_reuses_one_url_id_exchange(spark):
-    """The single-crawl wave keys the dedup aggregate and BOTH
-    anti-joins so that the wave side shuffles on url-ish keys exactly
-    twice in total (agg key + one shared url_id exchange): the status
-    anti-join must REUSE the seen anti-join's exchange, and the seen
-    side must be a ShuffledHashJoin (no probe-side sort, no
-    driver-serial broadcast of the seen table)."""
+def test_wave_anti_joins_are_shuffled_hash(spark):
+    """Both wave anti-joins must be ShuffledHashJoin on bare url_id:
+    no sort of the probe side (SMJ would sort the 10^10-row wave), no
+    driver-serial broadcast build (AQE would happily broadcast a
+    multi-MB seen side at test scale — wrong plan at real scale and a
+    parallelism-independent wall-clock term), and no constant crawl_id
+    fragmenting the shuffle keys. (Full exchange reuse across the two
+    joins is defeated by the persist boundary — an AQE-wrapped cached
+    plan reports unknown partitioning to the outer query — so the
+    wave side exchanges on url_id per join; the keys are half the
+    bytes of the round-1 (crawl_id, url)-keyed shuffles.)"""
     from yacy_grid_crawler_spark.config import build_crawl_start, make_profile
     from yacy_grid_crawler_spark.plans.wave import run_wave
 
@@ -206,9 +210,13 @@ def test_wave_reuses_one_url_id_exchange(spark):
     res.frontier.collect()
     plan = _formatted(res.frontier)
     assert "isFinalPlan=true" in plan
-    assert plan.count("ShuffledHashJoin") >= 2, plan[:1200]
-    # the wave side is exchanged on url_id ONCE; the second anti-join
-    # reuses it (AQE prints the reuse as ReusedExchange / ReusedQueryStage)
-    assert "Reused" in plan, plan[:1200]
+    assert "ShuffledHashJoin LeftAnti" in plan, plan[:1200]
+    assert "SortMergeJoin" not in plan, plan[:1200]
     assert "BroadcastHashJoin LeftAnti" not in plan, plan[:1200]
+    # dedup/join shuffle keys are bare url_id / url — no constant
+    # crawl_id key bytes riding those exchanges (the batching window's
+    # (crawl_id, do_index) partitioning is a different, tiny-key
+    # exchange and legitimately keeps its group columns)
+    assert "hashpartitioning(url_id" in plan, plan[:1200]
+    assert "hashpartitioning(crawl_id, url" not in plan, plan[:1200]
     res.unpersist()
