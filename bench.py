@@ -385,11 +385,12 @@ def main() -> None:
         # JVM CPU totals measured from /proc give the work-
         # normalization term. Full decomposition: BASELINE.md.
         # Hypervisor neighbor noise on this sandbox comes in multi-
-        # minute bursts (documented: identical waves 2-3x apart), so
-        # each level is VISITED TWICE in interleaved order and the
-        # faster visit kept — a burst that lands on one visit of one
-        # level no longer poisons the ratio.
-        rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+        # minute bursts (documented: identical waves 2-3x apart); set
+        # SPARK_GRAFT_SCALING_ROUNDS=2 to visit each level twice in
+        # interleaved order keeping the faster visit, so a burst that
+        # lands on one visit of one level no longer poisons the ratio
+        # (default 1 keeps the per-round bench under ~25 min).
+        rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "1"))
         levels = {}
         floors = {}
         for cores in (2, 8, 32):
