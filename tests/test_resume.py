@@ -251,3 +251,44 @@ def test_long_crawl_commit_dirs_stay_bounded(
                 ]
                 assert len(dirs) <= 3, f"{t} has {len(dirs)} commit dirs"
     assert state["plain"] == state["maintained"]
+
+
+def test_checkpoint_filters_survive_process_restart(
+    spark, corpus, docs_df, robots_df, tmp_path
+):
+    """A fresh CrawlJob (new driver process) must reload the committed
+    seen filter from the snapshot and converge to the same final state
+    as an uninterrupted checkpointed run."""
+    from yacy_grid_crawler_spark.fixtures.gen import blacklist_lines
+    from yacy_grid_crawler_spark.operators.blacklist import parse_lines
+    from yacy_grid_crawler_spark.plans.crawl_job import CrawlJob
+
+    rules = parse_lines(blacklist_lines(corpus))
+    seed = corpus.seeds[0]
+
+    root_a = str(tmp_path / "a")
+    job_a = CrawlJob(spark, root_a, docs_df, blacklist=rules, robots=robots_df,
+                     n_shards=8, checkpoint_filters=True)
+    (cid_a,) = job_a.start(seed, {"crawlingDepth": 2})
+    job_a.run([cid_a])
+
+    root_b = str(tmp_path / "b")
+    job_b = CrawlJob(spark, root_b, docs_df, blacklist=rules, robots=robots_df,
+                     n_shards=8, checkpoint_filters=True)
+    (cid_b,) = job_b.start(seed, {"crawlingDepth": 2})
+    job_b.step(cid_b)  # one wave, then "crash"
+    job_b2 = CrawlJob(spark, root_b, docs_df, blacklist=rules, robots=robots_df,
+                      n_shards=8, checkpoint_filters=True)
+    assert job_b2._seen_filters == {}  # nothing in memory yet
+    job_b2.resume()
+    # the resumed process actually loaded the snapshot filter
+    assert cid_b in job_b2._seen_filters
+
+    def seen(job, cid):
+        return frozenset(
+            r["url_id"]
+            for r in job.store.read("url_seen")
+            .filter(F.col("crawl_id") == cid).collect()
+        )
+
+    assert seen(job_a, cid_a) == seen(job_b2, cid_b)
