@@ -292,3 +292,62 @@ def test_checkpoint_filters_survive_process_restart(
         )
 
     assert seen(job_a, cid_a) == seen(job_b2, cid_b)
+
+
+def test_checkpoint_filters_enabled_mid_crawl_covers_prior_seen(
+    spark, corpus, docs_df, robots_df, tmp_path
+):
+    """Enabling --checkpoint-filters on a store with pre-existing
+    url_seen rows (crawl started WITHOUT the flag) must bootstrap the
+    bloom from the FULL committed seen table, not just the current
+    wave's delta — a delta-only bloom's negatives bypass the exact
+    anti-join and re-crawl already-seen URLs."""
+    from yacy_grid_crawler_spark.fixtures.gen import blacklist_lines
+    from yacy_grid_crawler_spark.operators.blacklist import parse_lines
+    from yacy_grid_crawler_spark.plans.crawl_job import CrawlJob
+
+    rules = parse_lines(blacklist_lines(corpus))
+    seed = corpus.seeds[0]
+
+    # reference: uninterrupted run without checkpoint filters
+    root_a = str(tmp_path / "a")
+    job_a = CrawlJob(spark, root_a, docs_df, blacklist=rules, robots=robots_df,
+                     n_shards=8)
+    (cid_a,) = job_a.start(seed, {"crawlingDepth": 2})
+    job_a.run([cid_a])
+
+    # crawl B: two waves WITHOUT the flag, then resume WITH it
+    root_b = str(tmp_path / "b")
+    job_b = CrawlJob(spark, root_b, docs_df, blacklist=rules, robots=robots_df,
+                     n_shards=8)
+    (cid_b,) = job_b.start(seed, {"crawlingDepth": 2})
+    job_b.step(cid_b)
+    job_b.step(cid_b)
+    prior_seen = frozenset(
+        r["url_id"] for r in job_b.store.read("url_seen")
+        .filter(F.col("crawl_id") == cid_b).collect()
+    )
+    assert prior_seen, "fixture must produce seen rows before the switch"
+    job_b2 = CrawlJob(spark, root_b, docs_df, blacklist=rules, robots=robots_df,
+                      n_shards=8, checkpoint_filters=True)
+    job_b2.resume()
+
+    # the bootstrapped filter must cover EVERY pre-switch seen id
+    import pandas as pd
+
+    bloom = job_b2._seen_filters[cid_b][0]
+    hits = bloom.might_contain(pd.Series(sorted(prior_seen)))
+    assert hits.all(), f"bootstrapped bloom misses {(~hits).sum()} prior ids"
+
+    def seen(job, cid):
+        return frozenset(
+            r["url_id"] for r in job.store.read("url_seen")
+            .filter(F.col("crawl_id") == cid).collect()
+        )
+
+    # no re-crawled duplicates: seen table equals the reference run's,
+    # and is unique per url_id
+    rows = job_b2.store.read("url_seen").filter(
+        F.col("crawl_id") == cid_b).select("url_id").collect()
+    assert len(rows) == len({r["url_id"] for r in rows})
+    assert seen(job_a, cid_a) == seen(job_b2, cid_b)

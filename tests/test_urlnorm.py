@@ -250,6 +250,12 @@ def test_tier2_gate_subset_of_spec_identity():
         "http://u@a.com/x",
         "http://a.com./x",
         "http://a.com/x\n",
+        # dot segments terminated by '#' (round-2 hypothesis counterexample:
+        # the repair would keep '/.' where the spec resolves it to '/')
+        "HTTP://Host.Example.org/.#",
+        "http://a.com/a/..#frag",
+        "http://a.com/..#",
+        "http://a.com/a/.#x",
     ]:
         assert not _TIER2_CANONICAL_RE.match(u), u
 

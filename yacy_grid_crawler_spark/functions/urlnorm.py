@@ -381,7 +381,13 @@ _FAST_CANONICAL_RE = _re.compile(_fast_pattern(r"\Z"))
 
 
 def _tier2_pattern(end: str) -> str:
-    seg = rf"(?:(?!\.{{1,2}}(?:/|{end}))[A-Za-z0-9_\-.~]+)"
+    # Unlike tier-1, tier-2 allows a trailing '#fragment', so a path
+    # segment can be terminated by '#' as well as '/' or end-of-string.
+    # The dot-segment lookahead must therefore exclude '.'/'..' before
+    # '#' too — otherwise 'http://h/.#' passes the gate, tier2_fix_jvm
+    # keeps '/.', and the spec resolves it to '/' (two url_ids for one
+    # canonical URL; seen-set drift).
+    seg = rf"(?:(?!\.{{1,2}}(?:/|#|{end}))[A-Za-z0-9_\-.~]+)"
     return (
         r"^(?i:https?://(?:[a-z0-9][a-z0-9\-]*)(?:\.[a-z0-9][a-z0-9\-]*)*)"
         rf"/(?:{seg}(?:/{seg})*/?)?(?:#[^ \t\r\n]*)?{end}"

@@ -201,35 +201,52 @@ class CrawlJob:
             ent = self._seen_filters[cid] = [bloom, m["n"], m["capacity"]]
         return ent[0]
 
-    def _update_seen_filter(self, cid: str, version: int, meta: dict) -> None:
-        """Fold this wave's url_seen DELTA (already written to the
-        pending commit's data dir) into the crawl's bloom and persist
-        it BEFORE the manifest referencing it. Amortized-growth
-        rebuild: when fill passes 80% of capacity the filter is
-        rebuilt 4× larger from the full seen table — O(seen) but only
-        log-many times over a crawl's life; every other wave is
-        O(delta)."""
-        import os
+    def _update_seen_filter(
+        self, cid: str, version: int, meta: dict, delta, n_delta: int
+    ) -> None:
+        """Fold this wave's url_seen DELTA into the crawl's bloom and
+        persist it BEFORE the manifest referencing it. `delta` is the
+        wave's already-persisted seen stage (url_id column) and
+        `n_delta` its row count from the wave's observe() counters —
+        no re-read of the parquet the commit just wrote and no extra
+        count() action. Amortized-growth rebuild: when fill passes 80%
+        of capacity the filter is rebuilt 4× larger from the full seen
+        table — O(seen) but only log-many times over a crawl's life;
+        every other wave is O(delta).
 
+        When neither an in-memory filter nor a stored snapshot exists
+        the filter is BOOTSTRAPPED from the full committed url_seen
+        table plus the delta — a crawl resumed with --checkpoint-filters
+        after waves run without it would otherwise get a delta-only
+        bloom whose negatives bypass the exact anti-join and re-crawl
+        already-seen URLs."""
         from ..functions.bloom import UrlBloom, fold_into
 
-        delta_path = os.path.join(
-            self.store.root, "url_seen", f"commit={version}"
-        )
-        delta = (
-            self.spark.read.parquet(delta_path)
-            .filter(F.col("crawl_id") == cid)
-            .select("url_id")
-        )
-        n_delta = delta.count()
+        delta = delta.select("url_id")
         ent = self._seen_filters.get(cid)
+        bootstrap = False
         if ent is None:
-            cap = max(1 << 17, 4 * n_delta)
-            ent = [UrlBloom(cap, fpp=0.01), 0, cap]
+            loaded = self.store.load_seen_filter(cid)
+            if loaded is not None:
+                bloom0, m = loaded
+                ent = [bloom0, m["n"], m["capacity"]]
+            else:
+                # no snapshot: prior committed seen rows (if any) must
+                # be folded in, not just this wave's delta
+                bootstrap = True
+                prior = (
+                    self.store.read("url_seen")
+                    .filter(F.col("crawl_id") == cid)
+                    .select("url_id")
+                )
+                n_prior = prior.count()
+                cap = max(1 << 17, 4 * (n_prior + n_delta))
+                ent = [UrlBloom(cap, fpp=0.01), n_prior, cap]
         bloom, n, cap = ent
         n += n_delta
-        if n > 0.8 * cap:
-            cap = max(cap * 4, 2 * n)
+        if bootstrap or n > 0.8 * cap:
+            if n > 0.8 * cap:
+                cap = max(cap * 4, 2 * n)
             bloom = UrlBloom(cap, fpp=0.01)
             full = (
                 self.store.read("url_seen")
@@ -365,7 +382,17 @@ class CrawlJob:
         pc.append("crawl_metrics", res.metrics_df())
         meta = self._meta({cid: depth + 1})
         if self.checkpoint_filters:
-            self._update_seen_filter(cid, pc.version, meta)
+            # novel-row count straight from the wave's observe()
+            # counters: every novel row (accepted or rejected) is a
+            # url_seen delta row (add-before-filter)
+            n_delta = (
+                counts["accepted"]
+                + counts["deduped_persistent"]
+                + counts["rejected_filter"]
+                + counts["rejected_blacklist"]
+                + counts["rejected_robots"]
+            )
+            self._update_seen_filter(cid, pc.version, meta, res.seen, n_delta)
         pc.finalize(meta=meta)
         res.unpersist()
         self._prev_accepted[cid] = counts["accepted"]
