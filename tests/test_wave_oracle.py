@@ -317,3 +317,65 @@ def test_checkpointed_seen_filter_equals_exact(
             )
             assert bloom.might_contain(seen_ids).all()  # no false negatives
     assert outs[False] == outs[True]
+
+
+def test_clocked_crawl_equals_oracle_at_nonzero_wave_starts(
+    spark, corpus, docs_df, robots_df, tmp_path_factory
+):
+    """With an injected wave-start clock, politeness not_before_ms and
+    lineage docnames carry REAL (non-epoch) wave timestamps, and the
+    engine still matches the oracle wave-for-wave (the oracle mirrors
+    the clock via wave_start_fn)."""
+    from yacy_grid_crawler_spark.fixtures.gen import blacklist_lines
+    from yacy_grid_crawler_spark.operators.blacklist import parse_lines
+
+    BASE = 1_600_000_000_000  # 2020-09-13T12:26:40Z
+    STEP = 60_000
+    calls = iter(range(100))
+    rules = parse_lines(blacklist_lines(corpus))
+    seed = corpus.seeds[0]
+    store_root = str(tmp_path_factory.mktemp("store_clocked"))
+    job = CrawlJob(
+        spark, store_root, docs_df, blacklist=rules, robots=robots_df,
+        n_shards=8, clock=lambda: BASE + STEP * next(calls),
+    )
+    (cid,) = job.start(seed, {"crawlingDepth": 2})
+    job.run(cids := [cid])
+
+    profile = build_crawl_start(make_profile({"crawlingDepth": 2}), seed)
+    profile["id"] = cid
+    docs_map = {d["doc_id"]: d["spans"] for d in corpus.docs}
+    blk = [
+        {"rule_kind": r.rule_kind, "host": r.host, "pattern": r.pattern}
+        for r in rules
+    ]
+    robots = {
+        h: {"disallow": r["disallow"], "delay_ms": r["delay_ms"]}
+        for h, r in corpus.robots.items()
+    }
+    oracle = oracle_crawl(
+        docs_map, [seed], profile, blacklist=blk, robots=robots,
+        wave_start_fn=lambda depth: BASE + STEP * depth,
+    )
+
+    rows = (
+        job.store.read("frontier").filter(F.col("crawl_id") == cid)
+        .orderBy("depth", (1 - F.col("do_index").cast("int")),
+                 "batch_no", "batch_pos")
+        .collect()
+    )
+    oracle_rows = sorted(
+        oracle.frontier,
+        key=lambda r: (r["depth"], not r["do_index"], r["batch_no"], r["batch_pos"]),
+    )
+    assert len(rows) == len(oracle_rows) > 0
+    for e, o in zip(rows, oracle_rows):
+        assert (e["url_id"], e["not_before_ms"]) == (o["url_id"], o["not_before_ms"])
+        assert e["not_before_ms"] >= BASE  # non-degenerate clock reached the sink
+        # lineage carries the wave-start stamp, not the epoch
+        assert "-t1970" not in e["lineage"], e["lineage"]
+        assert e["lineage"].startswith(f"d{e['depth']:02d}-t20"), e["lineage"]
+
+    # wave-start provenance persisted in the snapshot meta
+    starts = job.store.manifest()["meta"].get("wave_starts", {})
+    assert starts.get(cid, 0) >= BASE

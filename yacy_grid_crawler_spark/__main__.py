@@ -120,6 +120,8 @@ def main(argv: list[str] | None = None) -> int:
     robots = spark.read.parquet(args.robots) if args.robots else None
     blacklist = load_files([args.blacklist]) if args.blacklist else []
 
+    import time
+
     job = CrawlJob(
         spark,
         args.store,
@@ -130,6 +132,9 @@ def main(argv: list[str] | None = None) -> int:
         use_bloom=args.use_bloom,
         distributed_rank="auto",
         checkpoint_filters=args.checkpoint_filters,
+        # production clock: real loader timestamps in lineage docnames
+        # and politeness not_before_ms (CrawlerListener.java:497-503)
+        clock=lambda: int(time.time() * 1000),
     )
 
     if args.resume:

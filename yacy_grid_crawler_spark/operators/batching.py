@@ -95,10 +95,13 @@ def global_positions(
     Two phases (classic distributed ranking):
       1. range-partition on (group_cols + order_cols) → each group's
          rows occupy a contiguous run of partitions, sorted;
-      2. count rows per (physical partition × group), compute per-group
-         prefix offsets on the driver (tiny: one row per partition ×
-         group boundary), then position = offset + local row_number
-         (a window keyed by spark_partition_id — fully parallel).
+      2. count rows per (physical partition × group) — a tiny aggregate
+         (≤ partitions × groups rows) — turn it into per-group prefix
+         offsets with a cheap window over that aggregate (DISTRIBUTED;
+         no driver collect, the rank stays inside one lazy plan), join
+         the offsets back (broadcast when the group count is small),
+         then position = offset + local row_number (a window keyed by
+         spark_partition_id — fully parallel).
     """
     keys = [F.col(c) for c in (*group_cols, *order_cols)]
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))

@@ -72,7 +72,10 @@ def _pack_order(order: tuple[str, ...]):
             F.raise_error(
                 F.concat(
                     F.lit(f"packed-order overflow: {c}="),
-                    F.col(c).cast("string"),
+                    # NULL order values also land here (the range test is
+                    # null); coalesce so the error names the column
+                    # instead of raise_error(NULL)'s opaque message
+                    F.coalesce(F.col(c).cast("string"), F.lit("NULL")),
                     F.lit(f" outside [0, {lim})"),
                 )
             )

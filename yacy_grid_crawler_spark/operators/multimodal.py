@@ -285,6 +285,11 @@ def sample_frames(
             ):
                 content = content or b""
                 if have_decoders:
+                    # accumulate locally and extend `out` only once the
+                    # WHOLE blob decodes: an exception mid-blob must not
+                    # leave partial real frames that the fallback would
+                    # then duplicate as a second (media_id, frame_no) set
+                    real: list = []
                     try:
                         import io
 
@@ -292,7 +297,6 @@ def sample_frames(
 
                         with av.open(io.BytesIO(content)) as container:
                             stream = container.streams.video[0]
-                            n = 0
                             for i in range(max_frames):
                                 ts = i * every_ms
                                 if dur and ts >= int(dur):
@@ -302,7 +306,7 @@ def sample_frames(
                                 )
                                 frame = next(container.decode(stream))
                                 gray = frame.to_ndarray(format="gray")
-                                out.append(
+                                real.append(
                                     {
                                         "media_id": media_id,
                                         "frame_no": i,
@@ -311,11 +315,11 @@ def sample_frames(
                                         "decoded": True,
                                     }
                                 )
-                                n += 1
-                            if n:
-                                continue
+                        if real:
+                            out.extend(real)
+                            continue
                     except Exception:
-                        pass  # undecodable blob → deterministic fallback
+                        pass  # discard partial frames → deterministic fallback
                 dur = int(dur or 0)
                 n_frames = min(max(dur // every_ms, 1), max_frames)
                 buf = np.frombuffer(content, dtype=np.uint8)

@@ -68,8 +68,10 @@ def crawl(
     blacklist: list[dict] | None = None,  # [{rule_kind, host, pattern}]
     robots: dict[str, dict] | None = None,  # host -> {disallow:[prefix], delay_ms}
     preexisting_status: set[str] | None = None,  # url_ids in crawl_status (D3)
+    wave_start_fn=None,  # depth -> wave-start epoch ms (engine clock mirror)
 ) -> OracleResult:
     res = OracleResult()
+    wave_start_fn = wave_start_fn or (lambda _depth: 0)
     blacklist = blacklist or []
     robots = robots or {}
     preexisting = set(preexisting_status or ())
@@ -191,7 +193,7 @@ def crawl(
                         "batch_pos": pos % BATCH_SIZE,
                         "host": h,
                         "fetch_slot": slot,
-                        "not_before_ms": slot * delay,
+                        "not_before_ms": wave_start_fn(depth) + slot * delay,
                     }
                 )
                 m["accepted"] += 1

@@ -46,6 +46,7 @@ class CrawlJob:
         distributed_rank: bool | str = "auto",
         hot_host_threshold: int | None = None,
         checkpoint_filters: bool = False,
+        clock=None,
     ):
         """`distributed_rank`: True forces the range-partitioned
         two-phase ranking (batching + politeness), False forces the
@@ -53,7 +54,16 @@ class CrawlJob:
         PREVIOUS wave's accepted count (free — it rides the observe()
         counters): small waves skip the two range-shuffle sampling
         passes; big waves never hit a single-partition window. Both
-        paths produce identical output (tests pin equality)."""
+        paths produce identical output (tests pin equality).
+
+        `clock`: zero-arg callable returning epoch MILLISECONDS,
+        sampled once at each wave's start; it feeds the lineage
+        docname's loader-timestamp component (CrawlerListener.java:
+        497-503) and politeness not_before_ms, and is persisted per
+        wave in the commit meta (audit + resume provenance). Default
+        None keeps the library deterministic (epoch 0) so the oracle
+        equality surfaces stay reproducible; the CLI passes wall
+        clock."""
         self.spark = spark
         self.store = StateStore(spark, store_root)
         self.docs = docs
@@ -67,6 +77,7 @@ class CrawlJob:
         self.checkpoint_filters = checkpoint_filters
         self._seen_filters: dict[str, list] = {}  # cid -> [bloom, n, cap]
         self.distributed_rank = distributed_rank
+        self.clock = clock
         self._prev_accepted: dict[str, int] = {}
         self.hot_host_threshold = hot_host_threshold
         self.profiles: dict[str, dict] = {}
@@ -185,7 +196,14 @@ class CrawlJob:
             "profiles": profiles,
             # carried forward; _update_seen_filter overwrites one entry
             "seen_filters": dict(prev.get("seen_filters", {})),
+            # carried forward; step()/step_all() overwrite per wave
+            "wave_starts": dict(prev.get("wave_starts", {})),
         }
+
+    def _wave_start_ms(self) -> int:
+        """Sample the wave-start clock (0 when no clock is injected —
+        deterministic library default)."""
+        return int(self.clock()) if self.clock is not None else 0
 
     # ---- checkpointed seen filters (north star) -------------------
     def _load_seen_filter(self, cid: str):
@@ -346,6 +364,7 @@ class CrawlJob:
         status_ids = self.store.read("crawl_status").select("url_id")
         base_slots = self._base_slots(cid)
         seen_filter = self._load_seen_filter(cid) if self.checkpoint_filters else None
+        wave_start_ms = self._wave_start_ms()
         res = run_wave(
             candidates,
             profile,
@@ -360,6 +379,7 @@ class CrawlJob:
             hot_host_threshold=self.hot_host_threshold,
             base_slots=base_slots,
             seen_filter=seen_filter,
+            wave_start_ms=wave_start_ms,
         )
         # Staged commit: the status write is the ONE action that
         # materializes the whole wave plan (it unions the rejected and
@@ -381,6 +401,9 @@ class CrawlJob:
         counts = res.resolve()
         pc.append("crawl_metrics", res.metrics_df())
         meta = self._meta({cid: depth + 1})
+        # wave-start provenance: the clock sample that stamped this
+        # wave's lineage docnames and politeness not_before_ms
+        meta.setdefault("wave_starts", {})[cid] = wave_start_ms
         if self.checkpoint_filters:
             # novel-row count straight from the wave's observe()
             # counters: every novel row (accepted or rejected) is a
@@ -473,6 +496,7 @@ class CrawlJob:
         profiles = profiles_to_df(self.spark, {c: self.profiles[c] for c in stepped})
         seen = self.store.read("url_seen")
         status_ids = self.store.read("crawl_status").select("url_id")
+        wave_start_ms = self._wave_start_ms()
         res = run_wave_multi(
             candidates, profiles, seen=seen, status_ids=status_ids,
             blacklist=self.blacklist, robots=self.robots,
@@ -482,6 +506,7 @@ class CrawlJob:
             ),
             hot_host_threshold=self.hot_host_threshold,
             base_slots=self._base_slots(),
+            wave_start_ms=wave_start_ms,
         )
         pc = self.store.begin()
         pc.append("crawl_status", res.status)
@@ -495,9 +520,10 @@ class CrawlJob:
         )
         metrics = res.metrics_df()
         pc.append("crawl_metrics", metrics)
-        pc.finalize(
-            meta=self._meta({cid: int(nd.get(cid, 0)) + 1 for cid in stepped})
-        )
+        meta2 = self._meta({cid: int(nd.get(cid, 0)) + 1 for cid in stepped})
+        for cid in stepped:
+            meta2.setdefault("wave_starts", {})[cid] = wave_start_ms
+        pc.finalize(meta=meta2)
         accepted = {
             r["crawl_id"]: r["accepted"]
             for r in metrics.groupBy("crawl_id").agg(
