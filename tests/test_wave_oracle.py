@@ -379,3 +379,62 @@ def test_clocked_crawl_equals_oracle_at_nonzero_wave_starts(
     # wave-start provenance persisted in the snapshot meta
     starts = job.store.manifest()["meta"].get("wave_starts", {})
     assert starts.get(cid, 0) >= BASE
+
+
+@pytest.mark.parametrize("cap", [5, 16])
+def test_wave_size_cap_equals_uncapped(
+    spark, corpus, docs_df, robots_df, tmp_path_factory, cap
+):
+    """Backpressure (reference: 100k queued-message throttle,
+    conf/config.properties:5): a capped crawl takes more waves but
+    converges to the IDENTICAL final seen set, status table, and
+    canonical frontier order as the uncapped run — batch numbering,
+    fetch slots, and within-depth dedup all carry across sub-waves."""
+    from yacy_grid_crawler_spark.fixtures.gen import blacklist_lines
+    from yacy_grid_crawler_spark.operators.blacklist import parse_lines
+
+    rules = parse_lines(blacklist_lines(corpus))
+    seed = corpus.seeds[0]
+    outs = {}
+    for label, kwargs in (("uncapped", {}), ("capped", {"max_wave_urls": cap})):
+        root = str(tmp_path_factory.mktemp(f"store_cap_{cap}_{label}"))
+        job = CrawlJob(
+            spark, root, docs_df, blacklist=rules, robots=robots_df,
+            n_shards=8, **kwargs,
+        )
+        (cid,) = job.start(seed, {"crawlingDepth": 2})
+        waves = 0
+        while job.step(cid):
+            waves += 1
+            assert waves < 200, "capped crawl failed to converge"
+        outs[label] = {
+            "waves": waves,
+            "seen": frozenset(
+                r["url_id"] for r in job.store.read("url_seen")
+                .filter(F.col("crawl_id") == cid).collect()
+            ),
+            "status": {
+                r["url_id"]: (r["status"], r["comment_class"])
+                for r in job.store.read("crawl_status")
+                .filter(F.col("crawl_id") == cid).collect()
+            },
+            "order": [
+                tuple(r[c] for c in (
+                    "depth", "do_index", "batch_no", "batch_pos", "url",
+                    "url_id", "fetch_slot", "not_before_ms",
+                ))
+                for r in job.store.read("frontier")
+                .filter(F.col("crawl_id") == cid)
+                .orderBy("depth", (1 - F.col("do_index").cast("int")),
+                         "batch_no", "batch_pos")
+                .collect()
+            ],
+            # cursor must be cleared once the crawl drains
+            "cursor": job.store.manifest()["meta"]
+            .get("wave_cursors", {}).get(cid),
+        }
+    assert outs["capped"]["waves"] > outs["uncapped"]["waves"]
+    assert outs["capped"]["cursor"] is None
+    assert outs["capped"]["seen"] == outs["uncapped"]["seen"]
+    assert outs["capped"]["status"] == outs["uncapped"]["status"]
+    assert outs["capped"]["order"] == outs["uncapped"]["order"]

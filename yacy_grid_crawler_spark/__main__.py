@@ -74,6 +74,13 @@ def build_parser() -> argparse.ArgumentParser:
              "them next wave (north-star checkpointed filters)",
     )
     ap.add_argument(
+        "--max-wave-urls", type=int, default=None,
+        help="wave-size cap / backpressure: consume at most N candidate "
+             "URLs per wave, carry the remainder to the next wave of "
+             "the same depth (reference throttle: 100k queued messages, "
+             "conf/config.properties)",
+    )
+    ap.add_argument(
         "--compact-every", type=int, default=16,
         help="run store maintenance (compaction + snapshot expiry) "
              "every N waves; 0 disables",
@@ -132,6 +139,7 @@ def main(argv: list[str] | None = None) -> int:
         use_bloom=args.use_bloom,
         distributed_rank="auto",
         checkpoint_filters=args.checkpoint_filters,
+        max_wave_urls=args.max_wave_urls,
         # production clock: real loader timestamps in lineage docnames
         # and politeness not_before_ms (CrawlerListener.java:497-503)
         clock=lambda: int(time.time() * 1000),

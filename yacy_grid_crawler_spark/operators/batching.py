@@ -53,6 +53,7 @@ def assign_batches(
     batch_size: int = BATCH_SIZE,
     distributed: bool = False,
     cache_registry: list | None = None,
+    base_positions: DataFrame | None = None,
 ) -> DataFrame:
     """G1+G2 — position within the (crawl, index-split) group in
     canonical order → batch_no / batch_pos. Index rows (do_index=true)
@@ -64,6 +65,12 @@ def assign_batches(
     bottleneck at 10^10 scale. `distributed=True` computes the same
     positions with range-partitioned two-phase ranking
     (`global_positions`) — identical output, parallel everywhere.
+
+    `base_positions` (crawl_id, do_index, _base_pos): per-group
+    position offsets from PRIOR capped sub-waves of the same depth
+    (CrawlJob max_wave_urls carry-over) — a tiny aggregate,
+    broadcast-joined so numbering continues where the previous
+    sub-wave stopped instead of restarting at batch 0.
     """
     group = ("crawl_id", "do_index")
     if distributed:
@@ -74,6 +81,14 @@ def assign_batches(
     else:
         w = Window.partitionBy(*group).orderBy(*[F.col(c) for c in order])
         df = df.withColumn("_pos", F.row_number().over(w) - 1)
+    if base_positions is not None:
+        df = (
+            df.join(F.broadcast(base_positions), list(group), "left")
+            .withColumn(
+                "_pos", F.col("_pos") + F.coalesce(F.col("_base_pos"), F.lit(0))
+            )
+            .drop("_base_pos")
+        )
     return (
         df.withColumn("batch_no", (F.col("_pos") / batch_size).cast("bigint"))
         .withColumn("batch_pos", (F.col("_pos") % batch_size).cast("int"))

@@ -47,6 +47,7 @@ class CrawlJob:
         hot_host_threshold: int | None = None,
         checkpoint_filters: bool = False,
         clock=None,
+        max_wave_urls: int | None = None,
     ):
         """`distributed_rank`: True forces the range-partitioned
         two-phase ranking (batching + politeness), False forces the
@@ -55,6 +56,17 @@ class CrawlJob:
         counters): small waves skip the two range-shuffle sampling
         passes; big waves never hit a single-partition window. Both
         paths produce identical output (tests pin equality).
+
+        `max_wave_urls`: wave-size cap / backpressure (the reference
+        throttles at 100k queued messages, conf/config.properties:5 →
+        SURVEY.md §4). When set, each wave consumes at most N candidate
+        links in canonical order; the remainder stays pending at the
+        SAME depth and is consumed by the following wave(s), with
+        batch numbering, fetch slots, and the seen set carrying over so
+        the capped crawl converges to the identical final state as the
+        uncapped one (pinned by test_wave_size_cap_equals_uncapped).
+        Bounds the per-wave shuffle/memory footprint when a link-farm
+        depth explodes. None (default) = unbounded.
 
         `clock`: zero-arg callable returning epoch MILLISECONDS,
         sampled once at each wave's start; it feeds the lineage
@@ -78,6 +90,7 @@ class CrawlJob:
         self._seen_filters: dict[str, list] = {}  # cid -> [bloom, n, cap]
         self.distributed_rank = distributed_rank
         self.clock = clock
+        self.max_wave_urls = max_wave_urls
         self._prev_accepted: dict[str, int] = {}
         self.hot_host_threshold = hot_host_threshold
         self.profiles: dict[str, dict] = {}
@@ -198,6 +211,8 @@ class CrawlJob:
             "seen_filters": dict(prev.get("seen_filters", {})),
             # carried forward; step()/step_all() overwrite per wave
             "wave_starts": dict(prev.get("wave_starts", {})),
+            # carried forward; step() sets/clears per capped sub-wave
+            "wave_cursors": dict(prev.get("wave_cursors", {})),
         }
 
     def _wave_start_ms(self) -> int:
@@ -346,9 +361,20 @@ class CrawlJob:
             return prev_accepted is not None and prev_accepted * 8 > 200_000
         return bool(self.distributed_rank)
 
-    def step(self, cid: str) -> bool:
+    def step(self, cid: str, max_wave_urls: int | None = None) -> bool:
         """Run one wave for crawl `cid`. Returns False when the crawl
-        is finished (depth gate F5 or empty frontier)."""
+        is finished (depth gate F5 or empty frontier).
+
+        With a wave-size cap (`max_wave_urls` here, or the job-level
+        default), a wave consumes only the first N candidates in
+        canonical candidate order; the remainder is re-derived next
+        wave from the SAME committed depth-1 frontier and skipped up to
+        the persisted packed-order cursor — a value comparison, so the
+        skip is a codegen filter, not a rank. Batch numbering continues
+        via base_positions, fetch slots via the cross-wave host_slots
+        budget, and the within-depth seen/status dedup via the
+        committed url_seen — so a capped run converges to the exact
+        uncapped final state."""
         profile = self.profiles[cid]
         meta = self.store.manifest().get("meta", {})
         depth = int(meta.get("next_depth", {}).get(cid, 0))
@@ -360,6 +386,55 @@ class CrawlJob:
         )
         if depth > 0 and candidates.isEmpty():
             return False
+        cap = max_wave_urls if max_wave_urls is not None else self.max_wave_urls
+        cursor = meta.get("wave_cursors", {}).get(cid)
+        resuming_depth = bool(cursor) and int(cursor.get("depth", -1)) == depth
+        obs_cap = None
+        cap_caches: list = []
+        base_positions = None
+        if cap:
+            from pyspark.sql import Observation
+
+            from ..operators.batching import global_positions
+            from ..operators.dedup import _pack_order
+            from .wave import CANON_ORDER
+
+            candidates = candidates.withColumn("_pk", _pack_order(CANON_ORDER))
+            if resuming_depth:
+                candidates = candidates.filter(
+                    F.col("_pk") > int(cursor["after"])
+                )
+            # first `cap` rows of the remainder in canonical order:
+            # distributed two-phase rank (no single-partition window);
+            # the remaining-count and last-consumed-key observations
+            # ride the wave's own action — zero extra jobs
+            candidates = global_positions(
+                candidates, group_cols=(), order_cols=("_pk",),
+                out="_cpos", cache_registry=cap_caches,
+            )
+            obs_cap = Observation()
+            candidates = (
+                candidates.observe(
+                    obs_cap,
+                    F.count(F.lit(1)).alias("remaining"),
+                    F.max(
+                        F.when(F.col("_cpos") < cap, F.col("_pk"))
+                    ).alias("last_pk"),
+                )
+                .filter(F.col("_cpos") < cap)
+                .drop("_cpos", "_pk")
+            )
+            if resuming_depth:
+                # continue batch numbering where the prior sub-wave of
+                # this depth stopped (tiny aggregate, broadcast join)
+                base_positions = (
+                    self.store.read("frontier")
+                    .filter(
+                        (F.col("crawl_id") == cid) & (F.col("depth") == depth)
+                    )
+                    .groupBy("crawl_id", "do_index")
+                    .agg(F.count(F.lit(1)).cast("long").alias("_base_pos"))
+                )
         seen = self.store.read("url_seen").filter(F.col("crawl_id") == cid)
         status_ids = self.store.read("crawl_status").select("url_id")
         base_slots = self._base_slots(cid)
@@ -380,6 +455,7 @@ class CrawlJob:
             base_slots=base_slots,
             seen_filter=seen_filter,
             wave_start_ms=wave_start_ms,
+            base_positions=base_positions,
         )
         # Staged commit: the status write is the ONE action that
         # materializes the whole wave plan (it unions the rejected and
@@ -400,7 +476,29 @@ class CrawlJob:
         )
         counts = res.resolve()
         pc.append("crawl_metrics", res.metrics_df())
-        meta = self._meta({cid: depth + 1})
+        # carry-over bookkeeping: the cap observations resolved with
+        # the same action that fired the wave counters
+        has_more = False
+        next_cursor = None
+        depth_accepted = counts["accepted"] + (
+            int(cursor.get("depth_accepted", 0)) if resuming_depth else 0
+        )
+        if obs_cap is not None:
+            capd = obs_cap.get
+            remaining = int(capd.get("remaining") or 0)
+            has_more = remaining > cap
+            if has_more:
+                next_cursor = {
+                    "depth": depth,
+                    "after": int(capd["last_pk"]),
+                    "depth_accepted": depth_accepted,
+                }
+        meta = self._meta({cid: depth if has_more else depth + 1})
+        wc = meta.setdefault("wave_cursors", {})
+        if next_cursor is not None:
+            wc[cid] = next_cursor
+        else:
+            wc.pop(cid, None)
         # wave-start provenance: the clock sample that stamped this
         # wave's lineage docnames and politeness not_before_ms
         meta.setdefault("wave_starts", {})[cid] = wave_start_ms
@@ -418,8 +516,12 @@ class CrawlJob:
             self._update_seen_filter(cid, pc.version, meta, res.seen, n_delta)
         pc.finalize(meta=meta)
         res.unpersist()
+        for df in cap_caches:
+            df.unpersist()
         self._prev_accepted[cid] = counts["accepted"]
-        return counts["accepted"] > 0 and depth < max_depth
+        if has_more:
+            return True  # same depth continues next wave
+        return depth_accepted > 0 and depth < max_depth
 
     # log-structured tables that accumulate one commit-dir per wave;
     # read cost grows with commit count until compacted

@@ -157,6 +157,7 @@ def run_wave(
     wave_start_ms: int = 0,
     base_slots: DataFrame | None = None,  # (crawl_id, host, next_slot)
     seen_filter=None,  # checkpointed UrlBloom from the prior wave's commit
+    base_positions: DataFrame | None = None,  # (crawl_id, do_index, _base_pos)
 ) -> WaveResult:
     crawl_id = profile["id"]
     user_id = profile.get("user_id", "anonymous")
@@ -324,6 +325,7 @@ def run_wave(
     kept = assign_batches(
         kept, order=CANON_ORDER, batch_size=BATCH_SIZE,
         distributed=distributed_rank, cache_registry=wave_caches,
+        base_positions=base_positions,
     )
     kept = assign_shard(kept, n_shards, hot_host_threshold=hot_host_threshold)
     kept = politeness_slots(
