@@ -527,13 +527,33 @@ class CrawlJob:
     # read cost grows with commit count until compacted
     _LOG_TABLES = ("url_seen", "host_slots", "crawl_status", "frontier", "crawl_metrics")
 
-    def maintain(self, max_commits: int = 16, keep_snapshots: int = 2) -> None:
+    def maintain(
+        self,
+        max_commits: int = 16,
+        keep_snapshots: int = 2,
+        seen_ttl_days: float | None = None,
+        now_ms: int | None = None,
+    ) -> None:
         """Compact log-structured tables whose commit-dir count exceeds
         `max_commits`, then expire old snapshots and reclaim orphaned
         dirs — bounds both read amplification (dirs scanned per read)
         and disk growth over a long crawl. Safe mid-crawl: compaction
         commits atomically and resume always targets the newest
-        manifest."""
+        manifest.
+
+        Seen-set TTL (the reference's 7-day double-cache sweep,
+        CrawlerListener.java:84-85, 96-108): url_seen rows whose
+        `seen_at_ms` is older than `seen_ttl_days` (default
+        config.SEEN_TTL_DAYS) relative to `now_ms` (default: the job
+        clock; 0 without an injected clock → sweep inert, keeping the
+        deterministic library default) are dropped during maintenance.
+        A crawl whose rows were expired also has its checkpointed seen
+        filter invalidated — blooms can't delete, so the next wave
+        bootstrap-rebuilds the filter from the swept table. Post-TTL
+        re-encounters re-enter D2 (fresh url_seen row); the persistent
+        status table still guards the frontier, exactly like the
+        reference's exist-check after its double cache forgets."""
+        self._expire_seen(seen_ttl_days, now_ms)
         man = self.store.manifest()
         for t in self._LOG_TABLES:
             if len(man["tables"].get(t, [])) > max_commits:
@@ -548,6 +568,51 @@ class CrawlJob:
                     self.store.compact(t)
         self.store.expire_snapshots(keep_last=max(1, keep_snapshots))
         self.store.rollback_orphans()
+
+    def _expire_seen(
+        self, seen_ttl_days: float | None, now_ms: int | None
+    ) -> None:
+        """TTL sweep for url_seen (see maintain docstring). Cheap when
+        nothing is expired: one tiny per-crawl min(seen_at_ms)
+        aggregate decides whether the O(table) rewrite runs at all."""
+        from ..config import SEEN_TTL_DAYS
+
+        ttl_days = SEEN_TTL_DAYS if seen_ttl_days is None else seen_ttl_days
+        now = self._wave_start_ms() if now_ms is None else int(now_ms)
+        cutoff = now - int(ttl_days * 86_400_000)
+        if cutoff <= 0:
+            return
+        expired_cids = [
+            r["crawl_id"]
+            for r in self.store.read("url_seen")
+            .groupBy("crawl_id")
+            .agg(F.min("seen_at_ms").alias("_oldest"))
+            .filter(F.col("_oldest") < cutoff)
+            .collect()
+        ]
+        if not expired_cids:
+            return
+        self.store.compact(
+            "url_seen",
+            aggregate=lambda df: df.filter(
+                F.col("seen_at_ms").isNull() | (F.col("seen_at_ms") >= cutoff)
+            ),
+        )
+        # blooms can't delete: drop the affected crawls' checkpointed
+        # filters (memory + manifest) so the next wave bootstrap-
+        # rebuilds from the swept table instead of over-filtering
+        meta = self.store.manifest().get("meta", {})
+        filters = dict(meta.get("seen_filters", {}))
+        touched = False
+        for cid in expired_cids:
+            self._seen_filters.pop(cid, None)
+            if filters.pop(cid, None) is not None:
+                touched = True
+        if touched:
+            meta = dict(meta)
+            meta["seen_filters"] = filters
+            pc = self.store.begin()
+            pc.finalize(meta=meta)
 
     def run(
         self, crawl_ids: list[str] | None = None, compact_every: int = 16

@@ -299,7 +299,8 @@ def run_wave_multi(
         )
     )
     seen_new = flagged.select(
-        "crawl_id", "url_id", F.col("depth").alias("first_depth")
+        "crawl_id", "url_id", F.col("depth").alias("first_depth"),
+        F.lit(int(wave_start_ms)).cast("long").alias("seen_at_ms"),
     )
     return MultiWaveResult(
         frontier=frontier,

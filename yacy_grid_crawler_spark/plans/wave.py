@@ -392,7 +392,8 @@ def run_wave(
     )
 
     seen_new = flagged.select(
-        "crawl_id", "url_id", F.lit(depth).alias("first_depth")
+        "crawl_id", "url_id", F.lit(depth).alias("first_depth"),
+        F.lit(int(wave_start_ms)).cast("long").alias("seen_at_ms"),
     )
 
     return WaveResult(

@@ -87,6 +87,10 @@ SCHEMAS: dict[str, T.StructType] = {
             f("crawl_id", T.StringType()),
             f("url_id", T.StringType()),
             f("first_depth", T.IntegerType()),
+            # wave-start clock sample of the wave that first saw the
+            # URL — drives the 7-day double-cache TTL sweep
+            # (CrawlerListener.java:84-85) in CrawlJob.maintain()
+            f("seen_at_ms", T.LongType()),
         ]
     ),
     "crawl_starts": S(
