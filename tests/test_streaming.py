@@ -41,3 +41,118 @@ def test_stream_dedup_first_seen(spark, tmp_path):
         ("c1", "http://c.example/z"),
     }
     assert len(out) == len(got)  # no double emission across batches
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-driving the state fn."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def test_bounded_state_size_is_constant():
+    """State payload is O(filter bytes): its size depends only on the
+    configured capacity, never on how many ids the crawl has seen."""
+    import pandas as pd
+
+    from yacy_grid_crawler_spark.functions.bloom import UrlBloom, to_bytes
+    from yacy_grid_crawler_spark.streaming.frontier_stream import (
+        _make_bounded_dedup_fn,
+    )
+
+    import hashlib
+
+    cap = 10_000
+    expected = len(to_bytes(UrlBloom(cap, fpp=0.01)))
+    fn = _make_bounded_dedup_fn(ttl=False, capacity=cap, fpp=0.01)
+    state = _FakeState()
+    for n in (10, 1000, 5000):  # growing seen set, constant state size
+        pdf = pd.DataFrame(
+            {
+                "crawl_id": ["c1"] * n,
+                "url": [f"http://h/{i}-{n}" for i in range(n)],
+                "url_id": [
+                    hashlib.md5(f"http://h/{i}-{n}".encode()).hexdigest()
+                    for i in range(n)
+                ],
+                "depth": [1] * n,
+            }
+        )
+        list(fn(("c1",), iter([pdf]), state))
+        assert len(bytes(state.get[0])) == expected
+
+
+def test_bounded_stream_dedup_matches_batch_operator(spark, tmp_path):
+    """frontier_stream_bounded + resolve_suspects inside foreachBatch
+    must produce the exact novel set the batch dedup operators produce
+    on the same input — the bloom bounds the STATE, never the result."""
+    import pandas as pd
+
+    from yacy_grid_crawler_spark.streaming.frontier_stream import (
+        CANDIDATE_SCHEMA,
+        frontier_stream_bounded,
+        read_candidate_stream,
+        resolve_suspects,
+    )
+
+    rows = []
+    # 6 files × 40 urls with heavy cross-file duplication
+    for f in range(6):
+        for i in range(40):
+            u = f"http://host{i % 4}.example/p{(i * 7 + f * 13) % 60}"
+            rows.append(("c1", u, f, f * 100 + i))
+            if i % 5 == 0:  # in-file duplicate
+                rows.append(("c1", u, f, f * 100 + i))
+    src = str(tmp_path / "bounded_src")
+    for f in range(6):
+        spark.createDataFrame(
+            [r for r in rows if r[2] == f], CANDIDATE_SCHEMA
+        ).coalesce(1).write.parquet(f"{src}/f{f}")
+
+    committed = {"df": spark.createDataFrame([], "crawl_id string, url_id string")}
+    novel_urls = []
+
+    def sink(batch_df, batch_id):
+        resolved = resolve_suspects(batch_df, committed["df"]).cache()
+        new = [(r["crawl_id"], r["url"], r["url_id"]) for r in resolved.collect()]
+        novel_urls.extend((c, u) for c, u, _ in new)
+        committed["df"] = committed["df"].unionByName(
+            spark.createDataFrame(
+                [(c, i) for c, _, i in new], "crawl_id string, url_id string"
+            )
+        )
+
+    q = (
+        frontier_stream_bounded(
+            read_candidate_stream(spark, src + "/*", max_files_per_trigger=1),
+            capacity=100_000,
+        )
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+
+    expected = {("c1", u) for _, u, _, _ in rows}
+    assert set(novel_urls) == expected
+    assert len(novel_urls) == len(expected), "duplicate emission"

@@ -36,6 +36,10 @@ CANDIDATE_SCHEMA = T.StructType(
 OUT_SCHEMA = "crawl_id string, url string, url_id string, depth int"
 STATE_SCHEMA = "ids array<string>"
 
+# bounded-state variant: fixed-size bloom bitmap + a suspect flag
+BOUNDED_OUT_SCHEMA = OUT_SCHEMA + ", suspect boolean"
+BOUNDED_STATE_SCHEMA = "bits binary"
+
 SEEN_TTL_MS = 7 * 24 * 3600 * 1000  # doublesCleanupTimeout, CrawlerListener.java:84
 
 
@@ -83,15 +87,11 @@ def _make_dedup_fn(ttl: bool):
     return _dedup_with_state
 
 
-def frontier_stream(candidates: DataFrame, ttl: bool = False) -> DataFrame:
-    """canonicalize → md5 → stateful first-seen dedup. Returns the
-    novel-URL stream; downstream filters/batching reuse the batch
-    operators inside foreachBatch. `ttl=True` arms the 7-day state
-    sweep (keeps the query's trigger loop alive between batches —
-    production mode; leave off for drain-and-stop smoke runs)."""
-    # same tiered gate as the batch wave: tier-1 identity and tier-2
-    # case/fragment repair stay JVM-side; only the residue pays the
-    # Arrow round trip (equality pinned by the urlnorm test suite)
+def _canonicalized(candidates: DataFrame) -> DataFrame:
+    """canonicalize → md5: the same tiered gate as the batch wave —
+    tier-1 identity and tier-2 case/fragment repair stay JVM-side; only
+    the residue pays the Arrow round trip (equality pinned by the
+    urlnorm test suite)."""
     from ..functions.urlnorm import (
         FAST_CANONICAL_PATTERN,
         TIER2_CANONICAL_PATTERN_JVM,
@@ -102,7 +102,7 @@ def frontier_stream(candidates: DataFrame, ttl: bool = False) -> DataFrame:
     _t2 = (~F.col("_fast")) & F.regexp_like(
         F.col("url_raw"), F.lit(TIER2_CANONICAL_PATTERN_JVM)
     )
-    canon = (
+    return (
         candidates.withColumn("_fast", _fast)
         .withColumn("_t2", _t2)
         .withColumn(
@@ -123,7 +123,20 @@ def frontier_stream(candidates: DataFrame, ttl: bool = False) -> DataFrame:
         .filter(F.col("url").isNotNull())
         .withColumn("url_id", F.md5(F.col("url")))
     )
-    return canon.groupBy("crawl_id").applyInPandasWithState(
+
+
+def frontier_stream(candidates: DataFrame, ttl: bool = False) -> DataFrame:
+    """canonicalize → md5 → stateful first-seen dedup. Returns the
+    novel-URL stream; downstream filters/batching reuse the batch
+    operators inside foreachBatch. `ttl=True` arms the 7-day state
+    sweep (keeps the query's trigger loop alive between batches —
+    production mode; leave off for drain-and-stop smoke runs).
+
+    State here is the EXACT id list — simple and right for modest
+    crawls, but a 10^8-id crawl would make one unbounded state row
+    rewritten every micro-batch. For that scale use
+    `frontier_stream_bounded`, whose state is a fixed-size bloom."""
+    return _canonicalized(candidates).groupBy("crawl_id").applyInPandasWithState(
         _make_dedup_fn(ttl),
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
@@ -132,6 +145,109 @@ def frontier_stream(candidates: DataFrame, ttl: bool = False) -> DataFrame:
             GroupStateTimeout.ProcessingTimeTimeout if ttl else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def _make_bounded_dedup_fn(ttl: bool, capacity: int, fpp: float):
+    from ..functions.bloom import UrlBloom, from_bytes, to_bytes
+
+    def _dedup_bounded(key, pdf_iter, state: GroupState):
+        """Fixed-size state dedup (the scale path): state = bloom
+        bitmap BYTES, O(capacity·log(1/fpp)) regardless of how many
+        ids the crawl has seen — never an unbounded row rewritten per
+        micro-batch. Exactness is preserved by a two-lane output, the
+        streaming mirror of the batch wave's bloom_prefilter → exact
+        anti-join split:
+
+        * bloom-NEGATIVE → definitely first-seen (no false negatives):
+          emitted with suspect=false, bits set;
+        * bloom-POSITIVE → seen OR false positive: emitted with
+          suspect=true for the sink's exact anti-join against the
+          committed url_seen table (`resolve_suspects` in
+          foreachBatch) — a duplicate is dropped there, a false
+          positive survives. Nothing is silently lost to an FP.
+        """
+        if ttl and state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            bloom = from_bytes(bytes(state.get[0]))
+        else:
+            bloom = UrlBloom(capacity, fpp=fpp)
+        cols = ["crawl_id", "url", "url_id", "depth"]
+        frames = []
+        for pdf in pdf_iter:
+            # in-batch D4 collapse first (duplicates inside one Arrow
+            # batch would both probe negative before the add)
+            pdf = pdf.drop_duplicates("url_id")
+            hits = bloom.might_contain(pdf["url_id"])
+            out = pdf[cols].copy()
+            out["suspect"] = hits
+            frames.append(out)
+            novel_ids = pdf["url_id"].loc[~hits]
+            if len(novel_ids):
+                bloom.add_many(novel_ids)
+        state.update((bytearray(to_bytes(bloom)),))
+        if ttl:
+            state.setTimeoutDuration(SEEN_TTL_MS)
+        out = (
+            pd.concat(frames)
+            if frames
+            else pd.DataFrame(columns=cols + ["suspect"])
+        )
+        out["depth"] = out["depth"].astype("int32")
+        out["suspect"] = out["suspect"].astype(bool)
+        yield out
+
+    return _dedup_bounded
+
+
+def frontier_stream_bounded(
+    candidates: DataFrame,
+    ttl: bool = False,
+    capacity: int = 1_000_000,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Bounded-state variant of `frontier_stream` for 10^8-id crawls:
+    per-crawl state is a FIXED-SIZE bloom bitmap (~1.2 MB at the
+    default capacity/fpp) instead of an ever-growing id list. Output
+    gains a `suspect` column; the sink must route suspect=true rows
+    through `resolve_suspects` (exact anti-join vs the committed
+    url_seen) inside foreachBatch — dedup results then equal the
+    batch operator exactly (pinned by tests/test_streaming.py)."""
+    return _canonicalized(candidates).groupBy("crawl_id").applyInPandasWithState(
+        _make_bounded_dedup_fn(ttl, capacity, fpp),
+        outputStructType=BOUNDED_OUT_SCHEMA,
+        stateStructType=BOUNDED_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout if ttl else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def resolve_suspects(batch_df: DataFrame, seen_ids: DataFrame) -> DataFrame:
+    """foreachBatch companion of `frontier_stream_bounded`: exact
+    resolution of the suspect lane against the committed seen set.
+    `seen_ids` is (crawl_id, url_id) of the sink's url_seen table as of
+    this micro-batch. Within-batch repeats collapse first (first-wins
+    on arrival order is not defined across partitions; rows for one
+    url_id are identical apart from depth, where the minimum — the
+    BFS-first discovery — wins, matching the batch D4 winner)."""
+    first = (
+        batch_df.groupBy("crawl_id", "url_id")
+        .agg(
+            F.min_by("url", "depth").alias("url"),
+            F.min("depth").alias("depth"),
+            # suspect only if EVERY occurrence was suspect: any
+            # bloom-negative occurrence proves the id novel
+            F.min(F.col("suspect").cast("int")).cast("boolean").alias("suspect"),
+        )
+    )
+    clear = first.filter(~F.col("suspect"))
+    resolved = first.filter(F.col("suspect")).join(
+        seen_ids.select("crawl_id", "url_id"), ["crawl_id", "url_id"], "left_anti"
+    )
+    return clear.unionByName(resolved).drop("suspect")
 
 
 def run_stream_to_memory(
