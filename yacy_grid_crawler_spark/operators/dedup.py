@@ -105,6 +105,7 @@ def first_occurrence(
     order: tuple[str, ...] = ("parent_ord", "span_offset"),
     crawl_col: str = "crawl_id",
     carry: tuple[str, ...] | None = None,
+    keep_packed: str | None = None,
 ) -> DataFrame:
     """Keep the canonically-first row per key within the wave
     (D1 in-document + D4 in-batch collapse, deterministic tiebreak).
@@ -125,6 +126,13 @@ def first_occurrence(
     order tuple, and `min` over struct compares the packed key first
     (ties impossible — (ini, batch_no, pos, offset) is unique per
     candidate row since a span occurs once per parent).
+
+    `keep_packed="<name>"` (carry=() only) returns the winning packed
+    long under that name INSTEAD of unpacking it back into the order
+    columns. The packed long sorts identically to the order tuple, so
+    downstream ranking (batching, politeness) can order by the single
+    8-byte column — every later shuffle carries one long instead of
+    four ints/longs, and range-partition comparisons become single-key.
     """
     if carry is not None and all(c in _PACK_WIDTHS for c in order):
         gcols = [crawl_col, key] if crawl_col else [key]
@@ -138,6 +146,8 @@ def first_occurrence(
             agg = df.groupBy(*gcols).agg(
                 F.min(_pack_order(order)).alias("_pk")
             )
+            if keep_packed:
+                return agg.withColumnRenamed("_pk", keep_packed)
             unpacked = _unpack_order(F.col("_pk"), order)
             return agg.select(
                 *gcols, *[expr.alias(c) for c, expr in unpacked.items()]
@@ -150,6 +160,12 @@ def first_occurrence(
                 )
             ).alias("_w")
         )
+        if keep_packed:
+            return agg.select(
+                *gcols,
+                *[F.col(f"_w.{c}").alias(c) for c in carry],
+                F.col("_w._pk").alias(keep_packed),
+            )
         unpacked = _unpack_order(F.col("_w._pk"), order)
         return agg.select(
             *gcols,

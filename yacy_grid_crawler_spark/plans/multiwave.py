@@ -211,6 +211,7 @@ def run_wave_multi(
         key="url",
         order=CANON_ORDER,
         carry=("depth",),  # constant within (crawl_id, url) in a tier
+        keep_packed="_ord",  # single-long order key for downstream ranks
     ).withColumn("url_id", F.md5(F.col("url")))
     # url_seen unique by construction; shuffle_hash avoids both the
     # probe-side sort and the AQE driver-serial broadcast build (see
@@ -262,9 +263,9 @@ def run_wave_multi(
         "lane", F.when(F.col("priority") > 0, "priority").otherwise("normal")
     )
     kept = assign_batches(
-        kept, order=CANON_ORDER, batch_size=BATCH_SIZE,
+        kept, order=("_ord",), batch_size=BATCH_SIZE,
         distributed=distributed_rank, cache_registry=wave_caches,
-    )
+    ).drop("_ord")  # batch_no/batch_pos carry the order from here on
     kept = assign_shard(kept, n_shards, hot_host_threshold=hot_host_threshold)
     kept = politeness_slots(
         kept, robots, wave_start_ms=wave_start_ms,

@@ -249,6 +249,11 @@ def run_wave(
     # url_id, the seen join's exchange is REUSED by the status join —
     # one url_id shuffle of the wave instead of two (the multiwave
     # keeps crawl_id in its keys because there it truly varies).
+    # keep_packed: the canonical-order tuple survives as ONE 8-byte
+    # long ("_ord", sorts identically to CANON_ORDER) — every
+    # downstream shuffle (seen/status anti-joins, batch + politeness
+    # range ranks) moves one long instead of four ints/longs, and the
+    # range-partition comparators become single-key
     in_wave = (
         first_occurrence(
             after_f1.drop("url_raw", "crawl_id"),
@@ -256,6 +261,7 @@ def run_wave(
             order=CANON_ORDER,
             carry=(),
             crawl_col=None,
+            keep_packed="_ord",
         )
         .withColumn("url_id", F.md5(F.col("url")))  # P3
         .withColumn("crawl_id", F.lit(crawl_id))
@@ -323,10 +329,10 @@ def run_wave(
     )
     kept = assign_lane(kept, profile.get("priority", 0))
     kept = assign_batches(
-        kept, order=CANON_ORDER, batch_size=BATCH_SIZE,
+        kept, order=("_ord",), batch_size=BATCH_SIZE,
         distributed=distributed_rank, cache_registry=wave_caches,
         base_positions=base_positions,
-    )
+    ).drop("_ord")  # batch_no/batch_pos carry the order from here on
     kept = assign_shard(kept, n_shards, hot_host_threshold=hot_host_threshold)
     kept = politeness_slots(
         kept, robots, wave_start_ms=wave_start_ms,
