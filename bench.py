@@ -115,12 +115,15 @@ def calib() -> dict:
 
     rng = np.random.RandomState(7)
     a = rng.rand(1024, 1024)
+    a = a @ a  # untimed: BLAS thread-pool init + page faults
+    a /= np.abs(a).max()
     t0 = time.time()
     for _ in range(8):
         a = a @ a
         a /= np.abs(a).max()
     cpu_s = time.time() - t0
     big = np.zeros(64 * 1024 * 1024 // 8)  # 64 MB
+    big = big + 1.0  # untimed first touch
     t0 = time.time()
     for _ in range(16):
         big = big + 1.0  # streams 2x64 MB per pass

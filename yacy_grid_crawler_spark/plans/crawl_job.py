@@ -707,7 +707,14 @@ class CrawlJob:
         ]
 
     def run_concurrent(self, crawl_ids: list[str] | None = None) -> None:
-        """BFS all crawls together, one combined wave per tier."""
+        """BFS all crawls together, one combined wave per tier.
+
+        The wave-size cap (`max_wave_urls`) applies to the single-crawl
+        `step()` path only: a combined tier has no per-crawl cursor. A
+        crawl left mid-depth by a capped run should be finished with
+        `run()` before switching to the concurrent driver — step_all
+        would reprocess the depth's consumed candidates (harmless for
+        the seen set, which dedups, but batch numbering restarts)."""
         active = list(crawl_ids or self.profiles)
         while active:
             active = self.step_all(active)
