@@ -741,6 +741,178 @@ _FINGERPRINT_SQL = """
 """
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH candidate pairs —
+    one row per document, cluster_id = min doc_id of its component
+    (keep-rule: doc_id == cluster_id)."""
+    from yacy_grid_crawler_spark.operators.dedup_text import duplicate_clusters
+
+    return duplicate_clusters(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        cache_registry=_QUERY_CACHES,
+    )
+
+
+# transitive closure of the same pair graph via a recursive CTE
+# (oracle-scale only; the engine uses iterative min-label propagation)
+_CLUSTERS_SQL = f"""
+  WITH RECURSIVE {_SHINGLES_CTE},
+  sig AS (
+    SELECT doc_id,
+           {", ".join(f"min(md5('{j}|' || shingle)) AS h{j}" for j in range(8))}
+    FROM shingles GROUP BY doc_id
+  ),
+  banded AS (
+    {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{2*b} || h{2*b+1} AS band_key FROM sig"
+        for b in range(4)
+    )}
+  ),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  ),
+  edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL SELECT doc_b, doc_a FROM pairs
+  ),
+  reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    WHERE r.src <> e.dst
+  )
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+  GROUP BY d.doc_id
+"""
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 97 != 0)
+    sharing a word 4-gram with the held-out set (doc_id % 97 == 0)."""
+    from yacy_grid_crawler_spark.operators.dedup_text import decontaminate_overlap
+
+    return decontaminate_overlap(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+_DECONTAM_SQL = """
+  WITH words AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents
+  ),
+  sh AS (
+    SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                           for i in generate_series(1, greatest(len(w) - 3, 0))]) AS s
+    FROM words
+  ),
+  bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+  hits AS (
+    SELECT t.doc_id, count(*) AS n_hits
+    FROM sh t JOIN bench b ON t.s = b.s
+    WHERE t.doc_id % 97 <> 0
+    GROUP BY t.doc_id
+  )
+  SELECT d.doc_id,
+         coalesce(h.n_hits, 0) AS n_hits,
+         coalesce(h.n_hits, 0) > 0 AS contaminated
+  FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+  WHERE d.doc_id % 97 <> 0
+"""
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + mask. The synthetic corpus carries no PII, so the
+    query plants DETERMINISTIC PII into every 5th document (email +
+    IPv4 + SSN shapes derived from doc_id, identically in the SQL
+    oracle) — the regex/masking kernels are exercised on real
+    nonzero counts, dialect-equal in java.util.regex and RE2."""
+    from yacy_grid_crawler_spark.operators.textstats import pii_scrub
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact doc"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com from 10.0.0."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit(" ssn 123-45-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return pii_scrub(planted)
+
+
+_PII_SQL = """
+  WITH planted AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN
+             text || ' contact doc' || doc_id || '@mail.example.com from 10.0.0.'
+                  || (doc_id % 250) || ' ssn 123-45-'
+                  || lpad(CAST(doc_id % 10000 AS varchar), 4, '0')
+           ELSE text END AS text
+    FROM documents
+  )
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+           AS n_emails,
+         len(regexp_extract_all(text, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'))
+           AS n_ips,
+         len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssns,
+         md5(regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+               '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'))
+           AS masked_md5
+  FROM planted
+"""
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality: dup-word fraction + modal
+    bigram fraction + flag."""
+    from yacy_grid_crawler_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+_REPETITION_SQL = """
+  WITH words AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents
+  ),
+  base AS (
+    SELECT doc_id, len(w) AS n_words,
+           CASE WHEN len(w) = 0 THEN 0.0
+                ELSE round(1.0 - len(list_distinct(w)) / len(w), 4)
+           END AS dup_word_frac,
+           CASE WHEN len(w) >= 2 THEN
+             [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w) - 1)]
+           ELSE [] END AS bg
+    FROM words
+  ),
+  top AS (
+    SELECT doc_id, max(c) AS top_c FROM (
+      SELECT doc_id, b, count(*) AS c
+      FROM (SELECT doc_id, unnest(bg) AS b FROM base)
+      GROUP BY doc_id, b
+    ) GROUP BY doc_id
+  )
+  SELECT b.doc_id, b.n_words, b.dup_word_frac,
+         round(coalesce(t.top_c, 0) / greatest(len(b.bg), 1), 4) AS top_bigram_frac,
+         (b.dup_word_frac > 0.85 OR
+          round(coalesce(t.top_c, 0) / greatest(len(b.bg), 1), 4) > 0.18) AS flagged
+  FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
+"""
+
+
 def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30-min gap) via lag + cumulative sum — the
     window-op pattern the metrics layer uses."""
@@ -1244,6 +1416,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "token_count": _q_token_count,
         "doc_fingerprint": _q_doc_fingerprint,
+        "dedup_clusters": _q_dedup_clusters,
+        "decontaminate": _q_decontaminate,
+        "pii_scrub": _q_pii_scrub,
+        "repetition_stats": _q_repetition,
         "events_sessionize": _q_events_sessionize,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
@@ -1281,6 +1457,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _QUALITY_SQL,
         "token_count": _TOKEN_SQL,
         "doc_fingerprint": _FINGERPRINT_SQL,
+        "dedup_clusters": _CLUSTERS_SQL,
+        "decontaminate": _DECONTAM_SQL,
+        "pii_scrub": _PII_SQL,
+        "repetition_stats": _REPETITION_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,

@@ -1,0 +1,100 @@
+"""Training-data pipeline operators added in round 3: near-dup
+connected-components clustering, benchmark decontamination, PII
+scrub, and Gopher-style repetition stats. The sf-table oracles check
+dialect equality; these tests pin the SEMANTICS on crafted rows."""
+
+from pyspark.sql import functions as F
+
+
+def test_duplicate_clusters_transitive_closure(spark):
+    """A-B and B-C pairs must land A, B, C in ONE cluster labeled by
+    the min doc_id, with untouched docs as singletons — including a
+    longer chain that needs several propagation rounds."""
+    from yacy_grid_crawler_spark.operators.dedup_text import duplicate_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 8), (8, 9), (6, 9)],
+        "doc_a long, doc_b long",
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(docs, pairs=pairs).collect()
+    }
+    assert out == {
+        0: 0, 4: 4,          # singletons
+        1: 1, 2: 1, 3: 1,    # chain 1-2-3
+        5: 5, 6: 5, 7: 5, 8: 5, 9: 5,  # 5-6, 7-8-9 bridged by 6-9
+    }
+
+
+def test_decontaminate_overlap_flags_shared_ngrams(spark):
+    from yacy_grid_crawler_spark.operators.dedup_text import decontaminate_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox yesterday evening"),  # shares 4-gram
+            (2, "completely different words in this one here"),
+            (3, "quick brown fox jumps again and again today"),   # shares 4-gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate_overlap(train, benchmark=bench, n=4).collect()
+    }
+    assert out[1][1] and out[3][1] and not out[2][1]
+    assert out[1][0] >= 1 and out[2][0] == 0
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    from yacy_grid_crawler_spark.operators.textstats import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail alice@example.com and bob@sub.example.org end"),
+            (2, "server at 192.168.1.100 and 10.0.0.1 up"),
+            (3, "ssn 123-45-6789 leaked"),
+            (4, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_ssns"]) == (2, 0, 0)
+    assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_ssns"]) == (0, 2, 0)
+    assert (out[3]["n_emails"], out[3]["n_ips"], out[3]["n_ssns"]) == (0, 0, 1)
+    assert (out[4]["n_emails"], out[4]["n_ips"], out[4]["n_ssns"]) == (0, 0, 0)
+    # masking actually changed the hash for PII rows, not for clean
+    import hashlib
+
+    assert out[4]["masked_md5"] == hashlib.md5(
+        b"clean text with no pii at all"
+    ).hexdigest()
+    assert out[3]["masked_md5"] == hashlib.md5(b"ssn <SSN> leaked").hexdigest()
+    assert out[1]["masked_md5"] == hashlib.md5(
+        b"mail <EMAIL> and <EMAIL> end"
+    ).hexdigest()
+
+
+def test_repetition_stats_thresholds(spark):
+    from yacy_grid_crawler_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, "one two three four five six seven eight"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[1]["flagged"] and out[1]["dup_word_frac"] > 0.8
+    assert out[1]["top_bigram_frac"] == 1.0  # every bigram is "spam spam"
+    assert not out[2]["flagged"] and out[2]["dup_word_frac"] == 0.0
+    assert out[3]["n_words"] == 0 and not out[3]["flagged"]

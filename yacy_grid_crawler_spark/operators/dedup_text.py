@@ -263,3 +263,121 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+def duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    max_iters: int = 20,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs — the step a
+    production dedup pipeline runs AFTER pair generation: transitive
+    closure turns pairwise collisions into groups so exactly one
+    representative per group survives. Output: (doc_id, cluster_id)
+    for EVERY document, cluster_id = min doc_id of its component
+    (singletons are their own cluster); keep-rule = `doc_id ==
+    cluster_id`.
+
+    Algorithm: iterative min-label propagation — each round every
+    vertex takes the min of its own label and its neighbors' labels
+    (one equi-join + one map-side-combining min-agg shuffle per
+    round), driver loop ends when a round changes nothing. Rounds
+    needed = component diameter; near-dup components are shallow
+    (LSH bands connect dups densely), so 2-4 rounds in practice —
+    this is the standard large-graph CC shape (hash-to-min), no
+    single-partition step anywhere. `localCheckpoint` cuts the plan's
+    lineage so round N's plan stays O(1), exactly like the BFS driver
+    loop in plans/crawl_job.py.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, cache_registry=cache_registry)
+    # symmetric edge list once; persisted across rounds
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    if cache_registry is not None:
+        cache_registry.append(edges)
+    labels = docs.select(
+        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        neigh_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.doc_id == neigh_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: n-gram overlap against a held-out set
+# ---------------------------------------------------------------------------
+
+def decontaminate_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    n: int = 4,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Training-data decontamination: flag training documents sharing
+    at least one word n-gram with a benchmark/eval set (the standard
+    13-gram-overlap rule from LM data pipelines; `n` is a parameter —
+    the synthetic corpus' short texts use n=4 so the oracle has
+    nonzero hits). Output: (doc_id, n_hits, contaminated) for every
+    TRAINING doc, n_hits = number of distinct shared n-grams.
+
+    Scale shape: distinct doc-shingle inverted index on the training
+    side; the benchmark side is small by construction (eval sets are
+    thousands of docs, not billions) so its shingle set broadcasts —
+    no shuffle of the training corpus beyond the shingle projection.
+    `benchmark=None` carves the deterministic held-out subset
+    doc_id % 97 == 0 out of `docs` (the bench/test fixture split).
+    """
+    if benchmark is None:
+        benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+        docs = docs.filter(F.col("doc_id") % 97 != 0)
+    train_sh = doc_shingles(docs, n)
+    bench_sh = doc_shingles(benchmark, n).select("shingle").distinct()
+    hits = (
+        train_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -118,3 +118,100 @@ def fingerprints(docs: DataFrame, gram: int = 8) -> DataFrame:
         F.md5(F.col("text")).alias("text_md5"),
         F.array_min(subs).alias("min_gram_hash"),
     )
+
+
+# PII patterns: RE2-safe syntax (no backrefs/lookarounds) so the SAME
+# pattern strings run in Spark (java.util.regex) and DuckDB (RE2) —
+# the oracle-equality constraint that governs every kernel here.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+PII_SSN_RE = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + masking for training-data hygiene: emails,
+    IPv4 addresses, SSN-shaped numbers found and replaced with typed
+    placeholders. Pure JVM regexp (codegen, no UDF) — scales as a
+    narrow map over the corpus scan. Output: (doc_id, n_emails,
+    n_ips, n_ssns, masked_md5) — the masked text itself stays a
+    column in `with_masked` form for pipelines that persist it; the
+    md5 is the equality surface for the oracle.
+
+    Masking order matters and is pinned: SSN before IPv4 (an IPv4
+    match can overlap digit runs), email first (an email's domain
+    must not be half-masked by a prior rule)."""
+    t = F.col(text_col)
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_SSN_RE,
+            "<SSN>",
+        ),
+        PII_IPV4_RE,
+        "<IP>",
+    )
+    # F.regexp_extract_all with Column patterns — NOT F.expr string
+    # literals, whose backslash escapes the SQL parser would eat
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_SSN_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_ssns"),
+        F.md5(masked).alias("masked_md5"),
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals: a document whose mass
+    sits in a few repeated fragments is boilerplate/spam, not prose.
+    Per doc: dup_word_frac = 1 - distinct(words)/words;
+    top_bigram_frac = occurrences of the most frequent word bigram /
+    total bigrams; flagged = the Gopher-shaped thresholds
+    (dup_word_frac > 0.85 OR top_bigram_frac > 0.18 — tuned for the
+    synthetic corpus' small vocabulary; production corpora use the
+    published 0.63/0.08). All computed with codegen array exprs over
+    the tokenized text — a narrow map, no shuffle, no UDF."""
+    words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    d = docs.withColumn("_w", words)
+    n_words = F.size("_w")
+    n_distinct = F.size(F.array_distinct("_w"))
+    bigrams = F.expr(
+        "CASE WHEN size(_w) >= 2 THEN"
+        " transform(sequence(1, size(_w) - 1),"
+        " i -> concat_ws(' ', element_at(_w, i), element_at(_w, i + 1)))"
+        " ELSE array() END"
+    )
+    d = d.withColumn("_bg", bigrams)
+    # occurrences of the modal bigram: sort the bigram array and take
+    # the longest run of equal neighbors — O(n log n) per doc in pure
+    # codegen exprs (the naive distinct×filter scan is O(n²) per doc,
+    # which a 10k-word web page would feel)
+    top_bg = F.expr(
+        "CASE WHEN size(_bg) = 0 THEN 0 ELSE"
+        " aggregate(array_sort(_bg),"
+        " struct(CAST('' AS string) AS prev, 0 AS run, 0 AS best),"
+        " (acc, x) -> struct(x,"
+        "   IF(x = acc.prev, acc.run + 1, 1),"
+        "   greatest(acc.best, IF(x = acc.prev, acc.run + 1, 1))),"
+        " acc -> acc.best) END"
+    )
+    # empty docs: 0/0 would read as "all duplicates" — define as 0
+    dup_frac = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - n_distinct / n_words, 4)
+    )
+    top_frac = F.round(
+        top_bg / F.greatest(F.size("_bg"), F.lit(1)), 4
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        dup_frac.alias("dup_word_frac"),
+        top_frac.alias("top_bigram_frac"),
+        ((dup_frac > 0.85) | (top_frac > 0.18)).alias("flagged"),
+    )
