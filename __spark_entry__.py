@@ -913,6 +913,88 @@ _REPETITION_SQL = """
 """
 
 
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-priority PageRank over the shared synthetic link graph —
+    EXACT integer form (damping 1/2, uniform out-degree 3: s_t =
+    pr_t·n·6^t is a bigint recurrence), so engine-vs-oracle equality
+    is bit-exact instead of hinging on float summation order."""
+    from yacy_grid_crawler_spark.operators.graph import pagerank_scaled
+
+    return pagerank_scaled(
+        _docs(spark, sf_dir).select("doc_id"), cache_registry=_QUERY_CACHES
+    )
+
+
+def _pagerank_sql() -> str:
+    # the same integer recurrence, unrolled (no recursive-term
+    # aggregates needed): s_{t+1}(v) = 3*6^t + sum_{u->v} s_t(u)
+    steps = []
+    for t in range(6):
+        teleport = 3 * 6 ** t
+        steps.append(
+            # CAST: DuckDB's sum(BIGINT) widens to HUGEINT, which
+            # pandas renders as float — keep every step BIGINT
+            f"s{t + 1} AS (SELECT d.doc_id,"
+            f" CAST({teleport} + coalesce(sum(s{t}.s), 0) AS BIGINT) AS s"
+            f" FROM documents d"
+            f" LEFT JOIN edges e ON e.dst = d.doc_id"
+            f" LEFT JOIN s{t} ON s{t}.doc_id = e.src"
+            f" GROUP BY d.doc_id)"
+        )
+    return f"""
+  WITH edges AS (
+    SELECT d.doc_id AS src,
+           (d.doc_id * 17 + k.k) % (SELECT count(*) FROM documents) AS dst
+    FROM documents d, (VALUES (1), (2), (3)) k(k)
+  ),
+  s0 AS (SELECT doc_id, CAST(1 AS BIGINT) AS s FROM documents),
+  {", ".join(steps)}
+  SELECT doc_id, s AS pr_scaled FROM s6
+"""
+
+
+_PAGERANK_SQL = _pagerank_sql()
+
+
+def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket train/val/test assignment."""
+    from yacy_grid_crawler_spark.operators.sampling import dataset_split
+
+    return dataset_split(_docs(spark, sf_dir).select("doc_id"))
+
+
+_DATASET_SPLIT_SQL = """
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+"""
+
+
+def _q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing over n_chars in doc_id order
+    (distributed two-phase prefix sum — no global window)."""
+    from yacy_grid_crawler_spark.operators.sampling import pack_shards
+
+    return pack_shards(
+        _docs(spark, sf_dir).select("doc_id", "n_chars"),
+        budget=4000,
+        token_col="n_chars",
+        cache_registry=_QUERY_CACHES,
+    )
+
+
+_PACK_SHARDS_SQL = """
+  SELECT doc_id, n_chars,
+         CAST(floor(coalesce(sum(n_chars) OVER (
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / 4000) AS BIGINT) AS shard_id
+  FROM documents
+"""
+
+
 def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30-min gap) via lag + cumulative sum — the
     window-op pattern the metrics layer uses."""
@@ -1420,6 +1502,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition,
+        "pagerank_priority": _q_pagerank,
+        "dataset_split": _q_dataset_split,
+        "pack_shards": _q_pack_shards,
         "events_sessionize": _q_events_sessionize,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
@@ -1461,6 +1546,9 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _DECONTAM_SQL,
         "pii_scrub": _PII_SQL,
         "repetition_stats": _REPETITION_SQL,
+        "pagerank_priority": _PAGERANK_SQL,
+        "dataset_split": _DATASET_SPLIT_SQL,
+        "pack_shards": _PACK_SHARDS_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,

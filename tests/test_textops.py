@@ -98,3 +98,65 @@ def test_repetition_stats_thresholds(spark):
     assert out[1]["top_bigram_frac"] == 1.0  # every bigram is "spam spam"
     assert not out[2]["flagged"] and out[2]["dup_word_frac"] == 0.0
     assert out[3]["n_words"] == 0 and not out[3]["flagged"]
+
+
+def test_pagerank_scaled_exact_small_graph(spark):
+    """Hand-computed s_t on a 3-cycle: every node has in-degree 1 from
+    the cycle, so s_{t+1} = 3*6^t + s_t uniformly."""
+    from yacy_grid_crawler_spark.operators.graph import pagerank_scaled
+
+    docs = spark.createDataFrame([(0,), (1,), (2,)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    out = {r["doc_id"]: r["pr_scaled"] for r in
+           pagerank_scaled(docs, edges=edges, iters=3).collect()}
+    # s0=1, s1=3+1=4, s2=18+4=22, s3=108+22=130, same for all nodes
+    assert out == {0: 130, 1: 130, 2: 130}
+    # a sink-heavy graph concentrates rank: 0->2, 1->2
+    edges2 = spark.createDataFrame([(0, 2), (1, 2)], "src long, dst long")
+    out2 = {r["doc_id"]: r["pr_scaled"] for r in
+            pagerank_scaled(docs, edges=edges2, iters=2).collect()}
+    # s1: nodes 0,1 = 3; node 2 = 3+2=5. s2: 0,1 = 18; 2 = 18+3+3=24
+    assert out2 == {0: 18, 1: 18, 2: 24}
+
+
+def test_dataset_split_deterministic_and_partitioned(spark):
+    from yacy_grid_crawler_spark.operators.sampling import (
+        dataset_split, sample_hash,
+    )
+
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = dataset_split(docs).collect()
+    frac = {s: 0 for s in ("train", "val", "test")}
+    for r in out:
+        frac[r["split"]] += 1
+    assert 0.75 < frac["train"] / 2000 < 0.85
+    assert 0.06 < frac["val"] / 2000 < 0.15
+    assert 0.06 < frac["test"] / 2000 < 0.15
+    # rerun → identical assignment (no RNG anywhere)
+    again = {r["doc_id"]: r["split"] for r in dataset_split(docs).collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in out)
+    # hash sampling is a subset relation as the rate grows
+    s64 = {r["doc_id"] for r in sample_hash(docs, 64).collect()}
+    s128 = {r["doc_id"] for r in sample_hash(docs, 128).collect()}
+    assert s64 < s128 and 0.15 < len(s64) / 2000 < 0.35
+
+
+def test_pack_shards_distributed_equals_window(spark):
+    from yacy_grid_crawler_spark.operators.sampling import pack_shards
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"), ((F.col("id") * 37) % 900 + 100).alias("n_tokens")
+    )
+    caches = []
+    a = {r["doc_id"]: r["shard_id"] for r in
+         pack_shards(docs, 2500, distributed=False).collect()}
+    b = {r["doc_id"]: r["shard_id"] for r in
+         pack_shards(docs, 2500, distributed=True, cache_registry=caches).collect()}
+    assert a == b
+    for c in caches:
+        c.unpersist()
+    # shards are contiguous in doc order and roughly budget-sized
+    shards = sorted(set(a.values()))
+    assert shards == list(range(len(shards))) and len(shards) > 50

@@ -1,0 +1,109 @@
+"""Corpus sampling, split assignment, and shard packing — the
+bookkeeping operators of a training-data pipeline.
+
+All determinism comes from md5 over the doc id (dialect-shared with
+DuckDB), never from RNG state: the same doc lands in the same split
+on every run, on every engine, at every scale factor — the property
+a reproducible data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# md5-hex prefix thresholds: first two hex chars uniform over 0..255
+TRAIN_LT = "cc"  # 204/256 ≈ 79.7%
+VAL_LT = "e6"    # (230-204)/256 ≈ 10.2%; rest ≈ 10.2% test
+
+
+def dataset_split(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, bucket, split) — deterministic hash split into
+    train/val/test by the first md5-hex byte of the id. Pure codegen,
+    no shuffle, no RNG; proportions ~80/10/10."""
+    b = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    return docs.select(
+        id_col,
+        b.alias("bucket"),
+        F.when(b < TRAIN_LT, "train")
+        .when(b < VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def sample_hash(
+    docs: DataFrame, rate_256: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic `rate_256`/256 sample: keep ids whose first
+    md5-hex byte is below the threshold. The hash-threshold form (not
+    `DataFrame.sample`) is what pipelines need: stable across runs,
+    engines, and partitionings, and composable (a 2x upsample is a
+    threshold change, not a reshuffle)."""
+    thr = format(rate_256, "02x")
+    return docs.filter(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 2) < thr
+    )
+
+
+def pack_shards(
+    docs: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    distributed: bool = True,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Token-budget shard packing: walk documents in `order_col` order
+    and assign shard_id = floor(exclusive-prefix-sum(tokens)/budget) —
+    each training shard holds ~`budget` tokens, documents never split.
+
+    `distributed=True` computes the global prefix sum with the same
+    two-phase machinery as the batching rank (operators/batching.py):
+    range-partition on the order key, per-partition token totals (a
+    tiny aggregate — one row per partition), running-sum those into
+    partition offsets, then offset + local cumulative sum. No
+    single-partition window anywhere; `distributed=False` is the
+    window formulation for small inputs (identical output, pinned by
+    tests)."""
+    if not distributed:
+        w = (
+            Window.orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum_excl = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+        return docs.select(
+            order_col,
+            F.col(token_col),
+            F.floor(cum_excl / budget).cast("long").alias("shard_id"),
+        )
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ranged = docs.repartitionByRange(n_part, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    if cache_registry is not None:
+        cache_registry.append(ranged)
+    cum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = (
+        ranged.groupBy("_pid")
+        .agg(F.sum(token_col).alias("_n"))
+        .withColumn("_offset", F.coalesce(F.sum("_n").over(cum), F.lit(0)))
+        .drop("_n")
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_excl = F.coalesce(F.sum(token_col).over(w_local), F.lit(0))
+    return (
+        ranged.join(F.broadcast(off), "_pid")
+        .select(
+            order_col,
+            F.col(token_col),
+            F.floor((F.col("_offset") + local_excl) / budget)
+            .cast("long")
+            .alias("shard_id"),
+        )
+    )
