@@ -153,3 +153,56 @@ def test_concurrent_multi_seed_single_start(spark, two_corpora, tmp_path_factory
     }
     assert set(per_crawl) == set(cids)
     assert all(n > 0 for n in per_crawl.values())
+
+
+def test_multiwave_updates_checkpointed_filters(
+    spark, two_corpora, tmp_path_factory
+):
+    """A multiwave tier must fold each crawl's url_seen delta into its
+    checkpointed bloom at commit — a stale filter's negatives would
+    bypass the exact anti-join in a later single-crawl step() and
+    re-crawl already-seen URLs. Pinned: (a) after run_concurrent the
+    stored bloom covers EVERY committed seen id of its crawl, (b) a
+    mixed driving sequence (one concurrent tier, then single-crawl
+    steps to completion) converges to the same state as checkpointed
+    sequential BFS, with url_seen unique."""
+    import pandas as pd
+
+    a, b, docs_df, robots_df, rules = two_corpora
+    root = str(tmp_path_factory.mktemp("mw_ckpt"))
+    job = CrawlJob(spark, root, docs_df, blacklist=rules, robots=robots_df,
+                   n_shards=8, checkpoint_filters=True)
+    cids = job.start(a.seeds[0], {"crawlingDepth": 2})
+    cids += job.start(b.seeds[0], {"crawlingDepth": 2})
+    job.run_concurrent(cids)
+    for cid in cids:
+        seen_ids = sorted(
+            r["url_id"] for r in job.store.read("url_seen")
+            .filter(F.col("crawl_id") == cid).collect()
+        )
+        assert seen_ids
+        loaded = job.store.load_seen_filter(cid)
+        assert loaded is not None, f"no stored filter for {cid}"
+        bloom, _meta = loaded
+        hits = bloom.might_contain(pd.Series(seen_ids))
+        assert hits.all(), f"stored bloom misses committed ids for {cid}"
+
+    # mixed driving: one concurrent tier, then finish each crawl with
+    # checkpointed single-crawl steps
+    root2 = str(tmp_path_factory.mktemp("mw_ckpt_mixed"))
+    job2 = CrawlJob(spark, root2, docs_df, blacklist=rules, robots=robots_df,
+                    n_shards=8, checkpoint_filters=True)
+    cids2 = job2.start(a.seeds[0], {"crawlingDepth": 2})
+    cids2 += job2.start(b.seeds[0], {"crawlingDepth": 2})
+    job2.step_all(cids2)  # depth-0 tier for both crawls
+    for cid in cids2:
+        while job2.step(cid):
+            pass
+    rows = job2.store.read("url_seen").select("crawl_id", "url_id").collect()
+    assert len(rows) == len({(r["crawl_id"], r["url_id"]) for r in rows}), \
+        "stale filter caused duplicate url_seen rows"
+    ref = _crawl(spark, str(tmp_path_factory.mktemp("mw_ckpt_ref")),
+                 docs_df, robots_df, rules,
+                 [(a.seeds[0], 2), (b.seeds[0], 2)], concurrent=False)[0]
+    assert _table_state(job2, "url_seen", ("url_id",)) == \
+        _table_state(ref, "url_seen", ("url_id",))

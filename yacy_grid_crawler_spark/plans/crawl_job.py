@@ -690,13 +690,35 @@ class CrawlJob:
         meta2 = self._meta({cid: int(nd.get(cid, 0)) + 1 for cid in stepped})
         for cid in stepped:
             meta2.setdefault("wave_starts", {})[cid] = wave_start_ms
-        pc.finalize(meta=meta2)
-        accepted = {
-            r["crawl_id"]: r["accepted"]
+        # one collect serves both the continue-decision and (with
+        # checkpoint filters on) the per-crawl novel counts: every
+        # novel row — accepted or rejected — is a url_seen delta row
+        stats = {
+            r["crawl_id"]: r
             for r in metrics.groupBy("crawl_id").agg(
-                F.sum("accepted").alias("accepted")
+                F.sum("accepted").alias("accepted"),
+                (
+                    F.sum("accepted") + F.sum("deduped_persistent")
+                    + F.sum("rejected_filter") + F.sum("rejected_blacklist")
+                    + F.sum("rejected_robots")
+                ).alias("novel"),
             ).collect()
         }
+        accepted = {c: int(r["accepted"]) for c, r in stats.items()}
+        if self.checkpoint_filters:
+            # keep the stored blooms covering EVERY committed url_seen
+            # row: a multiwave tier that skipped this would leave a
+            # stale filter whose negatives bypass the exact anti-join
+            # in a later single-crawl step() — re-crawl duplicates
+            for cid in stepped:
+                self._update_seen_filter(
+                    cid,
+                    pc.version,
+                    meta2,
+                    res.seen.filter(F.col("crawl_id") == cid),
+                    int(stats[cid]["novel"]) if cid in stats else 0,
+                )
+        pc.finalize(meta=meta2)
         res.unpersist()
         for cid in stepped:
             self._prev_accepted[cid] = accepted.get(cid, 0)
