@@ -913,6 +913,92 @@ _REPETITION_SQL = """
 """
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (CCNet-style boilerplate removal). The
+    synthetic docs are single-line, so the query plants DETERMINISTIC
+    boilerplate: every even doc gets a newsletter line, every third
+    doc a copyright line (both repeat corpus-wide → dropped at
+    max_freq=10), and every doc a unique 'ref N' trailer (kept) —
+    identically in the SQL oracle."""
+    from yacy_grid_crawler_spark.operators.textstats import line_dedup
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("subscribe to our newsletter\n"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("(c) example corp all rights reserved\n"),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.lit("\nref "),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    return line_dedup(planted, max_freq=10)
+
+
+_LINE_DEDUP_SQL = """
+  WITH planted AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'subscribe to our newsletter' || chr(10) ELSE '' END ||
+           CASE WHEN doc_id % 3 = 0
+                THEN '(c) example corp all rights reserved' || chr(10) ELSE '' END ||
+           text || chr(10) || 'ref ' || doc_id AS text
+    FROM documents
+  ),
+  lines AS (
+    SELECT doc_id, trim(l) AS line, pos FROM (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS l,
+             generate_subscripts(string_split(text, chr(10)), 1) AS pos
+      FROM planted
+    ) WHERE trim(l) <> ''
+  ),
+  freq AS (SELECT line, count(*) AS f FROM lines GROUP BY line)
+  SELECT l.doc_id,
+         count(*) AS n_lines,
+         CAST(sum(CASE WHEN f.f <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         md5(coalesce(string_agg(CASE WHEN f.f <= 10 THEN l.line END,
+                                 chr(10) ORDER BY l.pos), '')) AS cleaned_md5
+  FROM lines l JOIN freq f USING (line)
+  GROUP BY l.doc_id
+"""
+
+
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf-idf terms per document (integer-exact idf_ppm
+    scoring — see operators/textstats.py:tfidf_topk)."""
+    from yacy_grid_crawler_spark.operators.textstats import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir).select("doc_id", "text"), k=5)
+
+
+_TFIDF_SQL = """
+  WITH words AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+    FROM documents
+  ),
+  tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+  dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+  n AS (SELECT count(*) AS n_docs FROM documents)
+  SELECT doc_id, term, tf, df, score, rnk FROM (
+    SELECT t.doc_id, t.term, t.tf, d.df,
+           t.tf * (1000000 * n.n_docs // d.df) AS score,
+           CAST(row_number() OVER (
+             PARTITION BY t.doc_id
+             ORDER BY t.tf * (1000000 * n.n_docs // d.df) DESC, t.term
+           ) AS INTEGER) AS rnk
+    FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+  ) WHERE rnk <= 5
+"""
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-priority PageRank over the shared synthetic link graph —
     EXACT integer form (damping 1/2, uniform out-degree 3: s_t =
@@ -1502,6 +1588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition,
+        "line_dedup": _q_line_dedup,
+        "tfidf_topk": _q_tfidf,
         "pagerank_priority": _q_pagerank,
         "dataset_split": _q_dataset_split,
         "pack_shards": _q_pack_shards,
@@ -1546,6 +1634,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _DECONTAM_SQL,
         "pii_scrub": _PII_SQL,
         "repetition_stats": _REPETITION_SQL,
+        "line_dedup": _LINE_DEDUP_SQL,
+        "tfidf_topk": _TFIDF_SQL,
         "pagerank_priority": _PAGERANK_SQL,
         "dataset_split": _DATASET_SPLIT_SQL,
         "pack_shards": _PACK_SHARDS_SQL,

@@ -160,3 +160,68 @@ def test_pack_shards_distributed_equals_window(spark):
     # shards are contiguous in doc order and roughly budget-sized
     shards = sorted(set(a.values()))
     assert shards == list(range(len(shards))) and len(shards) > 50
+
+
+def test_line_dedup_drops_corpus_frequent_lines(spark):
+    """Lines above the corpus frequency threshold vanish; per-doc
+    unique lines survive in original order (md5 checked against a
+    hand-built cleaned text); all-boilerplate docs still emit a row
+    with md5('')."""
+    import hashlib
+
+    from yacy_grid_crawler_spark.operators.textstats import line_dedup
+
+    boiler = "subscribe now"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{boiler}\nalpha zero\n\n  {boiler}  \nomega zero"),
+            (1, f"beta one\n{boiler}"),
+            (2, f"{boiler}"),          # only boilerplate -> md5('')
+            (3, "gamma three"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, max_freq=2).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # boiler appears 4x (> 2) -> dropped everywhere; empty line dropped
+    assert (out[0]["n_lines"], out[0]["n_kept"]) == (4, 2)
+    assert out[0]["cleaned_md5"] == md5("alpha zero\nomega zero")
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (2, 1)
+    assert out[1]["cleaned_md5"] == md5("beta one")
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (1, 0)
+    assert out[2]["cleaned_md5"] == md5("")
+    assert (out[3]["n_lines"], out[3]["n_kept"]) == (1, 1)
+    assert out[3]["cleaned_md5"] == md5("gamma three")
+
+
+def test_tfidf_topk_ranks_rare_terms_first(spark):
+    """A term unique to one doc outranks a corpus-wide term; scores
+    are the exact integers tf * (1e6 * n_docs DIV df); rnk caps at k
+    with deterministic term tie-break."""
+    from yacy_grid_crawler_spark.operators.textstats import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common rare common"),
+            (1, "common common"),
+            (2, "common solo"),
+            (3, "common"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d in by_doc.values():
+        d.sort(key=lambda r: r["rnk"])
+    # doc 0: rare (tf=1, df=1 -> idf 4_000_000) beats common
+    # (tf=2, df=4 -> idf 1_000_000 -> score 2_000_000)
+    assert [r["term"] for r in by_doc[0]] == ["rare", "common"]
+    assert by_doc[0][0]["score"] == 4_000_000
+    assert by_doc[0][1]["score"] == 2_000_000
+    assert [r["term"] for r in by_doc[2]] == ["solo", "common"]
+    # every doc emits at most k rows, rnk is 1..k dense
+    for d, rs in by_doc.items():
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 2

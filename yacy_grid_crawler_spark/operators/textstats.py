@@ -1,10 +1,15 @@
 """Text analysis for training-data pipelines: language-ID heuristic,
-quality scoring, token counting, document fingerprinting.
+quality scoring, token counting, document fingerprinting, corpus-level
+line dedup and tf-idf keyword extraction.
 
 All pure JVM-side expressions (regexp_extract_all / size / arithmetic)
 — no UDFs at all — so each op has an exactly-equivalent DuckDB oracle
-and stays inside whole-stage codegen on the hot path. These run over
-the `documents(doc_id, text, lang, source, n_chars)` table.
+and stays inside whole-stage codegen on the hot path. The per-document
+ops (lang_id .. repetition_stats) are narrow maps with no shuffle; the
+two corpus-level ops at the bottom (`line_dedup`, `tfidf_topk`) each
+add exactly one keyed shuffle (line / term) plus a per-doc regroup.
+These run over the `documents(doc_id, text, lang, source, n_chars)`
+table.
 """
 
 from __future__ import annotations
@@ -214,4 +219,109 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         dup_frac.alias("dup_word_frac"),
         top_frac.alias("top_bigram_frac"),
         ((dup_frac > 0.85) | (top_frac > 0.18)).alias("flagged"),
+    )
+
+
+def line_dedup(docs: DataFrame, max_freq: int = 10,
+               text_col: str = "text") -> DataFrame:
+    """CCNet-style line-level boilerplate removal: split each document
+    into lines, count each (trimmed, non-empty) line's frequency
+    across the WHOLE corpus, and drop lines that appear in more than
+    `max_freq` documents' worth of rows — navigation chrome, cookie
+    banners, copyright footers repeat verbatim across a site; prose
+    does not. Output per doc: (doc_id, n_lines, n_kept, cleaned_md5)
+    where cleaned_md5 hashes the kept lines re-joined by '\\n' in
+    their ORIGINAL order (the compact equality surface; pipelines
+    that persist the cleaned text keep the pre-md5 column).
+
+    Scale shape: posexplode is a narrow map; the frequency count is
+    one hash-aggregate shuffle keyed on the line text with map-side
+    partial combine (boilerplate lines collapse to one row per
+    partition before the exchange, so the shuffle is ~distinct lines,
+    not total lines); the freq join is a plain equi-join AQE can
+    re-plan; the regroup keys on doc_id. No UDFs, no windows. At
+    100 TB you would key the count/join on xxhash64(line) to shuffle
+    8-byte fingerprints instead of line strings — kept exact-string
+    here so the DuckDB oracle is equivalence, not approximation.
+
+    Docs whose lines are ALL removed still emit a row (cleaned_md5 =
+    md5(''), n_kept = 0); docs with no non-empty lines at all emit
+    nothing (there is no line evidence to group).
+    """
+    lines = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .withColumn("line", F.trim(F.col("line")))
+        .filter(F.length("line") > 0)
+    )
+    freq = lines.groupBy("line").agg(F.count("*").alias("_freq"))
+    flagged = lines.join(freq, "line")
+    keep = F.col("_freq") <= max_freq
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    # collect_list drops null entries: non-kept lines
+                    # vanish, survivors sort back to original order on
+                    # the unique per-doc `pos`
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct(F.col("pos"), F.col("line")))
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            )
+        ).alias("cleaned_md5"),
+    )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k tf-idf terms per document — the classic keyword /
+    salience extraction a corpus-curation pipeline uses for topic
+    balancing and near-dup triage. Integer-exact scoring so the
+    oracle comparison is bit-stable: idf_ppm = (1_000_000 * n_docs)
+    DIV df (floor division — ln() would differ in the last ulp
+    between the JVM and DuckDB), score = tf * idf_ppm; ranking by
+    (score DESC, term ASC) is therefore deterministic in both
+    engines. Output: (doc_id, term, tf, df, score, rnk), rnk <= k.
+
+    Scale shape: term-frequency is a (doc_id, term)-keyed hash
+    aggregate; document frequency re-aggregates that result by term
+    (input already term-clustered); n_docs is a 1-row aggregate
+    broadcast-joined (no driver action, no collect); the top-k window
+    partitions on doc_id — millions of partitions, no global sort, no
+    single-partition window (the repo-wide plan rule).
+    """
+    from pyspark.sql import Window
+
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{WORD_RE}', 0)")
+        ).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    total = docs.agg(F.count("*").alias("_n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "score",
+            F.col("tf") * F.expr("CAST(1000000 AS BIGINT) * _n_docs DIV df"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
     )
