@@ -220,3 +220,42 @@ def test_wave_anti_joins_are_shuffled_hash(spark):
     assert "hashpartitioning(url_id" in plan, plan[:1200]
     assert "hashpartitioning(crawl_id, url" not in plan, plan[:1200]
     res.unpersist()
+
+
+def test_line_dedup_is_windowless_hash_agg(spark):
+    """line_dedup must stay window-free (both per-line frequency and
+    the per-doc regroup are hash aggregates with map-side partial
+    combine) and must not broadcast the full lines table — the freq
+    side of the join is corpus-sized at 100 TB, so a broadcast there
+    would OOM the driver; a single-partition window would serialize
+    the corpus."""
+    from yacy_grid_crawler_spark.operators.textstats import line_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(line_dedup(docs))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    # partial_count before the exchange = map-side combine on lines
+    assert "partial_count" in plan
+
+
+def test_tfidf_window_partitions_on_doc_id(spark):
+    """tfidf_topk's top-k window must partition on doc_id (millions
+    of independent partitions), never degrade to a single global
+    sort, and the 1-row n_docs total must arrive via broadcast, not
+    a shuffle or cartesian product."""
+    from yacy_grid_crawler_spark.operators.textstats import tfidf_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(tfidf_topk(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total
+    # the window's required distribution is doc_id-hashed, not global
+    assert "hashpartitioning(doc_id" in plan
+    # no global range sort anywhere in the plan (a degraded window
+    # would order the whole corpus through one range exchange)
+    assert "rangepartitioning" not in plan
