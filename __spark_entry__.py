@@ -754,9 +754,9 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # transitive closure of the same pair graph via a recursive CTE
-# (oracle-scale only; the engine uses iterative min-label propagation)
-_CLUSTERS_SQL = f"""
-  WITH RECURSIVE {_SHINGLES_CTE},
+# (oracle-scale only; the engine uses iterative min-label propagation).
+# The CTE chain through `clusters` is shared with _CANONICAL_SQL.
+_CLUSTER_CTES = f"""WITH RECURSIVE {_SHINGLES_CTE},
   sig AS (
     SELECT doc_id,
            {", ".join(f"min(md5('{j}|' || shingle)) AS h{j}" for j in range(8))}
@@ -782,11 +782,78 @@ _CLUSTERS_SQL = f"""
     UNION
     SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
     WHERE r.src <> e.dst
+  ),
+  clusters AS (
+    SELECT d.doc_id,
+           least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+    FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+    GROUP BY d.doc_id
+  )"""
+
+_CLUSTERS_SQL = f"""
+  {_CLUSTER_CTES}
+  SELECT doc_id, cluster_id FROM clusters
+"""
+
+
+def _q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection: per near-dup cluster keep
+    the highest-quality doc (ties to the smallest doc_id) — the
+    compose-point of dedup_clusters and quality_score."""
+    from yacy_grid_crawler_spark.operators.dedup_text import canonical_docs
+    from yacy_grid_crawler_spark.operators.textstats import quality_score
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return canonical_docs(
+        d, quality_score(d), cache_registry=_QUERY_CACHES
+    )
+
+
+# same cluster CTE chain + the quality_score formula, keeper picked by
+# a window in SQL (the engine uses a single max_by hash aggregate)
+_CANONICAL_SQL = f"""
+  {_CLUSTER_CTES},
+  q AS (
+    SELECT doc_id,
+           round((len([w for w in regexp_extract_all(lower(text), '[a-z]+')
+                       if w IN ('the','a','of','and','to','in','is')])
+                  / greatest(len(regexp_extract_all(lower(text), '[a-z]+')), 1)) * 2
+                 + least(len(regexp_extract_all(lower(text), '[a-z]+')) / 100.0, 1.0)
+                 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                   / greatest(length(text), 1), 4) AS quality
+    FROM documents
   )
-  SELECT d.doc_id,
-         least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
-  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-  GROUP BY d.doc_id
+  SELECT cluster_id, n_members, keep_doc_id, keep_quality FROM (
+    SELECT c.cluster_id, c.doc_id AS keep_doc_id, q.quality AS keep_quality,
+           CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS n_members,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY q.quality DESC, c.doc_id) AS rn
+    FROM clusters c JOIN q USING (doc_id)
+  ) WHERE rn = 1
+"""
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling over `source`: keep all of
+    src0, 64/256 of src1, none of src2, 128/256 of everything else —
+    the corpus-balancing primitive, thresholds identical in SQL."""
+    from yacy_grid_crawler_spark.operators.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return stratified_sample(
+        d,
+        {"src0": 256, "src1": 64, "src2": 0},
+        default_rate_256=128,
+    ).select("doc_id", "source", "bucket", "keep")
+
+
+_STRATIFIED_SQL = """
+  SELECT doc_id, source,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+           CASE source WHEN 'src0' THEN 'zz' WHEN 'src1' THEN '40'
+                       WHEN 'src2' THEN '00' ELSE '80' END AS keep
+  FROM documents
 """
 
 
@@ -1590,6 +1657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition,
         "line_dedup": _q_line_dedup,
         "tfidf_topk": _q_tfidf,
+        "canonical_docs": _q_canonical_docs,
+        "stratified_sample": _q_stratified_sample,
         "pagerank_priority": _q_pagerank,
         "dataset_split": _q_dataset_split,
         "pack_shards": _q_pack_shards,
@@ -1636,6 +1705,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _REPETITION_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
         "tfidf_topk": _TFIDF_SQL,
+        "canonical_docs": _CANONICAL_SQL,
+        "stratified_sample": _STRATIFIED_SQL,
         "pagerank_priority": _PAGERANK_SQL,
         "dataset_split": _DATASET_SPLIT_SQL,
         "pack_shards": _PACK_SHARDS_SQL,

@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "token_count",
     "events_sessionize",
+    "line_dedup",
+    "tfidf_topk",
 ]
 
 

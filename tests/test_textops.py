@@ -225,3 +225,61 @@ def test_tfidf_topk_ranks_rare_terms_first(spark):
     for d, rs in by_doc.items():
         assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
         assert len(rs) <= 2
+
+
+def test_canonical_docs_keeps_best_quality_per_cluster(spark):
+    """Keeper = max quality within the cluster, ties to the smallest
+    doc_id; singletons keep themselves; n_members counts the whole
+    component."""
+    from yacy_grid_crawler_spark.operators.dedup_text import canonical_docs
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string"
+    )
+    quality = spark.createDataFrame(
+        [(0, 0.5), (1, 0.9), (2, 0.9), (3, 0.1), (4, 0.7), (5, 0.7)],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["cluster_id"]: r
+        for r in canonical_docs(docs, quality, pairs=pairs).collect()
+    }
+    # cluster 0 = {0,1,2}: quality tie 1 vs 2 at 0.9 -> smaller doc_id 1
+    assert (out[0]["keep_doc_id"], out[0]["n_members"]) == (1, 3)
+    assert out[0]["keep_quality"] == 0.9
+    # cluster 4 = {4,5}: tie 0.7 -> doc 4
+    assert (out[4]["keep_doc_id"], out[4]["n_members"]) == (4, 2)
+    # singleton keeps itself
+    assert (out[3]["keep_doc_id"], out[3]["n_members"]) == (3, 1)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    """Rate 256 keeps every row, rate 0 keeps none, intermediate rates
+    follow the md5-bucket threshold; re-running yields the identical
+    keep-set (no RNG)."""
+    from yacy_grid_crawler_spark.operators.sampling import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, ["keep_all", "drop_all", "half"][i % 3]) for i in range(300)],
+        "doc_id long, source string",
+    )
+    rates = {"keep_all": 256, "drop_all": 0, "half": 128}
+    out = stratified_sample(docs, rates).collect()
+    kept = {r["doc_id"] for r in out if r["keep"]}
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert all(r["keep"] for r in by_src["keep_all"])
+    assert not any(r["keep"] for r in by_src["drop_all"])
+    half = by_src["half"]
+    assert all(r["keep"] == (r["bucket"] < "80") for r in half)
+    assert 0 < sum(r["keep"] for r in half) < len(half)
+    again = {
+        r["doc_id"]
+        for r in stratified_sample(docs, rates).collect()
+        if r["keep"]
+    }
+    assert again == kept

@@ -381,3 +381,45 @@ def decontaminate_overlap(
             (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def canonical_docs(
+    docs: DataFrame,
+    quality: DataFrame,
+    pairs: DataFrame | None = None,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Canonical-representative selection — the step AFTER clustering:
+    per near-dup cluster keep the single best document (highest
+    quality score, ties to the smallest doc_id), which is what a
+    dedup pipeline actually emits downstream. Composes
+    duplicate_clusters (connected components over candidate pairs)
+    with any per-doc quality signal (`quality`: doc_id + a `quality`
+    column, e.g. textstats.quality_score).
+
+    Output: (cluster_id, n_members, keep_doc_id, keep_quality) — one
+    row per cluster. The keeper is picked with max_by over a
+    (quality, -doc_id) struct inside ONE hash aggregate keyed on
+    cluster_id: no window, no sort, map-side partial combine; at
+    100 TB the aggregate state is one struct per cluster per
+    partition. The clusters themselves come from the iterative
+    min-label propagation in duplicate_clusters.
+    """
+    clusters = duplicate_clusters(
+        docs, pairs=pairs, cache_registry=cache_registry
+    )
+    j = clusters.join(quality.select("doc_id", "quality"), "doc_id")
+    return j.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.max_by(
+            "doc_id",
+            F.struct(
+                F.col("quality").alias("q"), (-F.col("doc_id")).alias("nid")
+            ),
+        ).alias("keep_doc_id"),
+        F.max(
+            F.struct(
+                F.col("quality").alias("q"), (-F.col("doc_id")).alias("nid")
+            )
+        )["q"].alias("keep_quality"),
+    )

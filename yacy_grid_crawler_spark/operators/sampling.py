@@ -107,3 +107,37 @@ def pack_shards(
             .alias("shard_id"),
         )
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates_256: dict[str, int],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate_256: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-balancing
+    primitive (downsample the over-represented source, keep all of
+    the rare one). `rates_256` maps stratum value -> keep-threshold
+    out of 256 (md5-hex first-byte, same convention as sample_hash);
+    strata not listed keep `default_rate_256`/256; 256 means keep
+    everything (encoded as a sentinel above the hex range, since
+    format(256) would be the 3-char string '100' that misorders
+    against 2-char hex buckets).
+
+    Pure codegen: the per-stratum threshold is a CASE chain folded
+    into the filter, so the whole op is a narrow map the parquet scan
+    absorbs — no shuffle, no RNG, no sampleBy (whose Bernoulli draw
+    is partitioning-dependent and irreproducible across engines).
+    Output: input rows + (bucket, keep) for auditability; callers
+    filter on `keep`."""
+    def _thr(rate: int) -> str:
+        return "zz" if rate >= 256 else format(rate, "02x")
+
+    b = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    thr = F.lit(_thr(default_rate_256))
+    for stratum, rate in sorted(rates_256.items()):
+        thr = F.when(
+            F.col(stratum_col) == stratum, F.lit(_thr(rate))
+        ).otherwise(thr)
+    return docs.withColumn("bucket", b).withColumn("keep", b < thr)
