@@ -1148,6 +1148,100 @@ _PACK_SHARDS_SQL = """
 """
 
 
+def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity quality scoring (CCNet-style filter):
+    add-one-smoothed corpus LM, per-doc avg negative log-prob."""
+    from yacy_grid_crawler_spark.operators.textstats import lm_score
+
+    return lm_score(_docs(spark, sf_dir))
+
+
+_LM_SCORE_SQL = """
+  WITH words AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+    FROM documents
+  ),
+  freqs AS (SELECT tok, count(*) AS cnt FROM words GROUP BY tok),
+  tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+          FROM freqs)
+  SELECT w.doc_id,
+         count(*) AS n_tokens,
+         round(avg(-ln((f.cnt + 1.0) / (t.n + t.v))), 4) AS avg_neg_logprob
+  FROM words w JOIN freqs f USING (tok) CROSS JOIN tot t
+  GROUP BY w.doc_id
+"""
+
+
+def _q_inlink_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target-host inlink aggregation over the synthetic link
+    graph (crawl-priority signal: distinct referring hosts vs raw
+    inlinks)."""
+    from yacy_grid_crawler_spark.operators.graph import link_host_stats
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    url = lambda d: F.concat(  # noqa: E731 — the canonical-URL template
+        F.lit("http://host"), (d % N_HOSTS).cast("string"),
+        F.lit(".example.org/page/"), d.cast("string"), F.lit(".html"),
+    )
+    links = docs.select(
+        url(F.col("doc_id")).alias("src_url"),
+        F.explode(
+            F.array(*[((F.col("doc_id") * 17 + k) % n) for k in (1, 2, 3)])
+        ).alias("_dst"),
+    ).select("src_url", url(F.col("_dst")).alias("dst_url"))
+    return link_host_stats(links)
+
+
+_INLINK_STATS_SQL = f"""
+  WITH links AS (
+    SELECT 'http://host' || (doc_id % {N_HOSTS}) || '.example.org/page/'
+             || doc_id || '.html' AS src_url,
+           'http://host' || (((doc_id * 17 + k) % c.n) % {N_HOSTS})
+             || '.example.org/page/' || ((doc_id * 17 + k) % c.n)
+             || '.html' AS dst_url
+    FROM documents, unnest([1, 2, 3]) t(k),
+         (SELECT count(*) AS n FROM documents) c
+  )
+  SELECT regexp_extract(dst_url, '^[a-z]+://(?:[^/@]*@)?([^/:?]+)', 1)
+           AS dst_host,
+         count(*) AS n_inlinks,
+         count(DISTINCT regexp_extract(src_url,
+           '^[a-z]+://(?:[^/@]*@)?([^/:?]+)', 1)) AS n_src_hosts,
+         count(DISTINCT dst_url) AS n_dst_urls
+  FROM links GROUP BY 1
+"""
+
+
+HOST_CAP = 37  # < the ~50 docs/host at sf0.01 so the cap actually binds
+
+
+def _q_host_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-host cap sampling (hard domain-balancing budget) via
+    the distributed two-phase rank — the scale path, not the window."""
+    from yacy_grid_crawler_spark.operators.sampling import host_cap_sample
+
+    frontier = _frontier_synth(_docs(spark, sf_dir)).select("doc_id", "host")
+    return host_cap_sample(
+        frontier, cap=HOST_CAP, distributed=True, cache_registry=_QUERY_CACHES
+    )
+
+
+_HOST_CAP_SQL = f"""
+  WITH f AS (SELECT doc_id, 'h' || (doc_id % 10) AS host FROM documents),
+  r AS (
+    SELECT doc_id, host,
+           row_number() OVER (
+             PARTITION BY host
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1 AS host_rank
+    FROM f
+  )
+  SELECT doc_id, host, CAST(host_rank AS int) AS host_rank
+  FROM r WHERE host_rank < {HOST_CAP}
+"""
+
+
 def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30-min gap) via lag + cumulative sum — the
     window-op pattern the metrics layer uses."""
@@ -1662,6 +1756,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_priority": _q_pagerank,
         "dataset_split": _q_dataset_split,
         "pack_shards": _q_pack_shards,
+        "lm_score": _q_lm_score,
+        "inlink_stats": _q_inlink_stats,
+        "host_cap_sample": _q_host_cap_sample,
         "events_sessionize": _q_events_sessionize,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
@@ -1710,6 +1807,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_priority": _PAGERANK_SQL,
         "dataset_split": _DATASET_SPLIT_SQL,
         "pack_shards": _PACK_SHARDS_SQL,
+        "lm_score": _LM_SCORE_SQL,
+        "inlink_stats": _INLINK_STATS_SQL,
+        "host_cap_sample": _HOST_CAP_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,

@@ -283,3 +283,84 @@ def test_stratified_sample_rates_and_determinism(spark):
         if r["keep"]
     }
     assert again == kept
+
+
+def test_lm_score_unigram_math(spark):
+    """Hand-checked add-one-smoothed unigram scores on a 2-doc corpus:
+    'a a b' + 'a c' -> N=5 tokens, V=3 vocab, denom=8;
+    p(a)=4/8, p(b)=2/8, p(c)=2/8."""
+    import math
+
+    from yacy_grid_crawler_spark.operators.textstats import lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "123 !!")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    assert set(out) == {1, 2}  # doc 3 has no alphabetic tokens
+    pa, pb = 4 / 8, 2 / 8
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["avg_neg_logprob"] == round(
+        -(math.log(pa) * 2 + math.log(pb)) / 3, 4
+    )
+    assert out[2]["n_tokens"] == 2
+    assert out[2]["avg_neg_logprob"] == round(
+        -(math.log(pa) + math.log(pb)) / 2, 4
+    )
+    # the common-word doc scores LOWER (better) than the rare-word mix
+    assert out[1]["avg_neg_logprob"] < out[2]["avg_neg_logprob"]
+
+
+def test_link_host_stats_distinct_vs_total(spark):
+    """Link farm vs organic authority: b.com gets 3 inlinks from ONE
+    host; c.com gets 2 inlinks from two distinct hosts."""
+    from yacy_grid_crawler_spark.operators.graph import link_host_stats
+
+    links = spark.createDataFrame(
+        [
+            ("http://a.com/1", "http://b.com/x"),
+            ("http://a.com/2", "http://b.com/x"),
+            ("http://a.com/3", "http://b.com/y"),
+            ("http://a.com/1", "http://c.com/z"),
+            ("http://d.com/1", "http://c.com/z"),
+        ],
+        "src_url string, dst_url string",
+    )
+    out = {r["dst_host"]: r for r in link_host_stats(links).collect()}
+    assert out["b.com"]["n_inlinks"] == 3
+    assert out["b.com"]["n_src_hosts"] == 1
+    assert out["b.com"]["n_dst_urls"] == 2
+    assert out["c.com"]["n_inlinks"] == 2
+    assert out["c.com"]["n_src_hosts"] == 2
+    assert out["c.com"]["n_dst_urls"] == 1
+
+
+def test_host_cap_sample_exact_cap_and_distributed_equality(spark):
+    """The cap binds exactly (min(count, cap) rows per host), the
+    selection is deterministic, and the distributed two-phase rank
+    equals the window form row-for-row."""
+    from yacy_grid_crawler_spark.operators.sampling import host_cap_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"h{i % 3}") for i in range(100)] + [(1000, "lonely")],
+        "doc_id long, host string",
+    )
+    caches: list = []
+    win = host_cap_sample(docs, cap=10).collect()
+    dist = host_cap_sample(
+        docs, cap=10, distributed=True, cache_registry=caches
+    ).collect()
+    for c in caches:
+        c.unpersist()
+    key = lambda r: (r["host"], r["host_rank"], r["doc_id"])  # noqa: E731
+    assert sorted(map(key, win)) == sorted(map(key, dist))
+    by_host = {}
+    for r in win:
+        by_host.setdefault(r["host"], []).append(r)
+    assert {h: len(v) for h, v in by_host.items()} == {
+        "h0": 10, "h1": 10, "h2": 10, "lonely": 1,
+    }
+    assert sorted(r["host_rank"] for r in by_host["h0"]) == list(range(10))
+    again = sorted(map(key, host_cap_sample(docs, cap=10).collect()))
+    assert again == sorted(map(key, win))

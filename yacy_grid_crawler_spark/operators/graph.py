@@ -82,3 +82,39 @@ def pagerank_scaled(
         )
         teleport *= 6
     return ranks.select("doc_id", F.col("s").alias("pr_scaled"))
+
+
+HOST_RE = r"^[a-z]+://(?:[^/@]*@)?([^/:?]+)"  # same extractor as plans/wave.py
+
+
+def link_host_stats(links: DataFrame) -> DataFrame:
+    """Per-target-host inlink aggregation over a (src_url, dst_url)
+    link table — the second classic crawl-priority signal next to
+    PageRank (a host pointed at by many DISTINCT source hosts is
+    authoritative; one pointed at by many links from ONE host is a
+    link farm). Mirrors the graph-side WebMapping the reference emits
+    per document (CrawlerListener.java graph assets carry the
+    outlink lists); this op is the reduce over those assets.
+
+    Output per dst_host: n_inlinks (total edges in), n_src_hosts
+    (distinct referring hosts), n_dst_urls (distinct target URLs on
+    the host). Host extraction uses the wave's own regex so the
+    numbers key exactly like politeness/sharding do.
+
+    Scale shape: one hash aggregate keyed on dst_host; the two
+    count_distincts rewrite to a single expand + two-level partial
+    aggregate (no per-group sets materialize); Zipf head hosts are
+    the usual salting candidates but the expand already splits the
+    key across (host, value) before the final reduce, so the hot key
+    only concentrates the LAST narrow stage.
+    """
+    hosts = links.select(
+        F.regexp_extract(F.col("src_url"), HOST_RE, 1).alias("src_host"),
+        F.regexp_extract(F.col("dst_url"), HOST_RE, 1).alias("dst_host"),
+        F.col("dst_url"),
+    )
+    return hosts.groupBy("dst_host").agg(
+        F.count("*").alias("n_inlinks"),
+        F.countDistinct("src_host").alias("n_src_hosts"),
+        F.countDistinct("dst_url").alias("n_dst_urls"),
+    )

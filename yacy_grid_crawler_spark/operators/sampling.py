@@ -141,3 +141,55 @@ def stratified_sample(
             F.col(stratum_col) == stratum, F.lit(_thr(rate))
         ).otherwise(thr)
     return docs.withColumn("bucket", b).withColumn("keep", b < thr)
+
+
+def host_cap_sample(
+    docs: DataFrame,
+    cap: int,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    distributed: bool = False,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Exact per-host cap — keep at most `cap` rows per host, chosen
+    deterministically by md5-of-id order (a seedless uniform draw both
+    engines reproduce bit-for-bit). This is the domain-balancing
+    primitive stratified_sample cannot express: rates give an
+    EXPECTED count per stratum; a crawl/corpus budget needs a HARD
+    one (at most K pages per host in the frontier, at most K docs per
+    domain in the training mix).
+
+    Output: the kept rows as (id, host, host_rank), host_rank < cap.
+
+    Scale shape: per-host rank. `distributed=True` routes through the
+    same two-phase range-partitioned rank as batching/politeness
+    (`operators.batching.global_positions`) so a Zipf head host never
+    becomes a one-task window straggler; the default window form is
+    for small inputs and oracle comparison (equality of the two is
+    pinned by test_textops).
+    """
+    from pyspark.sql import Window
+
+    from .batching import global_positions
+
+    keyed = docs.select(
+        F.col(id_col),
+        F.col(host_col),
+        F.md5(F.col(id_col).cast("string")).alias("_r"),
+    )
+    if distributed:
+        ranked = global_positions(
+            keyed,
+            group_cols=(host_col,),
+            order_cols=("_r", id_col),
+            out="host_rank",
+            cache_registry=cache_registry,
+            broadcast_offsets=False,  # host-cardinality offsets: AQE decides
+        )
+    else:
+        w = Window.partitionBy(host_col).orderBy(F.col("_r"), F.col(id_col))
+        ranked = keyed.withColumn("host_rank", F.row_number().over(w) - 1)
+    return (
+        ranked.filter(F.col("host_rank") < cap)
+        .select(id_col, host_col, F.col("host_rank").cast("int").alias("host_rank"))
+    )

@@ -325,3 +325,58 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rnk") <= k)
         .select("doc_id", "term", "tf", "df", "score", "rnk")
     )
+
+
+def lm_score(docs: DataFrame) -> DataFrame:
+    """Unigram language-model quality scoring (the CCNet-style
+    perplexity filter, reduced to its SQL-expressible core): train an
+    add-one-smoothed unigram LM on the corpus itself, then score each
+    document by its average negative log-probability per token. Docs
+    whose token distribution diverges from the corpus (gibberish,
+    boilerplate, wrong language) score high and get filtered; docs of
+    typical prose score low.
+
+        p(tok)  = (count(tok) + 1) / (N + V)      add-one smoothing
+        score   = avg over doc tokens of -ln p(tok)
+
+    Output: (doc_id, n_tokens, avg_neg_logprob) — rounded to 4dp for
+    oracle hashing (the replica hashes floats at 6dp; summation-order
+    drift between engines is ~1e-13 relative, far inside 1e-4).
+    Documents with zero alphabetic tokens produce no token rows and
+    are omitted — callers treat absence as "unscorable".
+
+    Scale shape: token frequency is one map-side-combining hash
+    aggregate keyed on the token; (N, V) is a 1-row re-aggregate of
+    that table, broadcast via crossJoin; the freq join back to the
+    exploded tokens is skewed on stopwords — exactly the hot-key
+    shape AQE skew-join splits, and the downstream per-doc avg
+    re-aggregates on doc_id so the skew never reaches the output. No
+    UDFs anywhere; ln() runs JVM-side.
+    """
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{WORD_RE}', 0)")
+        ).alias("tok"),
+    )
+    freqs = words.groupBy("tok").agg(F.count("*").alias("cnt"))
+    totals = freqs.agg(
+        F.sum("cnt").alias("_n"), F.count("*").alias("_v")
+    )
+    return (
+        words.join(freqs, "tok")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(
+                    -F.log(
+                        (F.col("cnt") + F.lit(1.0))
+                        / (F.col("_n") + F.col("_v"))
+                    )
+                ),
+                4,
+            ).alias("avg_neg_logprob"),
+        )
+    )
