@@ -89,11 +89,14 @@ def assign_batches(
             )
             .drop("_base_pos")
         )
-    return (
-        df.withColumn("batch_no", (F.col("_pos") / batch_size).cast("bigint"))
-        .withColumn("batch_pos", (F.col("_pos") % batch_size).cast("int"))
-        .drop("_pos")
-    )
+    # single withColumns call: each DataFrame op re-analyzes the whole
+    # (deep) wave plan JVM-side, so call count is fixed-floor cost
+    return df.withColumns(
+        {
+            "batch_no": (F.col("_pos") / batch_size).cast("bigint"),
+            "batch_pos": (F.col("_pos") % batch_size).cast("int"),
+        }
+    ).drop("_pos")
 
 
 def global_positions(
@@ -139,8 +142,11 @@ def global_positions(
     off_df = (
         ranged.groupBy("_pid", *group_cols)
         .agg(F.count(F.lit(1)).alias("_n"))
-        .withColumn("_offset", F.coalesce(F.sum("_n").over(cum), F.lit(0)))
-        .drop("_n")
+        .select(
+            "_pid",
+            *group_cols,
+            F.coalesce(F.sum("_n").over(cum), F.lit(0)).alias("_offset"),
+        )
     )
     w = Window.partitionBy("_pid", *group_cols).orderBy(
         *[F.col(c) for c in order_cols]
@@ -228,7 +234,7 @@ def politeness_slots(
             cache_registry=cache_registry,
             broadcast_offsets=False,  # host-cardinality offsets: AQE decides
         ).drop("_ini")
-        df = df.withColumn("fetch_slot", F.col("fetch_slot").cast("int"))
+        # fetch_slot is a long here; the final withColumns casts to int
     else:
         w = Window.partitionBy("crawl_id", "host").orderBy(
             (1 - F.col("do_index").cast("int")), "batch_no", "batch_pos"
@@ -247,9 +253,7 @@ def politeness_slots(
             "left",
         ).withColumn(
             "fetch_slot",
-            (F.coalesce(F.col("_base"), F.lit(0)) + F.col("fetch_slot")).cast(
-                "int"
-            ),
+            F.coalesce(F.col("_base"), F.lit(0)) + F.col("fetch_slot"),
         ).drop("_base")
     if robots is not None:
         df = df.join(
@@ -259,9 +263,16 @@ def politeness_slots(
         delay = F.coalesce(F.col("crawl_delay_ms"), F.lit(default_delay_ms))
     else:
         delay = F.lit(default_delay_ms)
-    return df.withColumn(
-        "not_before_ms",
-        (F.lit(wave_start_ms) + F.col("fetch_slot") * delay).cast("long"),
+    # one withColumns + one drop: both expressions read the INPUT
+    # fetch_slot (same value pre/post int cast), and every saved call
+    # is one less full JVM re-analysis of the deep wave plan
+    return df.withColumns(
+        {
+            "fetch_slot": F.col("fetch_slot").cast("int"),
+            "not_before_ms": (
+                F.lit(wave_start_ms) + F.col("fetch_slot") * delay
+            ).cast("long"),
+        }
     ).drop("crawl_delay_ms")
 
 

@@ -75,6 +75,34 @@ def rules_df(spark: SparkSession, rules: list[BlacklistRule]) -> DataFrame:
 
 _ISIN_MAX = 64  # above this, a literal In-list bloats every plan copy
 
+# The shipped host list is 13k rows; building its DataFrame costs a
+# driver-side py4j transfer per call — a parallelism-independent term
+# that lands in EVERY wave's fixed floor. The list is immutable for a
+# crawl's lifetime, so memoize per (session, host-set) and persist the
+# tiny result (its logical plan then stays one LocalRelation node
+# instead of re-shipping 13k literals into each wave's analysis).
+_HOSTS_DF_CACHE: dict[tuple[int, str, int], DataFrame] = {}
+
+
+def _hosts_df(spark: SparkSession, hosts: list[str], host_col: str) -> DataFrame:
+    key = (id(spark._jsparkSession), host_col, hash(tuple(hosts)))
+    df = _HOSTS_DF_CACHE.get(key)
+    if df is None:
+        if len(_HOSTS_DF_CACHE) >= 8:  # bound driver-side cache growth
+            for stale in _HOSTS_DF_CACHE.values():
+                try:
+                    stale.unpersist()
+                except Exception:
+                    pass
+            _HOSTS_DF_CACHE.clear()
+        df = (
+            spark.createDataFrame([(h,) for h in hosts], f"{host_col} string")
+            .withColumn("_bl_host_hit", F.lit(True))
+            .persist()
+        )
+        _HOSTS_DF_CACHE[key] = df
+    return df
+
 
 def apply_blacklist(
     df: DataFrame,
@@ -98,11 +126,11 @@ def apply_blacklist(
     if hosts and len(hosts) <= _ISIN_MAX:
         verdict = F.col(host_col).isin(hosts)
     elif hosts:
-        spark = df.sparkSession
-        hosts_df = spark.createDataFrame(
-            [(h,) for h in hosts], f"{host_col} string"
-        ).withColumn("_bl_host_hit", F.lit(True))
-        df = df.join(F.broadcast(hosts_df), host_col, "left")
+        df = df.join(
+            F.broadcast(_hosts_df(df.sparkSession, hosts, host_col)),
+            host_col,
+            "left",
+        )
         verdict = F.coalesce(F.col("_bl_host_hit"), F.lit(False))
     if regexes:
         regex_hit = make_regex_full_match_udf(regexes)

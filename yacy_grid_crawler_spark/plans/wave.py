@@ -281,9 +281,14 @@ def run_wave(
     mm_ok = mustmatch_verdict(
         F.col("url"), profile.get("mustmatch", ".*"), profile.get("mustnotmatch", "")
     )
-    novel = novel.withColumn(
-        "host", F.regexp_extract(F.col("url"), r"^[a-z]+://(?:[^/@]*@)?([^/:?]+)", 1)
-    ).withColumn("_mm_ok", mm_ok)
+    novel = novel.withColumns(
+        {
+            "host": F.regexp_extract(
+                F.col("url"), r"^[a-z]+://(?:[^/@]*@)?([^/:?]+)", 1
+            ),
+            "_mm_ok": mm_ok,
+        }
+    )
     novel = apply_blacklist(novel, blacklist or [], out_col="_bl")
     if robots is not None:
         novel = robots_verdict(novel, robots)
@@ -341,18 +346,20 @@ def run_wave(
     )
     obs_kept = Observation()
     kept = (
-        kept.withColumn("depth", F.lit(depth))
         # full reference docname d{depth:02}-t{wave_ts+ini}-p{batch:04}
         # (S9); asset PATHS are derived on export by
         # operators.batching.asset_columns — not persisted per frontier
         # row (3 ~90-char strings × 10^10 rows would bloat the
         # checkpoint for a string that is a pure function of this one)
-        .withColumn(
-            "lineage",
-            lineage_column(
-                timestamp_ms=wave_start_ms,
-                ini_col=(1 - F.col("do_index").cast("int")),
-            ),
+        kept.withColumns(
+            {
+                "depth": F.lit(depth),
+                "lineage": lineage_column(
+                    depth_col=F.lit(depth),
+                    timestamp_ms=wave_start_ms,
+                    ini_col=(1 - F.col("do_index").cast("int")),
+                ),
+            }
         )
         .observe(
             obs_kept,
