@@ -1242,6 +1242,128 @@ _HOST_CAP_SQL = f"""
 """
 
 
+def _q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt body → per-host rules dim (the wave's robots input),
+    on deterministic synthetic bodies covering CRLF, empty-Disallow,
+    and optional Crawl-delay lines."""
+    from yacy_grid_crawler_spark.operators.robots import parse_robots
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    bodies = docs.select(
+        F.concat(F.lit("h"), F.col("doc_id").cast("string")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\r\nDisallow: /p"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("/\n"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("Disallow:\n")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit("Crawl-delay: "),
+                    (F.col("doc_id") % 9).cast("string"),
+                    F.lit("\n"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("Disallow: /x/"),
+        ).alias("robots_txt"),
+    )
+    parsed = parse_robots(bodies)
+    return parsed.select(
+        "host",
+        F.array_join("disallow_prefixes", "|").alias("disallow_csv"),
+        "crawl_delay_ms",
+    )
+
+
+_ROBOTS_PARSE_SQL = """
+  WITH bodies AS (
+    SELECT 'h' || doc_id AS host,
+           'User-agent: *' || chr(13) || chr(10) ||
+           'Disallow: /p' || (doc_id % 7) || '/' || chr(10) ||
+           CASE WHEN doc_id % 3 = 0 THEN 'Disallow:' || chr(10) ELSE '' END ||
+           CASE WHEN doc_id % 4 = 0
+                THEN 'Crawl-delay: ' || (doc_id % 9) || chr(10) ELSE '' END ||
+           'Disallow: /x/' AS robots_txt
+    FROM documents
+  )
+  SELECT host,
+         array_to_string(
+           list_filter(
+             list_transform(
+               list_filter(
+                 list_transform(regexp_split_to_array(robots_txt, '\\r?\\n'),
+                                l -> trim(l)),
+                 l -> starts_with(l, 'Disallow:')),
+               l -> trim(substring(l, 10))),
+             p -> p != ''),
+           '|') AS disallow_csv,
+         CAST((CASE WHEN regexp_extract(robots_txt,
+                      '(?m)^Crawl-delay: *([0-9]+)', 1) = '' THEN 0
+               ELSE CAST(regexp_extract(robots_txt,
+                      '(?m)^Crawl-delay: *([0-9]+)', 1) AS INT) END) * 1000
+              AS INT) AS crawl_delay_ms
+  FROM bodies
+"""
+
+
+CURATE_MIN_QUALITY = 0.5
+
+
+def _q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation as ONE Catalyst plan: language gate
+    + quality threshold + repetition flag + exact-dedup keeper
+    semi-join — the composition a training-data pipeline actually
+    ships, demonstrating that every stage stays a DataFrame operator
+    (Catalyst fuses the three per-doc feature maps into one pass over
+    `documents`; only the dedup keeper set adds a shuffle)."""
+    from yacy_grid_crawler_spark.operators.dedup_text import (
+        exact_duplicate_groups,
+    )
+    from yacy_grid_crawler_spark.operators.textstats import (
+        lang_id,
+        quality_score,
+        repetition_stats,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    q = quality_score(docs).select("doc_id", "quality")
+    lang = lang_id(docs).select("doc_id", "pred_lang")
+    rep = repetition_stats(docs).select("doc_id", "flagged")
+    keep = exact_duplicate_groups(docs).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    return (
+        q.join(lang, "doc_id")
+        .join(rep, "doc_id")
+        .join(keep, "doc_id", "leftsemi")
+        .filter(
+            (F.col("quality") >= CURATE_MIN_QUALITY)
+            & (F.col("pred_lang") == "en")
+            & (~F.col("flagged"))
+        )
+        .select("doc_id", "pred_lang", "quality")
+    )
+
+
+def _curate_sql() -> str:
+    return f"""
+  WITH q AS ({_QUALITY_SQL}),
+       l AS ({_LANG_ID_SQL}),
+       r AS ({_REPETITION_SQL}),
+       k AS ({_DEDUP_EXACT_SQL})
+  SELECT q.doc_id, l.pred_lang, q.quality
+  FROM q
+  JOIN l ON q.doc_id = l.doc_id
+  JOIN r ON q.doc_id = r.doc_id
+  WHERE q.doc_id IN (SELECT keep_doc_id FROM k)
+    AND q.quality >= {CURATE_MIN_QUALITY}
+    AND l.pred_lang = 'en'
+    AND NOT r.flagged
+"""
+
+
 def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30-min gap) via lag + cumulative sum — the
     window-op pattern the metrics layer uses."""
@@ -1759,6 +1881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": _q_lm_score,
         "inlink_stats": _q_inlink_stats,
         "host_cap_sample": _q_host_cap_sample,
+        "robots_parse": _q_robots_parse,
+        "curate_pipeline": _q_curate_pipeline,
         "events_sessionize": _q_events_sessionize,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
@@ -1810,6 +1934,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": _LM_SCORE_SQL,
         "inlink_stats": _INLINK_STATS_SQL,
         "host_cap_sample": _HOST_CAP_SQL,
+        "robots_parse": _ROBOTS_PARSE_SQL,
+        "curate_pipeline": _curate_sql(),
         "events_sessionize": _SESSIONIZE_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,

@@ -634,3 +634,60 @@ def test_tier2_jvm_equals_spec(spark):
         assert r["t2"] == py, f"tier2 gate dialect drift on {r['url']!r}"
         if py:
             assert r["fixed"] == canonicalize_url(r["url"]), r["url"]
+
+
+def test_parse_robots_bodies(spark):
+    """CRLF bodies, empty-Disallow dropped, first Crawl-delay wins,
+    absent delay -> 0."""
+    from yacy_grid_crawler_spark.operators.robots import parse_robots
+
+    bodies = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\r\nDisallow: /priv/\r\nCrawl-delay: 2\r\n"
+                      "Crawl-delay: 9\r\nDisallow:   /tmp/  "),
+            ("b.com", "User-agent: x\nDisallow: /only-x/\nUser-agent: *\n"
+                      "Disallow:\nDisallow: /b/"),
+            ("c.com", "# nothing here"),
+        ],
+        "host string, robots_txt string",
+    )
+    out = {r["host"]: r for r in parse_robots(bodies).collect()}
+    assert out["a.com"]["disallow_prefixes"] == ["/priv/", "/tmp/"]
+    assert out["a.com"]["crawl_delay_ms"] == 2000
+    # conservative union across UA groups; empty Disallow dropped
+    assert out["b.com"]["disallow_prefixes"] == ["/only-x/", "/b/"]
+    assert out["b.com"]["crawl_delay_ms"] == 0
+    assert out["c.com"]["disallow_prefixes"] == []
+    assert out["c.com"]["crawl_delay_ms"] == 0
+
+
+def test_parse_robots_feeds_robots_verdict(spark):
+    """The parsed dim plugs straight into the wave's robots gate."""
+    from pyspark.sql import functions as F
+
+    from yacy_grid_crawler_spark.operators.filters import robots_verdict
+    from yacy_grid_crawler_spark.operators.robots import parse_robots
+
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("a.com", "User-agent: *\nDisallow: /private/")],
+            "host string, robots_txt string",
+        )
+    )
+    urls = spark.createDataFrame(
+        [
+            ("a.com", "http://a.com/private/x.html"),
+            ("a.com", "http://a.com/public/x.html"),
+            ("z.com", "http://z.com/private/x.html"),
+        ],
+        "host string, url string",
+    )
+    out = {
+        r["url"]: r["robots_blocked"]
+        for r in robots_verdict(urls, rules).collect()
+    }
+    assert out == {
+        "http://a.com/private/x.html": True,
+        "http://a.com/public/x.html": False,
+        "http://z.com/private/x.html": False,
+    }
