@@ -1308,6 +1308,123 @@ _ROBOTS_PARSE_SQL = """
 """
 
 
+def _q_frontier_dequeue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-side per-shard dequeue: next k=5 politeness-eligible
+    URLs per shard at now=1500ms, priority lane first then doc order
+    (the loader's pull against the frontier)."""
+    from yacy_grid_crawler_spark.operators.batching import next_fetch_batch
+
+    fr = _frontier_synth(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "host",
+        F.when(F.col("priority") > 0, "priority").otherwise("normal").alias(
+            "lane"
+        ),
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("host")), 1, 6), 16, 10).cast(
+                "bigint"
+            ),
+            F.lit(8),
+        )
+        .cast("int")
+        .alias("shard"),
+        ((F.col("doc_id") % 4) * 1000).cast("long").alias("not_before_ms"),
+    )
+    return next_fetch_batch(
+        fr, now_ms=1500, k=5, order_cols=("doc_id",)
+    ).select("doc_id", "shard", "lane", "fetch_rank")
+
+
+_FRONTIER_DEQUEUE_SQL = f"""
+  WITH fr AS (
+    SELECT doc_id, host,
+           CASE WHEN priority > 0 THEN 'priority' ELSE 'normal' END AS lane,
+           CAST(('0x' || substr(md5(host), 1, 6))::bigint % 8 AS int) AS shard,
+           (doc_id % 4) * 1000 AS not_before_ms
+    FROM ({_FRONTIER_SYNTH_SQL})
+  ),
+  ranked AS (
+    SELECT doc_id, shard, lane,
+           row_number() OVER (
+             PARTITION BY shard
+             ORDER BY CASE WHEN lane = 'priority' THEN 0 ELSE 1 END, doc_id
+           ) - 1 AS fetch_rank
+    FROM fr WHERE not_before_ms <= 1500
+  )
+  SELECT doc_id, shard, lane, CAST(fetch_rank AS int) AS fetch_rank
+  FROM ranked WHERE fetch_rank < 5
+"""
+
+
+def _q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap seed expansion: <loc> extraction from synthetic
+    sitemap XML bodies (two URLs per doc)."""
+    from yacy_grid_crawler_spark.operators.seeds import parse_sitemap
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    xml = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset><url><loc>http://host'),
+            (F.col("doc_id") % N_HOSTS).cast("string"),
+            F.lit(".example.org/s/"),
+            F.col("doc_id").cast("string"),
+            F.lit("</loc></url><url><loc>http://host"),
+            ((F.col("doc_id") + 1) % N_HOSTS).cast("string"),
+            F.lit(".example.org/s/"),
+            (F.col("doc_id") + 1).cast("string"),
+            F.lit("</loc></url></urlset>"),
+        ).alias("sitemap_xml"),
+    )
+    return parse_sitemap(xml)
+
+
+_SITEMAP_SQL = f"""
+  WITH xml AS (
+    SELECT doc_id,
+           '<?xml version="1.0"?><urlset><url><loc>http://host'
+             || (doc_id % {N_HOSTS}) || '.example.org/s/' || doc_id
+             || '</loc></url><url><loc>http://host'
+             || ((doc_id + 1) % {N_HOSTS}) || '.example.org/s/'
+             || (doc_id + 1) || '</loc></url></urlset>' AS sitemap_xml
+    FROM documents
+  )
+  SELECT doc_id,
+         unnest(regexp_extract_all(sitemap_xml, '<loc>([^<]+)</loc>', 1)) AS loc
+  FROM xml
+"""
+
+
+RECRAWL_NOW_MS = 30 * 86_400_000  # day 30 of the synthetic clock
+
+
+def _q_recrawl_due(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL-expired seen rows due for recrawl (the read-only twin of
+    the maintain() sweep; 7-day TTL, CrawlerListener.java:84-85)."""
+    from yacy_grid_crawler_spark.sources.statestore import recrawl_due
+
+    seen = _docs(spark, sf_dir).select(
+        F.lit("c0").alias("crawl_id"),
+        F.md5(F.col("doc_id").cast("string")).alias("url_id"),
+        ((F.col("doc_id") % 30) * 86_400_000).cast("long").alias("seen_at_ms"),
+    )
+    return recrawl_due(seen, now_ms=RECRAWL_NOW_MS)
+
+
+_RECRAWL_DUE_SQL = f"""
+  WITH seen AS (
+    SELECT 'c0' AS crawl_id,
+           md5(CAST(doc_id AS VARCHAR)) AS url_id,
+           (doc_id % 30) * {86_400_000} AS seen_at_ms
+    FROM documents
+  )
+  SELECT crawl_id, url_id, seen_at_ms,
+         {RECRAWL_NOW_MS} - seen_at_ms AS age_ms
+  FROM seen
+  WHERE seen_at_ms < {RECRAWL_NOW_MS} - 7 * {86_400_000}
+"""
+
+
 CURATE_MIN_QUALITY = 0.5
 
 
@@ -1883,6 +2000,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap_sample": _q_host_cap_sample,
         "robots_parse": _q_robots_parse,
         "curate_pipeline": _q_curate_pipeline,
+        "frontier_dequeue": _q_frontier_dequeue,
+        "sitemap_parse": _q_sitemap_parse,
+        "recrawl_due": _q_recrawl_due,
         "events_sessionize": _q_events_sessionize,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
@@ -1936,6 +2056,9 @@ def oracle_sql() -> dict[str, str]:
         "host_cap_sample": _HOST_CAP_SQL,
         "robots_parse": _ROBOTS_PARSE_SQL,
         "curate_pipeline": _curate_sql(),
+        "frontier_dequeue": _FRONTIER_DEQUEUE_SQL,
+        "sitemap_parse": _SITEMAP_SQL,
+        "recrawl_due": _RECRAWL_DUE_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,

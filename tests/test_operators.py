@@ -691,3 +691,69 @@ def test_parse_robots_feeds_robots_verdict(spark):
         "http://a.com/public/x.html": False,
         "http://z.com/private/x.html": False,
     }
+
+
+def test_next_fetch_batch_priority_eligibility_cap(spark):
+    """Priority lane dequeues first, politeness-ineligible rows are
+    invisible, and the per-shard cap binds."""
+    from yacy_grid_crawler_spark.operators.batching import next_fetch_batch
+
+    rows = [
+        # (doc_id, shard, lane, batch_no, batch_pos, not_before_ms)
+        (1, 0, "normal", 0, 0, 0),
+        (2, 0, "normal", 0, 1, 0),
+        (3, 0, "priority", 5, 0, 0),     # later batch, but priority lane
+        (4, 0, "normal", 0, 2, 9000),    # not yet eligible
+        (5, 1, "normal", 0, 0, 0),
+    ] + [(10 + i, 2, "normal", 0, i, 0) for i in range(6)]
+    fr = spark.createDataFrame(
+        rows,
+        "doc_id long, shard int, lane string, batch_no long,"
+        " batch_pos int, not_before_ms long",
+    )
+    out = next_fetch_batch(fr, now_ms=1000, k=3).collect()
+    got = {r["doc_id"]: r["fetch_rank"] for r in out}
+    assert 4 not in got                      # politeness gate
+    assert got[3] == 0                       # priority first in shard 0
+    assert got[1] == 1 and got[2] == 2
+    assert got[5] == 0
+    shard2 = sorted(r["doc_id"] for r in out if r["shard"] == 2)
+    assert shard2 == [10, 11, 12]            # k=3 cap per shard
+
+
+def test_parse_sitemap_locs(spark):
+    from yacy_grid_crawler_spark.operators.seeds import parse_sitemap
+
+    xml = spark.createDataFrame(
+        [
+            (1, "<urlset><url><loc>http://a/1</loc></url>"
+                "<url><loc>http://a/2</loc></url></urlset>"),
+            (2, "<urlset></urlset>"),
+            (3, "junk <loc>http://b/x</loc> trailing"),
+        ],
+        "doc_id long, sitemap_xml string",
+    )
+    out = sorted(
+        (r["doc_id"], r["loc"]) for r in parse_sitemap(xml).collect()
+    )
+    assert out == [
+        (1, "http://a/1"), (1, "http://a/2"), (3, "http://b/x"),
+    ]
+
+
+def test_recrawl_due_ttl_boundary(spark):
+    from yacy_grid_crawler_spark.sources.statestore import recrawl_due
+
+    day = 86_400_000
+    seen = spark.createDataFrame(
+        [
+            ("c0", "u_old", 0),                # 30 days old -> due
+            ("c0", "u_edge", 23 * day),        # exactly 7 days -> NOT due
+            ("c0", "u_fresh", 29 * day),       # 1 day -> not due
+            ("c0", "u_just", 23 * day - 1),    # 7 days + 1ms -> due
+        ],
+        "crawl_id string, url_id string, seen_at_ms long",
+    )
+    out = {r["url_id"]: r["age_ms"] for r in recrawl_due(seen, now_ms=30 * day).collect()}
+    assert set(out) == {"u_old", "u_just"}
+    assert out["u_old"] == 30 * day

@@ -352,3 +352,35 @@ def canonical_order(df: DataFrame) -> DataFrame:
         "batch_no",
         "batch_pos",
     )
+
+
+def next_fetch_batch(
+    frontier: DataFrame,
+    now_ms: int,
+    k: int,
+    shard_col: str = "shard",
+    order_cols: tuple[str, ...] = ("batch_no", "batch_pos"),
+) -> DataFrame:
+    """Consumer-side dequeue — the loader's view of the frontier
+    (the reference's queue consumers pull per-shard queues,
+    CrawlerListener.java hashKey routing): per shard, the next `k`
+    URLs whose politeness gate has opened (`not_before_ms <= now`),
+    priority lane first, then canonical batch order. Adds
+    `fetch_rank` (0-based within shard), keeps rows with rank < k.
+
+    Scale shape: the eligibility filter pushes into the frontier
+    scan (not_before_ms is a plain column), and the window partitions
+    on shard — the deliberate parallelism unit (n_shards is sized
+    several times the executor count, and hot hosts were already
+    salted across shards at enqueue), so no single-partition window
+    and no skewed key.
+    """
+    lane_rank = F.when(F.col("lane") == "priority", 0).otherwise(1)
+    w = Window.partitionBy(shard_col).orderBy(
+        lane_rank, *[F.col(c) for c in order_cols]
+    )
+    return (
+        frontier.filter(F.col("not_before_ms") <= F.lit(now_ms))
+        .withColumn("fetch_rank", F.row_number().over(w) - 1)
+        .filter(F.col("fetch_rank") < k)
+    )

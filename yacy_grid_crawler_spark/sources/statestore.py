@@ -38,6 +38,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..config import SEEN_TTL_DAYS
+
 S = T.StructType
 f = T.StructField
 
@@ -361,3 +363,20 @@ class PendingCommit:
             json.dump(man, fh)
         os.rename(tmp, os.path.join(snapdir, f"v{self.version:06d}.json"))
         return self.version
+
+
+def recrawl_due(
+    seen: DataFrame, now_ms: int, ttl_days: int = SEEN_TTL_DAYS
+) -> DataFrame:
+    """Maintenance-side recrawl selection: url_seen rows whose
+    `seen_at_ms` is older than the TTL — the read-only twin of the
+    `maintain()` sweep (reference: entries expire from the 7-day
+    double cache and become crawlable again, CrawlerListener.java:
+    84-85, 96-108). Feeding these into a new crawl start reproduces
+    the reference's recrawl behavior; the filter is a pushed-down
+    scan predicate, no shuffle."""
+    cutoff = int(now_ms) - int(ttl_days) * 86_400_000
+    return seen.filter(F.col("seen_at_ms") < F.lit(cutoff)).select(
+        "crawl_id", "url_id", "seen_at_ms",
+        (F.lit(int(now_ms)) - F.col("seen_at_ms")).alias("age_ms"),
+    )
