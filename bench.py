@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "events_sessionize",
     "line_dedup",
     "tfidf_topk",
+    "lm_score",
+    "curate_pipeline",
 ]
 
 
@@ -442,11 +444,12 @@ def main() -> None:
         # normalization term. Full decomposition: BASELINE.md.
         # Hypervisor neighbor noise on this sandbox comes in multi-
         # minute bursts (documented: identical waves 2-3x apart); set
-        # SPARK_GRAFT_SCALING_ROUNDS=2 to visit each level twice in
-        # interleaved order keeping the faster visit, so a burst that
-        # lands on one visit of one level no longer poisons the ratio
-        # (default 1 keeps the per-round bench under ~25 min).
-        rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "1"))
+        # SPARK_GRAFT_SCALING_ROUNDS (default 2) visits each level
+        # that many times in interleaved order keeping the faster
+        # visit, so a burst that lands on one visit of one level no
+        # longer poisons the ratio (~12 min extra per round; set 1
+        # for a quick pass).
+        rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
         levels = {}
         floors = {}
         for cores in (2, 8, 32):

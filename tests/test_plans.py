@@ -259,3 +259,43 @@ def test_tfidf_window_partitions_on_doc_id(spark):
     # no global range sort anywhere in the plan (a degraded window
     # would order the whole corpus through one range exchange)
     assert "rangepartitioning" not in plan
+
+
+def test_lm_score_stays_jvm_side(spark):
+    """The unigram-LM scorer must be pure codegen — no Arrow/Python
+    eval nodes, no cartesian product; the hot path is one token
+    aggregate + one (skew-prone, AQE-covered) freq join + one per-doc
+    aggregate."""
+    from yacy_grid_crawler_spark.operators.textstats import lm_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(lm_score(docs))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_host_cap_sample_distributed_has_no_global_window(spark):
+    """The scale path must rank via the range-partitioned two-phase
+    machinery — no window partitioned on the bare host (the Zipf head
+    host would become one straggler task)."""
+    from yacy_grid_crawler_spark.operators.sampling import host_cap_sample
+
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("h"), (F.col("id") % 3).cast("string")).alias("host"),
+    )
+    caches: list = []
+    out = host_cap_sample(
+        docs, cap=10, distributed=True, cache_registry=caches
+    )
+    plan = _plan(out)
+    for c in caches:
+        c.unpersist()
+    # the only windows run per (physical partition × host) — they are
+    # keyed on SPARK_PARTITION_ID, never on host alone
+    for frag in plan.split("Window ")[1:]:
+        spec = frag.split("\n", 1)[0]
+        assert "SPARK_PARTITION_ID" in spec or "_pid" in spec, spec
