@@ -1451,10 +1451,18 @@ def _q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = exact_duplicate_groups(docs).select(
         F.col("keep_doc_id").alias("doc_id")
     )
+    # Materialize the joined feature table BEFORE filtering — the
+    # production shape (features are reused assets; at 100 TB this is
+    # a written table). Filtering the lazy composition instead lets
+    # Catalyst push the substituted predicates into the parquet scan,
+    # where filter predicates get NO subexpression elimination: the
+    # regex/sort feature expressions re-evaluate per reference
+    # (measured 0.6 s/feature → 19 s composed at sf0.1, a ~30×
+    # blowup). The persist is swept by the entry-point cache registry.
+    feats = q.join(lang, "doc_id").join(rep, "doc_id").persist()
+    _QUERY_CACHES.append(feats)
     return (
-        q.join(lang, "doc_id")
-        .join(rep, "doc_id")
-        .join(keep, "doc_id", "leftsemi")
+        feats.join(keep, "doc_id", "leftsemi")
         .filter(
             (F.col("quality") >= CURATE_MIN_QUALITY)
             & (F.col("pred_lang") == "en")

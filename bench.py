@@ -141,6 +141,7 @@ def calib() -> dict:
 
 def crawl_bench(
     cores: int, n_docs: int, wave_only: bool = False, master: str | None = None,
+    warmup: bool = True,
 ) -> dict:
     """The headline: one full WAVE over every candidate link of the
     synthetic corpus (~n_docs × 7 URLs) through the complete pipeline
@@ -247,7 +248,12 @@ def crawl_bench(
         shutil.rmtree(sink, ignore_errors=True)
         return el
 
-    warmup_s = one_wave()  # python workers + code paths warm up
+    # scaling visits (warmup=False) skip the full-size warmup wave:
+    # with SPARK_GRAFT_SCALING_ROUNDS interleaved visits per level the
+    # min is taken over 2×rounds samples, the first of which absorbs
+    # JIT/codegen warmup — a separate 28M-URL warmup wave per visit
+    # would double the phase for no extra signal
+    warmup_s = one_wave() if warmup else 0.0  # workers + code paths warm
     cpu0 = _jvm_cpu_sec()
     t_a = one_wave()
     cpu_a = _jvm_cpu_sec() - cpu0
@@ -459,7 +465,8 @@ def main() -> None:
         for _ in range(rounds):
             for cores in (2, 8, 32):
                 r = _phase(
-                    "crawl", cores=cores, n_docs=SCALING_DOCS, wave_only=True
+                    "crawl", cores=cores, n_docs=SCALING_DOCS,
+                    wave_only=True, warmup=False,
                 )
                 prev = levels.get(cores)
                 visits = (prev or {}).get("visits", []) + [r["wave_sec"]]

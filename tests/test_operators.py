@@ -757,3 +757,38 @@ def test_recrawl_due_ttl_boundary(spark):
     out = {r["url_id"]: r["age_ms"] for r in recrawl_due(seen, now_ms=30 * day).collect()}
     assert set(out) == {"u_old", "u_just"}
     assert out["u_old"] == 30 * day
+
+
+def test_cli_robots_bodies(spark, corpus, docs_df, tmp_path, capsys):
+    """--robots-bodies parses raw robots.txt bodies into the rules dim
+    and the crawl honors them end-to-end."""
+    import json as _json
+
+    from yacy_grid_crawler_spark.__main__ import main
+
+    docs_path = str(tmp_path / "docs.parquet")
+    docs_df.write.parquet(docs_path)
+    bodies = spark.createDataFrame(
+        [
+            (h, "User-agent: *\nDisallow: " + (r["disallow"][0] if r["disallow"] else "/none/")
+                + "\nCrawl-delay: " + str(r["delay_ms"] // 1000))
+            for h, r in corpus.robots.items()
+        ],
+        "host string, robots_txt string",
+    )
+    bodies_path = str(tmp_path / "robots_bodies.parquet")
+    bodies.write.parquet(bodies_path)
+    store = str(tmp_path / "store")
+    rc = main(
+        [
+            "--docs", docs_path,
+            "--store", store,
+            "--crawling-url", corpus.seeds[0],
+            "--crawling-depth", "2",
+            "--robots-bodies", bodies_path,
+            "--cores", "8",
+        ]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["crawl_ids"]

@@ -65,6 +65,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument(
         "--robots", help="parquet of robots(host, disallow_prefixes, crawl_delay_ms)"
     )
+    ap.add_argument(
+        "--robots-bodies",
+        help="parquet of RAW robots.txt bodies (host, robots_txt) — "
+        "parsed into the rules dim by operators.robots.parse_robots; "
+        "mutually exclusive with --robots",
+    )
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--n-shards", type=int, default=32)
     ap.add_argument("--use-bloom", action="store_true")
@@ -124,7 +130,15 @@ def main(argv: list[str] | None = None) -> int:
         docs = read_jsonlist(spark, args.docs)
     else:
         docs = spark.read.parquet(args.docs)
-    robots = spark.read.parquet(args.robots) if args.robots else None
+    if args.robots and args.robots_bodies:
+        ap_err = "pass either --robots or --robots-bodies, not both"
+        raise SystemExit(ap_err)
+    if args.robots_bodies:
+        from .operators.robots import parse_robots
+
+        robots = parse_robots(spark.read.parquet(args.robots_bodies))
+    else:
+        robots = spark.read.parquet(args.robots) if args.robots else None
     blacklist = load_files([args.blacklist]) if args.blacklist else []
 
     import time
