@@ -562,6 +562,27 @@ _SIMHASH_SQL = """
 """
 
 
+def _q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yacy_grid_crawler_spark.operators.dedup_text import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+# All-pairs reference for the banded join: pigeonhole makes the banded
+# equi-join exact for hamming <= 3, so the quadratic oracle and the
+# Spark plan must agree bit-for-bit (500 docs at sf0.01 -> 125k pairs,
+# trivial for DuckDB; the Spark side never materializes all-pairs).
+_SIMHASH_PAIRS_SQL = f"""
+  WITH sh AS ({_SIMHASH_SQL}),
+  pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS int) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  )
+  SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
 def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yacy_grid_crawler_spark.operators.dedup_text import ngram_jaccard_pairs
 
@@ -1123,6 +1144,30 @@ _DATASET_SPLIT_SQL = """
               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
               ELSE 'test' END AS split
   FROM documents
+"""
+
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yacy_grid_crawler_spark.operators.sampling import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=16)
+
+
+# Same [^ ]+ token dialect as token_count; starts 0, 48, 96, ... for
+# every start < n tokens; 1-based inclusive list slicing on both
+# engines (Spark slice(arr, start+1, 64) == DuckDB t[start+1:start+64]).
+_CHUNK_SQL = """
+  WITH toks AS (
+    SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS t FROM documents
+  )
+  SELECT doc_id,
+         CAST(start / 48 AS int) AS chunk_no,
+         array_to_string(t[start + 1 : start + 64], ' ') AS chunk_text,
+         CAST(least(64, len(t) - start) AS int) AS n_tokens
+  FROM (
+    SELECT doc_id, t, unnest(range(0, len(t), 48)) AS start
+    FROM toks WHERE len(t) > 0
+  )
 """
 
 
@@ -1982,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -2003,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_priority": _q_pagerank,
         "dataset_split": _q_dataset_split,
         "pack_shards": _q_pack_shards,
+        "chunk_documents": _q_chunk_documents,
         "lm_score": _q_lm_score,
         "inlink_stats": _q_inlink_stats,
         "host_cap_sample": _q_host_cap_sample,
@@ -2041,6 +2088,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _MINHASH_SQL,
         "dedup_simhash": _SIMHASH_SQL,
+        "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_embedding": _DEDUP_EMBEDDING_SQL,
         "ann_cosine_topk": _ANN_SQL,
@@ -2059,6 +2107,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_priority": _PAGERANK_SQL,
         "dataset_split": _DATASET_SPLIT_SQL,
         "pack_shards": _PACK_SHARDS_SQL,
+        "chunk_documents": _CHUNK_SQL,
         "lm_score": _LM_SCORE_SQL,
         "inlink_stats": _INLINK_STATS_SQL,
         "host_cap_sample": _HOST_CAP_SQL,

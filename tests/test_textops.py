@@ -364,3 +364,72 @@ def test_host_cap_sample_exact_cap_and_distributed_equality(spark):
     assert sorted(r["host_rank"] for r in by_host["h0"]) == list(range(10))
     again = sorted(map(key, host_cap_sample(docs, cap=10).collect()))
     assert again == sorted(map(key, win))
+
+
+def test_simhash_near_pairs_banded_equals_all_pairs(spark):
+    """Pigeonhole band blocking must be EXACT for hamming <= k: the
+    banded equi-join's pairs equal the quadratic all-pairs scan over
+    the same signatures — recall 1.0, not an approximation — and the
+    reported hamming is bit_count(sig_a ^ sig_b)."""
+    from yacy_grid_crawler_spark.operators.dedup_text import (
+        simhash_docs,
+        simhash_near_pairs,
+    )
+
+    # near-identical doc pairs (one word swapped) + unrelated docs
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = []
+    for i in range(20):
+        rows.append((2 * i, base + f" token{i}"))
+        rows.append((2 * i + 1, base + f" token{i} extra"))
+    for i in range(40, 60):
+        rows.append((i, " ".join(f"w{i}x{j}" for j in range(30))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    banded = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_docs(docs).collect()}
+    brute = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 3:
+                brute[(a, b)] = h
+    assert banded == brute
+    assert brute, "fixture must actually produce near-dup pairs"
+
+
+def test_chunk_documents_overlap_and_partial_tail(spark):
+    """Sliding windows: chunk k starts step tokens after chunk k-1 and
+    repeats the last `overlap` tokens of its predecessor; the final
+    partial window is kept; tokenless docs emit nothing."""
+    from yacy_grid_crawler_spark.operators.sampling import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "one two"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        chunk_documents(docs, chunk_tokens=10, overlap=4).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_no"]),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc
+    assert [r["n_tokens"] for r in by_doc[2]] == [2]
+    c = by_doc[1]
+    # starts 0, 6, 12, 18, 24 -> sizes 10, 10, 10, 7, 1
+    assert [r["chunk_no"] for r in c] == [0, 1, 2, 3, 4]
+    assert [r["n_tokens"] for r in c] == [10, 10, 10, 7, 1]
+    assert c[0]["chunk_text"].split(" ") == [f"t{i}" for i in range(10)]
+    # overlap: last 4 tokens of chunk 0 == first 4 of chunk 1
+    assert c[0]["chunk_text"].split(" ")[6:] == c[1]["chunk_text"].split(" ")[:4]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)

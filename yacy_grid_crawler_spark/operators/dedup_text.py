@@ -205,6 +205,71 @@ def simhash_duplicate_groups(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataF
     )
 
 
+def simhash_near_pairs(
+    docs: DataFrame,
+    bits: int = SIMHASH_BITS,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs at simhash hamming distance <= max_hamming,
+    via pigeonhole band blocking. Output: (doc_a, doc_b, hamming) with
+    doc_a < doc_b.
+
+    The signature is split into max_hamming+1 contiguous bit bands. A
+    pair within hamming <= max_hamming differs in at most max_hamming
+    bits, so at least one band is bit-identical (pigeonhole) — the
+    banded equi-self-join is EXACT (recall 1.0 vs the all-pairs scan),
+    not an approximation; the quadratic work collapses to candidates
+    that collide on a band.
+
+    Scale shape: signature agg is one doc_id shuffle (simhash_docs);
+    banding is a (max_hamming+1)x narrow explode of 2-column rows; the
+    self-join shuffles once on (band_no, band_val); the true-hamming
+    filter (bit_count(a^b)) runs JVM-side on candidates only, and the
+    final pair collapse (a pair can collide on several bands) is one
+    map-side-combining agg. Hot bands (e.g. the all-zeros band over
+    short docs) are AQE skew-join territory, same as the minhash LSH
+    operator above.
+    """
+    n_bands = max_hamming + 1
+    band_bits = (bits + n_bands - 1) // n_bands
+    sh = simhash_docs(docs, bits)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * band_bits).bitwiseAND(
+                        F.lit((1 << band_bits) - 1)
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_no", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = a.join(
+        b,
+        on=[
+            F.col("a.band_no") == F.col("b.band_no"),
+            F.col("a.band_val") == F.col("b.band_val"),
+            F.col("a.doc_id") < F.col("b.doc_id"),
+        ],
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.bit_count(
+            F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+        ).cast("int").alias("hamming"),
+    )
+    return (
+        cand.filter(F.col("hamming") <= max_hamming)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("hamming").alias("hamming"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard
 # ---------------------------------------------------------------------------

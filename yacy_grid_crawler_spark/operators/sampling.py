@@ -193,3 +193,59 @@ def host_cap_sample(
         ranked.filter(F.col("host_rank") < cap)
         .select(id_col, host_col, F.col("host_rank").cast("int").alias("host_rank"))
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window token chunking — the standard pretraining
+    shaping step: each document becomes ceil(n/step) fixed-size token
+    windows with `overlap` tokens of context carried between
+    consecutive chunks. Output: (doc_id, chunk_no, chunk_text,
+    n_tokens), chunk_no 0-based in document order.
+
+    Whitespace tokens (the same `[^ ]+` extraction dialect as
+    token_counts — shared verbatim with the DuckDB oracle); window
+    starts are 0, step, 2*step, ... for every start < n_tokens, so the
+    final partial window is kept (training pipelines pad or pack it —
+    see pack_shards). Documents with no tokens emit no rows.
+
+    Scale shape: pure whole-stage-codegen — split once per doc,
+    posexplode only the start-offset array (ceil(n/step) ints per doc,
+    NOT per-token rows), then slice+array_join per chunk. No shuffle
+    at all: chunking is embarrassingly parallel per document, and the
+    explode factor is bounded by n/step (~8 rows per 1k-token doc at
+    the defaults), so a 100 TB corpus chunks in one map stage glued to
+    whatever scan precedes it.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.expr(f"regexp_extract_all({text_col}, '[^ ]+', 0)")
+    with_toks = docs.select(id_col, toks.alias("_toks")).filter(
+        F.size("_toks") > 0
+    )
+    starts = F.sequence(
+        F.lit(0), F.size("_toks") - 1, F.lit(step)
+    )
+    return (
+        with_toks.select(
+            id_col,
+            "_toks",
+            F.posexplode(starts).alias("chunk_no", "_start"),
+        )
+        .select(
+            id_col,
+            "chunk_no",
+            F.array_join(
+                F.slice("_toks", F.col("_start") + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens), F.size("_toks") - F.col("_start")
+            ).cast("int").alias("n_tokens"),
+        )
+    )
