@@ -1193,6 +1193,107 @@ _PACK_SHARDS_SQL = """
 """
 
 
+def _q_scrub_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate-block scrub: disjoint 8-token
+    blocks; every block whose exact text occurs earlier in
+    (doc_id, chunk_no) corpus order is cut out of the document."""
+    from yacy_grid_crawler_spark.operators.dedup_text import (
+        scrub_duplicate_blocks,
+    )
+
+    return scrub_duplicate_blocks(_docs(spark, sf_dir), block_tokens=8)
+
+
+# Same disjoint chunking dialect as _CHUNK_SQL (k=8, step=8); first
+# occurrence per md5(block) wins via a (doc_id, chunk_no) window;
+# reassembly is an ordered string_agg over kept blocks (coalesced to
+# '' for fully-scrubbed docs, matching Spark's empty array_join).
+_SCRUB_BLOCKS_SQL = """
+  WITH toks AS (
+    SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS t FROM documents
+  ),
+  blocks AS (
+    SELECT doc_id,
+           CAST(start / 8 AS int) AS chunk_no,
+           array_to_string(t[start + 1 : start + 8], ' ') AS chunk_text
+    FROM (
+      SELECT doc_id, t, unnest(range(0, len(t), 8)) AS start
+      FROM toks WHERE len(t) > 0
+    )
+  ),
+  flagged AS (
+    SELECT doc_id, chunk_no, chunk_text,
+           row_number() OVER (
+             PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_no
+           ) = 1 AS keep
+    FROM blocks
+  )
+  SELECT doc_id,
+         coalesce(
+           string_agg(chunk_text, ' ' ORDER BY chunk_no)
+             FILTER (WHERE keep),
+           ''
+         ) AS scrubbed_text,
+         CAST(count(*) FILTER (WHERE keep) AS int) AS n_blocks_kept,
+         CAST(count(*) FILTER (WHERE NOT keep) AS int) AS n_blocks_dropped
+  FROM flagged GROUP BY doc_id
+"""
+
+
+def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yacy_grid_crawler_spark.operators.textstats import normalize_text
+
+    return normalize_text(_docs(spark, sf_dir))
+
+
+_NORMALIZE_SQL = """
+  WITH n AS (
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(lower(text), '[^\\x20-\\x7e]', ' ', 'g'),
+             ' +', ' ', 'g')) AS norm_text
+    FROM documents
+  )
+  SELECT doc_id, norm_text, CAST(length(norm_text) AS int) AS n_chars_norm
+  FROM n
+"""
+
+
+def _q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation rollup: per source, doc count, corpus-wide
+    exact-dup fraction, mean quality, token total, low-quality verdict."""
+    from yacy_grid_crawler_spark.operators.textstats import (
+        source_quality_rollup,
+    )
+
+    return source_quality_rollup(_docs(spark, sf_dir), min_avg_quality=0.5)
+
+
+def _source_rollup_sql() -> str:
+    return f"""
+  WITH q AS ({_QUALITY_SQL}),
+  base AS (
+    SELECT doc_id, source, md5(text) AS h,
+           len(regexp_extract_all(text, '[^ ]+')) AS ws
+    FROM documents
+  ),
+  hcnt AS (SELECT h, count(*) AS hn FROM base GROUP BY h),
+  per AS (
+    SELECT b.doc_id, b.source, b.ws, (hn > 1) AS dup, q.quality
+    FROM base b JOIN hcnt USING (h) JOIN q USING (doc_id)
+  )
+  SELECT source,
+         CAST(count(*) AS bigint) AS n_docs,
+         CAST(count(*) FILTER (WHERE dup) AS bigint) AS dup_docs,
+         round(1.0 * count(*) FILTER (WHERE dup) / count(*), 4)
+           AS dup_fraction,
+         round(avg(quality), 4) AS avg_quality,
+         CAST(sum(ws) AS bigint) AS total_ws_tokens,
+         (avg(quality) < 0.5) AS low_quality
+  FROM per GROUP BY source
+"""
+
+
 def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM perplexity quality scoring (CCNet-style filter):
     add-one-smoothed corpus LM, per-doc avg negative log-prob."""
@@ -2050,6 +2151,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": _q_dataset_split,
         "pack_shards": _q_pack_shards,
         "chunk_documents": _q_chunk_documents,
+        "scrub_blocks": _q_scrub_blocks,
+        "normalize_text": _q_normalize_text,
+        "source_rollup": _q_source_rollup,
         "lm_score": _q_lm_score,
         "inlink_stats": _q_inlink_stats,
         "host_cap_sample": _q_host_cap_sample,
@@ -2108,6 +2212,9 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": _DATASET_SPLIT_SQL,
         "pack_shards": _PACK_SHARDS_SQL,
         "chunk_documents": _CHUNK_SQL,
+        "scrub_blocks": _SCRUB_BLOCKS_SQL,
+        "normalize_text": _NORMALIZE_SQL,
+        "source_rollup": _source_rollup_sql(),
         "lm_score": _LM_SCORE_SQL,
         "inlink_stats": _INLINK_STATS_SQL,
         "host_cap_sample": _HOST_CAP_SQL,

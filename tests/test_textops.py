@@ -433,3 +433,87 @@ def test_chunk_documents_overlap_and_partial_tail(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_scrub_duplicate_blocks_first_occurrence_wins(spark):
+    """Span-level dedup: a block's first corpus occurrence (min
+    doc_id, then min chunk_no) survives; every later exact copy is
+    cut out of its document, the remaining blocks reassemble in
+    order, and a fully-duplicated doc keeps its row with ''."""
+    from yacy_grid_crawler_spark.operators.dedup_text import (
+        scrub_duplicate_blocks,
+    )
+
+    A = "a1 a2 a3 a4"
+    B = "b1 b2 b3 b4"
+    C = "c1 c2 c3 c4"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{A} {B}"),          # first occurrence of A and B
+            (1, f"{B} {C}"),          # B is a dup, C novel
+            (2, A),                   # fully duplicated -> ''
+            (3, f"{A} {A}"),          # within-doc dup: both copies dropped
+            (4, "   "),               # tokenless -> no row
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in scrub_duplicate_blocks(docs, block_tokens=4).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["scrubbed_text"] == f"{A} {B}"
+    assert (out[0]["n_blocks_kept"], out[0]["n_blocks_dropped"]) == (2, 0)
+    assert out[1]["scrubbed_text"] == C
+    assert (out[1]["n_blocks_kept"], out[1]["n_blocks_dropped"]) == (1, 1)
+    assert out[2]["scrubbed_text"] == ""
+    assert (out[2]["n_blocks_kept"], out[2]["n_blocks_dropped"]) == (0, 1)
+    assert out[3]["scrubbed_text"] == ""
+    assert (out[3]["n_blocks_kept"], out[3]["n_blocks_dropped"]) == (0, 2)
+
+
+def test_source_quality_rollup_cross_source_dups_and_verdict(spark):
+    """Dup counting is corpus-wide (a text mirrored across two sources
+    marks BOTH rows dup); dup_fraction and avg_quality are per source;
+    low_quality tracks the threshold."""
+    from yacy_grid_crawler_spark.operators.textstats import (
+        quality_score,
+        source_quality_rollup,
+    )
+
+    good = "the quick brown fox and the lazy dog is of to in a tale"
+    docs = spark.createDataFrame(
+        [
+            (0, good, "s0"),
+            (1, good, "s1"),            # cross-source mirror of doc 0
+            (2, "zz zz zz !!!!", "s1"), # junk, unique
+            (3, "unique prose of the day is here", "s0"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in source_quality_rollup(docs, 0.5).collect()}
+    assert out["s0"]["n_docs"] == 2 and out["s1"]["n_docs"] == 2
+    assert out["s0"]["dup_docs"] == 1 and out["s1"]["dup_docs"] == 1
+    assert out["s0"]["dup_fraction"] == 0.5
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert out["s1"]["avg_quality"] == round((q[1] + q[2]) / 2, 4)
+    assert not out["s0"]["low_quality"]
+    ws = len(good.split()) + len("unique prose of the day is here".split())
+    assert out["s0"]["total_ws_tokens"] == ws
+
+
+def test_normalize_text_collapses_and_strips(spark):
+    from yacy_grid_crawler_spark.operators.textstats import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (0, "  Hello\tWorldé  X  "),
+            (1, "A\nB\r\nC"),
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in normalize_text(docs).collect()}
+    assert out[0]["norm_text"] == "hello world x"
+    assert out[1]["norm_text"] == "a b c"
+    assert out[2]["norm_text"] == "" and out[2]["n_chars_norm"] == 0

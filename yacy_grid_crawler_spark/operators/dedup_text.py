@@ -488,3 +488,76 @@ def canonical_docs(
             )
         )["q"].alias("keep_quality"),
     )
+
+
+def scrub_duplicate_blocks(
+    docs: DataFrame,
+    block_tokens: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr-style duplicate-SPAN scrub (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"),
+    approximated at disjoint token-block granularity: the corpus is cut
+    into fixed `block_tokens` whitespace-token blocks, and every block
+    whose exact text occurs anywhere earlier in corpus order
+    (doc_id, block position) is REMOVED from the document — only the
+    first occurrence of each distinct block survives. Unlike the
+    doc-level dedup ops above, the document itself is kept with the
+    duplicated spans cut out, which is what span-level dedup emits
+    downstream.
+
+    Output: (doc_id, scrubbed_text, n_blocks_kept, n_blocks_dropped);
+    a doc whose every block is a later duplicate keeps its row with
+    scrubbed_text = ''. Tokenless docs emit no rows (same contract as
+    chunk_documents, which supplies the blocks).
+
+    Scale shape: three keyed shuffles, all AQE-friendly —
+      1. groupBy md5(block) with a min(struct(doc_id, chunk_no))
+         aggregate (map-side combine; one row per distinct block);
+      2. equi-join the first-occurrence table back on the block hash
+         (hot boilerplate blocks are classic AQE skew-join territory);
+      3. regroup by doc_id, reassembling kept blocks order-preserving
+         via array_sort(collect_list(struct(chunk_no, text))) — no
+         window, no global sort.
+    The block texts themselves travel through shuffles 1-2 only as
+    md5 keys plus one exemplar per distinct block; at 100 TB the
+    distinct-block table is the dedup state, exactly as in the
+    suffix-array formulation but shuffle-native.
+    """
+    from .sampling import chunk_documents
+
+    blocks = chunk_documents(
+        docs, chunk_tokens=block_tokens, overlap=0,
+        id_col=id_col, text_col=text_col,
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        "chunk_no",
+        "chunk_text",
+        F.md5("chunk_text").alias("_h"),
+    )
+    first = blocks.groupBy("_h").agg(
+        F.min(F.struct("doc_id", "chunk_no")).alias("_first")
+    )
+    flagged = blocks.join(first, "_h").select(
+        "doc_id",
+        "chunk_no",
+        "chunk_text",
+        (
+            (F.col("_first.doc_id") == F.col("doc_id"))
+            & (F.col("_first.chunk_no") == F.col("chunk_no"))
+        ).alias("_keep"),
+    )
+    kept_structs = F.collect_list(
+        F.when(F.col("_keep"), F.struct("chunk_no", "chunk_text"))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(kept_structs), lambda s: s["chunk_text"]
+            ),
+            " ",
+        ).alias("scrubbed_text"),
+        F.count_if(F.col("_keep")).cast("int").alias("n_blocks_kept"),
+        F.count_if(~F.col("_keep")).cast("int").alias("n_blocks_dropped"),
+    )

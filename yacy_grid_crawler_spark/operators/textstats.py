@@ -65,11 +65,13 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
+def quality_score(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Deterministic quality features + combined score:
     n_words, mean word length, stopword ratio, punct ratio,
     score = stopword_ratio*2 + clamp(n_words/100) - punct_ratio.
-    Rounded to 4dp for oracle hashing."""
+    Rounded to 4dp for oracle hashing. `keep` names extra input
+    columns to carry through (e.g. ("source",) for the per-source
+    rollup) — still a pure narrow map."""
     n_words = F.size(_words())
     n_alpha = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
     n_punct = F.length(F.regexp_replace(F.col("text"), "[^.,;:!?]", ""))
@@ -80,6 +82,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
     return docs.select(
         "doc_id",
+        *keep,
         n_words.alias("n_words"),
         F.round(n_alpha / F.greatest(n_words, F.lit(1)), 4).alias("mean_word_len"),
         F.round(stop / F.greatest(n_words, F.lit(1)), 4).alias("stopword_ratio"),
@@ -379,4 +382,69 @@ def lm_score(docs: DataFrame) -> DataFrame:
                 4,
             ).alias("avg_neg_logprob"),
         )
+    )
+
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """Canonical text normalization — the first map of a curation
+    pipeline: lowercase, replace every non-printable / non-ASCII char
+    with a space, collapse whitespace runs, trim. Output:
+    (doc_id, norm_text, n_chars_norm).
+
+    Pure codegen (lower + two regexp_replace + trim), zero shuffle;
+    the regexes are shared verbatim with the DuckDB oracle so both
+    engines normalize identically."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^\\x20-\\x7e]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("int").alias("n_chars_norm"),
+    )
+
+
+def source_quality_rollup(
+    docs: DataFrame, min_avg_quality: float = 0.5
+) -> DataFrame:
+    """Domain-level curation rollup — the signal behind "drop spammy
+    domains" decisions: per `source`, document count, exact-duplicate
+    document count (texts whose md5 occurs more than once ANYWHERE in
+    the corpus, so cross-source mirror farms count too), dup fraction,
+    mean quality score, total whitespace tokens, and a `low_quality`
+    verdict (avg quality below `min_avg_quality`).
+
+    Scale shape: one groupBy on md5(text) (map-side combine) for the
+    corpus dup-count dim, one equi-join back on the hash (AQE skew
+    handles the empty-text / boilerplate hash), then ONE hash
+    aggregate keyed on source. Quality features ride the same rows as
+    pure codegen columns (quality_score with source kept), so no
+    per-doc join is needed. Source cardinality is tiny next to doc
+    count, so the final agg's reduce side is a broadcast-size table.
+    """
+    feats = quality_score(docs, keep=("source",))
+    base = docs.select(
+        "doc_id",
+        F.md5("text").alias("_h"),
+        F.size(F.expr("regexp_extract_all(text, '[^ ]+', 0)")).alias("_ws"),
+    )
+    hcnt = base.groupBy("_h").agg(F.count(F.lit(1)).alias("_hn"))
+    per_doc = (
+        base.join(hcnt, "_h")
+        .select("doc_id", "_ws", (F.col("_hn") > 1).alias("_dup"))
+        .join(feats.select("doc_id", "source", "quality"), "doc_id")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_if(F.col("_dup")).cast("bigint").alias("dup_docs"),
+        F.round(
+            F.count_if(F.col("_dup")) / F.count(F.lit(1)), 4
+        ).alias("dup_fraction"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.sum("_ws").cast("bigint").alias("total_ws_tokens"),
+        (F.avg("quality") < F.lit(min_avg_quality)).alias("low_quality"),
     )
