@@ -1294,6 +1294,43 @@ def _source_rollup_sql() -> str:
 """
 
 
+def _q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing (keep rate
+    (n_min/n_s)^(1-alpha), alpha=0.5): the data-mixing sampler."""
+    from yacy_grid_crawler_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    return temperature_resample(_docs(spark, sf_dir), alpha=0.5)
+
+
+def _u16_sql(h: str) -> str:
+    """16-bit integer from the first 4 hex chars of md5 expr `h` —
+    the position-nibble dialect DuckDB shares with simhash's oracle
+    (Spark side uses conv(hex, 16, 10); same value)."""
+    nib = "(position(substr({h}, {i}, 1) IN '0123456789abcdef') - 1)"
+    return " + ".join(
+        f"{nib.format(h=h, i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
+    )
+
+
+_TEMPERATURE_SQL = f"""
+  WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+  t AS (
+    SELECT source,
+           CAST(floor(pow(1.0 * (SELECT min(n) FROM c) / n, 0.5) * 65536)
+                AS bigint) AS thr
+    FROM c
+  ),
+  u AS (
+    SELECT doc_id, source, md5(CAST(doc_id AS varchar)) AS h FROM documents
+  )
+  SELECT doc_id, source
+  FROM u JOIN t USING (source)
+  WHERE {_u16_sql('h')} < thr
+"""
+
+
 def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM perplexity quality scoring (CCNet-style filter):
     add-one-smoothed corpus LM, per-doc avg negative log-prob."""
@@ -2154,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_blocks": _q_scrub_blocks,
         "normalize_text": _q_normalize_text,
         "source_rollup": _q_source_rollup,
+        "temperature_resample": _q_temperature_resample,
         "lm_score": _q_lm_score,
         "inlink_stats": _q_inlink_stats,
         "host_cap_sample": _q_host_cap_sample,
@@ -2215,6 +2253,7 @@ def oracle_sql() -> dict[str, str]:
         "scrub_blocks": _SCRUB_BLOCKS_SQL,
         "normalize_text": _NORMALIZE_SQL,
         "source_rollup": _source_rollup_sql(),
+        "temperature_resample": _TEMPERATURE_SQL,
         "lm_score": _LM_SCORE_SQL,
         "inlink_stats": _INLINK_STATS_SQL,
         "host_cap_sample": _HOST_CAP_SQL,

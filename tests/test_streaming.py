@@ -156,3 +156,72 @@ def test_bounded_stream_dedup_matches_batch_operator(spark, tmp_path):
     expected = {("c1", u) for _, u, _, _ in rows}
     assert set(novel_urls) == expected
     assert len(novel_urls) == len(expected), "duplicate emission"
+
+
+def test_host_rate_stream_watermark_windows(spark, tmp_path):
+    """Windowed per-host rates with late-data handling: append mode
+    emits only watermark-finalized windows; a row later than the
+    watermark is dropped, one within it still lands in its window."""
+    from yacy_grid_crawler_spark.streaming.frontier_stream import (
+        CANDIDATE_SCHEMA,
+        run_host_rate_to_memory,
+    )
+
+    src = str(tmp_path / "rate_src")
+    m = 60_000  # 1-minute windows in ms
+    batch1 = [
+        ("c1", "http://a.example/1", 0, 0 * m),
+        ("c1", "http://a.example/2", 0, 0 * m + 30_000),
+        ("c1", "http://a.example/2", 0, 0 * m + 40_000),  # dup url
+        ("c1", "http://b.example/1", 0, 1 * m),
+    ]
+    # batch 2 advances event time far enough that the watermark
+    # (max_event - 120 s = 8 m) passes the first windows' ends;
+    # batch 3 lets the lagged watermark take effect so [0,1)/[1,2)
+    # are evicted+emitted BEFORE the late row arrives (Spark's late
+    # drop is guaranteed only once the window state is finalized)
+    batch2 = [("c1", "http://a.example/3", 0, 10 * m)]
+    batch3 = [("c1", "http://a.example/5", 0, 10 * m + 1000)]
+    # batch 4 arrives AFTER windows [0,2) were finalized: a 0-minute
+    # event is late -> dropped, never counted in window [0, 1)
+    batch4 = [("c1", "http://a.example/4", 0, 0 * m + 50_000)]
+    import os
+
+    for idx, (name, batch) in enumerate(
+        (("f1", batch1), ("f2", batch2), ("f3", batch3), ("f4", batch4))
+    ):
+        spark.createDataFrame(
+            batch, CANDIDATE_SCHEMA
+        ).coalesce(1).write.parquet(f"{src}/{name}")
+        # FileStreamSource orders files by mtime; back-to-back writes
+        # can tie (or invert) — pin strictly increasing mtimes so the
+        # maxFilesPerTrigger=1 drain sees f1 -> f2 -> f3.
+        t = 1_000_000_000 + idx * 60
+        for root, _dirs, files in os.walk(f"{src}/{name}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+    out = run_host_rate_to_memory(
+        spark, src + "/f1", "t_rate_1", window_sec=60, watermark_sec=120
+    ).collect()
+    # single availableNow drain of f1 only: watermark ends at
+    # 1 m - 120 s < 0, so nothing is finalized yet
+    assert out == []
+    out2 = run_host_rate_to_memory(
+        spark, src + "/*", "t_rate_2", window_sec=60, watermark_sec=120,
+        max_files_per_trigger=1,
+    ).collect()
+    keys = [(r["window_start"].minute, r["host"]) for r in out2]
+    assert len(keys) == len(set(keys)), "duplicate (window, host) emission"
+    rows = {
+        (r["window_start"].minute, r["host"]): (
+            r["n_candidates"],
+            r["n_unique"],
+        )
+        for r in out2
+    }
+    # windows [0,1) and [1,2) are finalized by the 10-minute events;
+    # [10,11) is still open (watermark = ~8 m) and must NOT emit; the
+    # late 50 s row is dropped, not counted and not re-emitted
+    assert rows[(0, "a.example")] == (3, 2)
+    assert rows[(1, "b.example")] == (1, 1)
+    assert all(start != 10 for (start, _h) in rows)

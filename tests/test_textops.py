@@ -517,3 +517,33 @@ def test_normalize_text_collapses_and_strips(spark):
     assert out[0]["norm_text"] == "hello world x"
     assert out[1]["norm_text"] == "a b c"
     assert out[2]["norm_text"] == "" and out[2]["n_chars_norm"] == 0
+
+
+def test_temperature_resample_rates_and_determinism(spark):
+    """Smallest source is kept whole; a 4x-larger source is kept at
+    (1/4)^0.5 = 1/2 via the exact 16-bit md5 threshold; alpha=1 is a
+    no-op. Kept set matches the hashlib reference doc-by-doc."""
+    import hashlib
+
+    from yacy_grid_crawler_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    rows = [(i, "big") for i in range(800)] + [
+        (i, "small") for i in range(800, 1000)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = {
+        r["doc_id"]: r["source"]
+        for r in temperature_resample(docs, alpha=0.5).collect()
+    }
+    assert sum(1 for s in kept.values() if s == "small") == 200
+    thr = int((200 / 800) ** 0.5 * 65536)  # = 32768
+    for i in range(800):
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+        assert (i in kept) == (u < thr)
+    assert temperature_resample(docs, alpha=1.0).count() == 1000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_resample(docs, alpha=1.5)

@@ -249,3 +249,46 @@ def chunk_documents(
             ).cast("int").alias("n_tokens"),
         )
     )
+
+
+def temperature_resample(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based source rebalancing — the multilingual /
+    multi-source data-mixing primitive (sample source s proportional
+    to n_s^alpha, alpha<1 flattening the size distribution): keep
+    rate r_s = (n_min / n_s)^(1-alpha), so the smallest source is
+    kept whole and larger sources are downsampled toward the
+    temperature-flattened mix. Deterministic: a doc is kept iff its
+    16-bit md5 prefix is below floor(r_s * 65536) — same doc, same
+    verdict, every run and every engine, like every sampler here.
+
+    Scale shape: the per-source keep-rate dim is ONE tiny aggregate
+    (one row per source) crossed with its own min — broadcast-joined
+    back onto the corpus scan, then a pure codegen hash filter. The
+    big side never shuffles.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    counts = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    mn = counts.agg(F.min("_n").alias("_n_min"))
+    dims = counts.crossJoin(F.broadcast(mn)).select(
+        stratum_col,
+        F.floor(
+            F.pow(F.col("_n_min") / F.col("_n"), F.lit(1.0 - alpha))
+            * F.lit(65536)
+        )
+        .cast("long")
+        .alias("_thr"),
+    )
+    u16 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(dims), stratum_col)
+        .filter(u16 < F.col("_thr"))
+        .select(id_col, stratum_col)
+    )

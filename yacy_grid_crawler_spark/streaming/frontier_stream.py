@@ -271,3 +271,78 @@ def run_stream_to_memory(
     q.awaitTermination(300)
     q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def host_rate_stream(
+    candidates: DataFrame,
+    window_sec: int = 60,
+    watermark_sec: int = 120,
+) -> DataFrame:
+    """Crawl telemetry: per-host candidate rates over event-time
+    tumbling windows with late-data handling — the streaming
+    counterpart of the batch `crawl_metrics` table (A2) and the
+    per-queue throughput the reference logs from its broker loop
+    (CrawlerListener.java status counters).
+
+    Watermark = `watermark_sec` on the candidate's event time: a
+    window's aggregate is emitted (append mode) only once the
+    watermark passes its end — so each (window, host) row is final,
+    exactly what a monitoring sink wants. Late rows are dropped with
+    Spark's standard guarantee: guaranteed once the window's state is
+    evicted (the watermark update lags one micro-batch), best-effort
+    within the finalizing batch itself.
+    State is bounded by (hosts x open windows); at 10^10-frontier
+    scale the partial aggregates combine map-side per micro-batch and
+    shuffle only on the (window, host) key.
+
+    Output: (window_start, window_end, host, n_candidates, n_unique).
+    """
+    c = _canonicalized(candidates).withColumn(
+        "host", F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+    )
+    return (
+        c.withColumn("event_ts", F.timestamp_millis(F.col("event_ms")))
+        .withWatermark("event_ts", f"{watermark_sec} seconds")
+        .groupBy(
+            F.window("event_ts", f"{window_sec} seconds").alias("win"),
+            "host",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.approx_count_distinct("url_id").alias("n_unique"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "host",
+            "n_candidates",
+            "n_unique",
+        )
+    )
+
+
+def run_host_rate_to_memory(
+    spark: SparkSession,
+    src_path: str,
+    query_name: str = "host_rate_out",
+    window_sec: int = 60,
+    watermark_sec: int = 120,
+    max_files_per_trigger: int = 8,
+):
+    """Drain the file stream through the windowed host-rate agg into a
+    memory sink (append mode: only watermark-finalized windows land)."""
+    q = (
+        host_rate_stream(
+            read_candidate_stream(spark, src_path, max_files_per_trigger),
+            window_sec=window_sec,
+            watermark_sec=watermark_sec,
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
