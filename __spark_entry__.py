@@ -672,6 +672,90 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8-quantized cosine top-k: per-vector symmetric int8
+    quantization (scales cancel in cosine, so similarity is purely
+    integer-derived — bit-reproducible in any engine)."""
+    from yacy_grid_crawler_spark.operators.similarity import sq8_topk
+
+    return sq8_topk(_emb(spark, sf_dir))
+
+
+_ANN_SQ8_SQL = """
+  WITH qv AS (
+    SELECT vec_id,
+           CASE WHEN mx = 0 THEN list_transform(e, x -> 0)
+                ELSE list_transform(
+                       e, x -> CAST(floor(x / (mx / 127.0) + 0.5) AS int))
+           END AS qvec
+    FROM (SELECT vec_id, embedding::double[] AS e,
+                 list_max(list_transform(embedding::double[],
+                                         x -> abs(x))) AS mx
+          FROM embeddings)
+  ),
+  n AS (
+    SELECT vec_id, qvec,
+           list_dot_product(qvec::double[], qvec::double[]) AS nn
+    FROM qv
+  )
+  SELECT query_id, rank, neighbor_id, qcos FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(CASE WHEN q.nn = 0 OR c.nn = 0 THEN 0.0
+                      ELSE list_dot_product(c.qvec::double[], q.qvec::double[])
+                           / sqrt(c.nn * q.nn) END, 4) AS qcos,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY CASE WHEN q.nn = 0 OR c.nn = 0 THEN 0.0
+                           ELSE list_dot_product(c.qvec::double[], q.qvec::double[])
+                                / sqrt(c.nn * q.nn) END DESC,
+                      c.vec_id
+           ) AS rank
+    FROM n q JOIN n c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id % 50 = 0
+  ) WHERE rank <= 5
+"""
+
+
+def _q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based Jaccard estimates on the LSH candidate pairs —
+    j_est = agreeing minhash components / 8."""
+    from yacy_grid_crawler_spark.operators.dedup_text import (
+        minhash_jaccard_estimates,
+    )
+
+    return minhash_jaccard_estimates(
+        _docs(spark, sf_dir), cache_registry=_QUERY_CACHES
+    )
+
+
+_MINHASH_JEST_SQL = f"""
+  WITH {_SHINGLES_CTE},
+  sig AS (
+    SELECT doc_id,
+           {", ".join(f"min(md5('{j}|' || shingle)) AS h{j}" for j in range(8))}
+    FROM shingles GROUP BY doc_id
+  ),
+  banded AS (
+    {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{2*b} || h{2*b+1} AS band_key FROM sig"
+        for b in range(4)
+    )}
+  ),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  )
+  SELECT doc_a, doc_b,
+         ({" + ".join(
+             f"CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END" for j in range(8)
+         )}) / 8.0 AS j_est
+  FROM pairs
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b
+"""
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yacy_grid_crawler_spark.operators.textstats import lang_id
 
@@ -2172,6 +2256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_sq8_topk": _q_ann_sq8_topk,
+        "minhash_jaccard_est": _q_minhash_jaccard_est,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "token_count": _q_token_count,
@@ -2265,6 +2351,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _SESSIONIZE_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
+        "ann_sq8_topk": _ANN_SQ8_SQL,
+        "minhash_jaccard_est": _MINHASH_JEST_SQL,
         "dedup_embedding_lsh": _DEDUP_EMBEDDING_LSH_SQL,
         # media oracles: the synthetic media table is a deterministic
         # projection of `documents` and the no-decoder fallback is

@@ -132,3 +132,45 @@ def test_embedding_near_dup_exact_empty_input(spark):
     out = embedding_near_dup_exact(empty)
     assert out.columns == ["doc_a", "doc_b", "cos_sim"]
     assert out.count() == 0
+
+
+def test_sq8_quantize_bounds_and_reconstruction(spark, emb):
+    """Quantized components stay in [-127, 127], the max-|x| component
+    hits exactly ±127, and dequantized values reconstruct the float
+    within scale/2 (the rounding bound)."""
+    from yacy_grid_crawler_spark.operators.similarity import sq8_quantize
+
+    rows = sq8_quantize(emb).collect()
+    src = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    assert len(rows) == len(src)
+    for r in rows:
+        q, s, e = r["qvec"], r["scale"], src[r["vec_id"]]
+        assert max(abs(v) for v in q) <= 127
+        if s > 0:
+            assert max(abs(v) for v in q) == 127
+            for qi, xi in zip(q, e):
+                assert abs(qi * s - xi) <= s / 2 + 1e-12
+
+
+def test_sq8_topk_recall_vs_brute_force(spark, emb):
+    """SQ8 ranking loses little on these embeddings: recall vs the
+    float brute-force top-5 stays high (int8 keeps ~2 decimal digits
+    of each component), and output ranks are dense 1..5."""
+    from yacy_grid_crawler_spark.operators.similarity import (
+        brute_force_topk,
+        sq8_topk,
+    )
+
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, top_k=5, query_mod=100).collect()
+    }
+    sq = sq8_topk(emb, top_k=5, query_mod=100).collect()
+    sq_pairs = {(r["query_id"], r["neighbor_id"]) for r in sq}
+    per_query = {}
+    for r in sq:
+        per_query.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per_query.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    recall = len(bf & sq_pairs) / max(len(bf), 1)
+    assert recall >= 0.8, f"SQ8 recall {recall}"

@@ -547,3 +547,32 @@ def test_temperature_resample_rates_and_determinism(spark):
 
     with _pytest.raises(ValueError):
         temperature_resample(docs, alpha=1.5)
+
+
+def test_minhash_jaccard_estimate_bounds_and_identity(spark):
+    """Identical docs estimate j=1.0; estimates live on the k/8 grid;
+    every LSH candidate pair gets exactly one estimate row."""
+    from yacy_grid_crawler_spark.operators.dedup_text import (
+        minhash_jaccard_estimates,
+        minhash_lsh_pairs,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, text),
+            (2, text),
+            (3, text + " extra words tacked on here now"),
+            (4, "completely different content with no shared shingles at all"),
+        ],
+        "doc_id long, text string",
+    )
+    est = minhash_jaccard_estimates(docs).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["j_est"] for r in est}
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert set(got) == pairs
+    assert got[(1, 2)] == 1.0
+    for v in got.values():
+        assert 0.0 <= v <= 1.0 and round(v * 8, 9) == int(round(v * 8))

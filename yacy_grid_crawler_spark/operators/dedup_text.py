@@ -561,3 +561,68 @@ def scrub_duplicate_blocks(
         F.count_if(F.col("_keep")).cast("int").alias("n_blocks_kept"),
         F.count_if(~F.col("_keep")).cast("int").alias("n_blocks_dropped"),
     )
+
+
+def minhash_jaccard_estimates(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASHES,
+    bands: int = LSH_BANDS,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Sketch-based Jaccard ESTIMATION on the LSH candidate pairs:
+    j_est = (#agreeing minhash components)/K — the number a
+    production dedup pipeline thresholds on when exact-Jaccard
+    verification (ngram_jaccard_pairs' inverted-index join) is too
+    expensive to run on every candidate. E[j_est] = true Jaccard by
+    the classic minhash property; K=8 here, so estimates are coarse
+    (k/8 steps) but engine-exact and deterministic.
+
+    Scale shape: ONE signature table (persisted, swept via
+    cache_registry) feeds both the band join that generates
+    candidates and the two signature lookups that score them — the
+    per-pair cost is comparing 2xK 32-char strings, never touching
+    text again. Output: (doc_a, doc_b, j_est).
+    """
+    r = n_hashes // bands
+    sig = minhash_signatures(docs, n_hashes).persist()
+    if cache_registry is not None:
+        cache_registry.append(sig)
+    band_keys = [
+        F.concat_ws("", *[F.col(f"h{b * r + k}") for k in range(r)])
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
+    )
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{j}").alias(f"_a{j}") for j in range(n_hashes)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{j}").alias(f"_b{j}") for j in range(n_hashes)],
+    )
+    matches = sum(
+        (F.col(f"_a{j}") == F.col(f"_b{j}")).cast("int") for j in range(n_hashes)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches.cast("double") / F.lit(float(n_hashes))).alias("j_est"),
+        )
+    )

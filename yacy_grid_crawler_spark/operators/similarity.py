@@ -342,3 +342,102 @@ def lsh_bucket_topk(
             F.round("cos_sim", 4).alias("cos_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the memory-bandwidth lever for ANN at scale
+# ---------------------------------------------------------------------------
+
+def _qdot(a, b):
+    """Exact integer dot product of two int arrays (long accumulator —
+    64 dims x 127^2 stays far below 2^63)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def sq8_quantize(vectors: DataFrame, col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization: scale =
+    max(|x_i|)/127, q_i = floor(x_i/scale + 0.5) in [-127, 127]
+    (zero vectors quantize to all-zero with scale 0). 4x smaller
+    vectors = 4x less scan + shuffle + cache traffic — the standard
+    SQ8 trick ANN engines use before any index structure; because the
+    scale is per-vector it CANCELS in cosine, so quantized similarity
+    is purely integer-derived and bit-reproducible on any engine.
+
+    All math is JVM codegen (`transform`/`aggregate`); output
+    (vec_id, scale, qvec:array<int>).
+    """
+    v = vectors.withColumn(
+        "_emb", F.transform(F.col(col), lambda x: x.cast("double"))
+    ).withColumn(
+        "_maxabs",
+        F.aggregate(
+            "_emb", F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+        ),
+    )
+    scale = F.col("_maxabs") / F.lit(127.0)
+    qvec = F.when(
+        F.col("_maxabs") == 0.0,
+        F.transform("_emb", lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            "_emb", lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")
+        )
+    )
+    return v.select(
+        "vec_id", scale.alias("scale"), qvec.alias("qvec")
+    )
+
+
+def sq8_topk(
+    vectors: DataFrame, top_k: int = TOP_K, query_mod: int = QUERY_MOD
+) -> DataFrame:
+    """Approximate cosine top-k over SQ8-quantized vectors: the scan
+    side carries int8-range ints instead of doubles (4x narrower),
+    and because per-vector scales cancel, quantized cosine =
+    dot_int / sqrt(n_a * n_b) with n = sum(q_i^2) — exact integer
+    numerators, one sqrt, one division: identical doubles in Spark
+    and the DuckDB oracle, so ranks never drift across engines.
+
+    Scale shape mirrors brute_force_topk (broadcast query side, no
+    shuffle of the big side) — SQ8 composes with the LSH/IVF bucket
+    joins for the full production stack (quantize once, bucket-join
+    the narrow vectors). Recall vs the float baseline is pinned in
+    tests/test_similarity.py.
+    """
+    from pyspark.sql import Window
+
+    q8 = sq8_quantize(vectors).withColumn(
+        "_n", _qdot(F.col("qvec"), F.col("qvec"))
+    )
+    q = q8.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("_qq"),
+        F.col("_n").alias("_qn"),
+    )
+    pairs = q8.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    )
+    qcos = F.when(
+        (F.col("_n") == 0) | (F.col("_qn") == 0), F.lit(0.0)
+    ).otherwise(
+        _qdot(F.col("qvec"), F.col("_qq"))
+        / F.sqrt((F.col("_n") * F.col("_qn")).cast("double"))
+    )
+    sims = pairs.withColumn("qcos", qcos)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("vec_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            "rank",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("qcos", 4).alias("qcos"),
+        )
+    )
