@@ -103,6 +103,19 @@ def test_ann_brute_force_broadcasts_queries(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_sq8_topk_broadcasts_queries_and_stays_codegen(spark):
+    """SQ8 ANN: quantization is pure codegen (transform/aggregate, no
+    Python), the query side broadcasts, and the big quantized side
+    never cross-joins or shuffles."""
+    from yacy_grid_crawler_spark.operators.similarity import sq8_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(sq8_topk(emb))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_wave_stays_whole_stage_codegen(spark):
     """The wave's JVM-side expression stages must compile to
     whole-stage codegen (the Arrow kernels are the only interpreted
