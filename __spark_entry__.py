@@ -1692,6 +1692,97 @@ _RECRAWL_DUE_SQL = f"""
 """
 
 
+def _warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a deterministic per-doc target URI (the archives'
+    WARC-Target-URI; synthesized the same way in the SQL oracle)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("http://"),
+            F.col("source"),
+            F.lit(".example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("target_uri"),
+    )
+
+
+def _q_warc_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/1.0 response-record serialization (the reference's archive
+    flush format, CrawlerListener.java:501,546,563) — one codegen
+    concat per row, no shuffle."""
+    from yacy_grid_crawler_spark.sources.warc import build_warc_records
+
+    return build_warc_records(_warc_docs(spark, sf_dir)).select(
+        "doc_id", "target_uri", "warc_record", "record_bytes"
+    )
+
+
+# \r\n spelled chr(13)||chr(10) so the SQL survives any literal-escape
+# handling; md5 + strlen (byte length) match Spark md5/octet_length.
+_WARC_BUILD_SQL = """
+  WITH d AS (
+    SELECT doc_id, text,
+           'http://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR)
+             AS target_uri
+    FROM documents
+  ),
+  r AS (
+    SELECT doc_id, target_uri,
+           'WARC/1.0' || chr(13) || chr(10)
+           || 'WARC-Type: response' || chr(13) || chr(10)
+           || 'WARC-Record-ID: <urn:md5:' || md5(target_uri) || '>'
+             || chr(13) || chr(10)
+           || 'WARC-Date: 2026-01-01T00:00:00Z' || chr(13) || chr(10)
+           || 'WARC-Target-URI: ' || target_uri || chr(13) || chr(10)
+           || 'Content-Type: text/plain; charset=utf-8' || chr(13) || chr(10)
+           || 'Content-Length: ' || CAST(strlen(text) AS VARCHAR)
+             || chr(13) || chr(10) || chr(13) || chr(10)
+           || text || chr(13) || chr(10) || chr(13) || chr(10)
+             AS warc_record
+    FROM d
+  )
+  SELECT doc_id, target_uri, warc_record,
+         strlen(warc_record) AS record_bytes
+  FROM r
+"""
+
+
+def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build WARC records, then parse them back with the inverse
+    operator — the oracle states the expected parse output in closed
+    form from `documents`, so any drift in EITHER direction (builder
+    emits a malformed record, or parser mis-extracts) fails the gate."""
+    from yacy_grid_crawler_spark.sources.warc import (
+        build_warc_records,
+        parse_warc_records,
+    )
+
+    parsed = parse_warc_records(build_warc_records(_warc_docs(spark, sf_dir)))
+    return parsed.select(
+        "record_id",
+        "target_uri",
+        "content_length",
+        F.md5(F.col("payload")).alias("payload_md5"),
+        "length_ok",
+    )
+
+
+_WARC_ROUNDTRIP_SQL = """
+  SELECT 'urn:md5:' || md5(target_uri) AS record_id,
+         target_uri,
+         CAST(strlen(text) AS INT) AS content_length,
+         md5(text) AS payload_md5,
+         TRUE AS length_ok
+  FROM (
+    SELECT text,
+           'http://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR)
+             AS target_uri
+    FROM documents
+  )
+"""
+
+
 CURATE_MIN_QUALITY = 0.5
 
 
@@ -2286,6 +2377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_dequeue": _q_frontier_dequeue,
         "sitemap_parse": _q_sitemap_parse,
         "recrawl_due": _q_recrawl_due,
+        "warc_build": _q_warc_build,
+        "warc_roundtrip": _q_warc_roundtrip,
         "events_sessionize": _q_events_sessionize,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
@@ -2348,6 +2441,8 @@ def oracle_sql() -> dict[str, str]:
         "frontier_dequeue": _FRONTIER_DEQUEUE_SQL,
         "sitemap_parse": _SITEMAP_SQL,
         "recrawl_due": _RECRAWL_DUE_SQL,
+        "warc_build": _WARC_BUILD_SQL,
+        "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,

@@ -792,3 +792,38 @@ def test_cli_robots_bodies(spark, corpus, docs_df, tmp_path, capsys):
     assert rc == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["crawl_ids"]
+
+
+def test_warc_build_parse_roundtrip(spark):
+    from yacy_grid_crawler_spark.sources.warc import (
+        build_warc_records,
+        parse_warc_records,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "http://a.example.org/doc/1", "hello world"),
+            (2, "http://b.example.org/doc/2", ""),          # empty payload
+            (3, "http://c.example.org/doc/3", "café"),  # non-ASCII
+            (4, "http://d.example.org/doc/4", "line1\nline2\n\nline4"),
+        ],
+        "doc_id long, target_uri string, text string",
+    )
+    built = build_warc_records(docs)
+    rows = {r["doc_id"]: r for r in built.collect()}
+    # Content-Length is BYTE length: 'café' = 5 octets, 4 chars
+    assert "Content-Length: 5\r\n" in rows[3]["warc_record"]
+    assert "Content-Length: 0\r\n" in rows[2]["warc_record"]
+    assert rows[1]["warc_record"].startswith("WARC/1.0\r\n")
+    assert rows[1]["warc_record"].endswith("hello world\r\n\r\n")
+
+    parsed = {
+        r["target_uri"]: r for r in parse_warc_records(built).collect()
+    }
+    orig = {r["target_uri"]: r["text"] for r in docs.collect()}
+    assert set(parsed) == set(orig)
+    for uri, p in parsed.items():
+        assert p["payload"] == orig[uri]
+        assert p["length_ok"] is True
+        assert p["content_type"] == "text/plain; charset=utf-8"
+        assert p["record_id"].startswith("urn:md5:")
