@@ -1277,6 +1277,46 @@ _PACK_SHARDS_SQL = """
 """
 
 
+SEQ_LEN = 2048
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (docs split across fixed
+    2048-token sequences; zero padding except the tail)."""
+    from yacy_grid_crawler_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir).select("doc_id", "n_chars"),
+        seq_len=SEQ_LEN,
+        token_col="n_chars",
+        cache_registry=_QUERY_CACHES,
+    )
+
+
+_PACK_SEQUENCES_SQL = f"""
+  WITH d AS (
+    SELECT doc_id, n_chars,
+           CAST(coalesce(sum(n_chars) OVER (
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS s
+    FROM documents WHERE n_chars > 0
+  ),
+  x AS (
+    SELECT doc_id, n_chars, s,
+           unnest(range(s // {SEQ_LEN}, (s + n_chars - 1) // {SEQ_LEN} + 1))
+             AS seq_id
+    FROM d
+  )
+  SELECT seq_id, doc_id,
+         greatest(s, seq_id * {SEQ_LEN}) - s AS doc_tok_start,
+         greatest(s, seq_id * {SEQ_LEN}) - seq_id * {SEQ_LEN}
+           AS seq_tok_start,
+         least(s + n_chars, (seq_id + 1) * {SEQ_LEN})
+           - greatest(s, seq_id * {SEQ_LEN}) AS n_toks
+  FROM x
+"""
+
+
 def _q_scrub_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style duplicate-block scrub: disjoint 8-token
     blocks; every block whose exact text occurs earlier in
@@ -2364,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_priority": _q_pagerank,
         "dataset_split": _q_dataset_split,
         "pack_shards": _q_pack_shards,
+        "pack_sequences": _q_pack_sequences,
         "chunk_documents": _q_chunk_documents,
         "scrub_blocks": _q_scrub_blocks,
         "normalize_text": _q_normalize_text,
@@ -2428,6 +2469,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_priority": _PAGERANK_SQL,
         "dataset_split": _DATASET_SPLIT_SQL,
         "pack_shards": _PACK_SHARDS_SQL,
+        "pack_sequences": _PACK_SEQUENCES_SQL,
         "chunk_documents": _CHUNK_SQL,
         "scrub_blocks": _SCRUB_BLOCKS_SQL,
         "normalize_text": _NORMALIZE_SQL,

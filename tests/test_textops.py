@@ -576,3 +576,61 @@ def test_minhash_jaccard_estimate_bounds_and_identity(spark):
     assert got[(1, 2)] == 1.0
     for v in got.values():
         assert 0.0 <= v <= 1.0 and round(v * 8, 9) == int(round(v * 8))
+
+
+def test_pack_sequences_full_coverage_and_splits(spark):
+    """Every sequence except the last is exactly seq_len full, the
+    virtual token stream is covered with no gaps or overlaps, and a
+    doc wider than seq_len splits with consistent offsets; the
+    distributed two-phase prefix sum equals the window form."""
+    from yacy_grid_crawler_spark.operators.sampling import pack_sequences
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 53) % 700 + 1).alias("n_tokens"),
+    )
+    caches = []
+    key = ["seq_id", "doc_id", "doc_tok_start", "seq_tok_start", "n_toks"]
+    a = sorted(
+        tuple(r[c] for c in key)
+        for r in pack_sequences(docs, 256, distributed=False).collect()
+    )
+    b = sorted(
+        tuple(r[c] for c in key)
+        for r in pack_sequences(
+            docs, 256, distributed=True, cache_registry=caches
+        ).collect()
+    )
+    assert a == b
+    for c in caches:
+        c.unpersist()
+
+    total = sum(r[4] for r in a)
+    per_seq = {}
+    for seq_id, doc_id, dstart, sstart, n in a:
+        assert n > 0
+        per_seq.setdefault(seq_id, []).append((sstart, n))
+    last = max(per_seq)
+    for seq_id, segs in per_seq.items():
+        segs.sort()
+        # contiguous within the sequence, starting at 0
+        pos = 0
+        for sstart, n in segs:
+            assert sstart == pos
+            pos += n
+        if seq_id != last:
+            assert pos == 256
+    assert total == sum(((i * 53) % 700 + 1) for i in range(200))
+    # at least one doc (n_tokens can be up to 700 > 256) split across seqs
+    from collections import Counter
+    doc_counts = Counter(doc_id for _, doc_id, *_ in a)
+    assert max(doc_counts.values()) >= 2
+    # split pieces tile the doc: doc_tok_starts are the running sums
+    for doc_id, cnt in doc_counts.items():
+        pieces = sorted(
+            (r[2], r[4]) for r in a if r[1] == doc_id
+        )
+        pos = 0
+        for dstart, n in pieces:
+            assert dstart == pos
+            pos += n

@@ -66,16 +66,40 @@ def pack_shards(
     single-partition window anywhere; `distributed=False` is the
     window formulation for small inputs (identical output, pinned by
     tests)."""
+    pref = _token_prefix_sum(
+        docs, token_col, order_col, distributed, cache_registry
+    )
+    return pref.select(
+        order_col,
+        F.col(token_col),
+        F.floor(F.col("_start") / budget).cast("long").alias("shard_id"),
+    )
+
+
+def _token_prefix_sum(
+    docs: DataFrame,
+    token_col: str,
+    order_col: str,
+    distributed: bool,
+    cache_registry: list | None,
+) -> DataFrame:
+    """`docs` + `_start`: the exclusive global prefix sum of
+    `token_col` in `order_col` order — i.e. each document's first
+    token's position in the virtual concatenation of the whole corpus.
+
+    Two-phase distributed form (default): range-partition on the
+    order key → per-partition totals (one row per partition, tiny) →
+    running-sum into partition offsets → broadcast-join offsets back
+    and add the partition-local cumulative sum. The only windows are
+    over the P-row offsets table and within partitions — no
+    single-partition global window at any scale."""
     if not distributed:
         w = (
             Window.orderBy(order_col)
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        cum_excl = F.coalesce(F.sum(token_col).over(w), F.lit(0))
-        return docs.select(
-            order_col,
-            F.col(token_col),
-            F.floor(cum_excl / budget).cast("long").alias("shard_id"),
+        return docs.withColumn(
+            "_start", F.coalesce(F.sum(token_col).over(w), F.lit(0))
         )
     n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     ranged = docs.repartitionByRange(n_part, F.col(order_col)).withColumn(
@@ -99,13 +123,67 @@ def pack_shards(
     local_excl = F.coalesce(F.sum(token_col).over(w_local), F.lit(0))
     return (
         ranged.join(F.broadcast(off), "_pid")
-        .select(
-            order_col,
-            F.col(token_col),
-            F.floor((F.col("_offset") + local_excl) / budget)
-            .cast("long")
-            .alias("shard_id"),
-        )
+        .withColumn("_start", F.col("_offset") + local_excl)
+        .drop("_pid", "_offset")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    distributed: bool = True,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the layout LLM pretraining
+    actually trains on: concatenate every document in `order_col`
+    order into one virtual token stream and cut it into fixed
+    `seq_len` windows. Documents SPLIT across sequence boundaries
+    (unlike :func:`pack_shards`, which keeps documents whole), so
+    every sequence except the last is exactly full — zero padding.
+
+    Returns one row per (document × sequence it overlaps):
+    (seq_id, doc_id-or-order col, doc_tok_start, seq_tok_start,
+    n_toks) — enough to materialize each sequence's token slices and
+    its document-boundary/attention-mask spans.
+
+    Plan shape: the global offset is the two-phase prefix sum
+    (`_token_prefix_sum`, no global window), then one codegen
+    `explode(sequence(first_seq, last_seq))` per doc — explode factor
+    is ~tokens/seq_len amortized, each output row O(1) ints. At
+    100 TB this is one range shuffle + a map-only explode; downstream
+    sequence assembly groups on seq_id, whose cardinality
+    total_tokens/seq_len is uniform by construction (no skew)."""
+    pref = _token_prefix_sum(
+        docs.filter(F.col(token_col) > 0),
+        token_col,
+        order_col,
+        distributed,
+        cache_registry,
+    )
+    start = F.col("_start")
+    end = start + F.col(token_col)
+    first_seq = F.floor(start / seq_len)
+    last_seq = F.floor((end - 1) / seq_len)
+    exploded = pref.select(
+        order_col,
+        F.col(token_col),
+        start.alias("_s"),
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    seg_start = F.greatest(F.col("_s"), F.col("seq_id") * seq_len)
+    seg_end = F.least(
+        F.col("_s") + F.col(token_col), (F.col("seq_id") + 1) * seq_len
+    )
+    return exploded.select(
+        "seq_id",
+        order_col,
+        (seg_start - F.col("_s")).cast("long").alias("doc_tok_start"),
+        (seg_start - F.col("seq_id") * seq_len)
+        .cast("long")
+        .alias("seq_tok_start"),
+        (seg_end - seg_start).cast("long").alias("n_toks"),
     )
 
 
