@@ -1277,6 +1277,83 @@ _PACK_SHARDS_SQL = """
 """
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 2
+KMEANS_DIM = 64
+
+
+def _q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer Lloyd k-means over the embeddings table (the
+    clustering primitive behind semantic dedup / IVF training);
+    assignment rounds are pure codegen with literal centroids."""
+    from yacy_grid_crawler_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+
+    return kmeans_assignments(
+        _emb(spark, sf_dir),
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        cache_registry=_QUERY_CACHES,
+    )
+
+
+def _kmeans_sql(k: int, iters: int, d: int) -> str:
+    """Unrolled Lloyd rounds as CTEs (same technique as the pagerank
+    oracle): every step integer-exact, ties to the lowest centroid id,
+    emptied clusters drop without remapping survivors."""
+    dist = (
+        f"list_sum(list_transform(range({d}), "
+        "i -> (v.q[i+1] - c.c[i+1]) * (v.q[i+1] - c.c[i+1])))"
+    )
+    parts = [
+        f"""q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)
+                  + 1048576) AS q
+    FROM embeddings
+  )""",
+        f"""c0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+             AS cent_id, q AS c
+    FROM (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT {k})
+  )""",
+    ]
+    for t in range(iters + 1):
+        parts.append(
+            f"""a{t} AS (
+    SELECT vec_id, q, cent_id AS cluster_id FROM (
+      SELECT v.vec_id, v.q, c.cent_id,
+             row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY {dist} ASC, c.cent_id ASC) AS rn
+      FROM q v CROSS JOIN c{t} c
+    ) WHERE rn = 1
+  )"""
+        )
+        if t < iters:
+            parts.append(
+                f"""c{t + 1} AS (
+    SELECT cluster_id AS cent_id, list(s ORDER BY i) AS c
+    FROM (
+      SELECT cluster_id, i, CAST(sum(qv) // count(*) AS BIGINT) AS s
+      FROM (SELECT cluster_id, unnest(q) AS qv,
+                   generate_subscripts(q, 1) AS i
+            FROM a{t})
+      GROUP BY cluster_id, i
+    ) GROUP BY cluster_id
+  )"""
+            )
+    joined = ",\n  ".join(parts)
+    return f"""
+  WITH {joined}
+  SELECT vec_id, cluster_id FROM a{iters}
+"""
+
+
+_KMEANS_SQL = _kmeans_sql(KMEANS_K, KMEANS_ITERS, KMEANS_DIM)
+
+
 SEQ_LEN = 2048
 
 
@@ -2405,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": _q_dataset_split,
         "pack_shards": _q_pack_shards,
         "pack_sequences": _q_pack_sequences,
+        "kmeans_assign": _q_kmeans_assign,
         "chunk_documents": _q_chunk_documents,
         "scrub_blocks": _q_scrub_blocks,
         "normalize_text": _q_normalize_text,
@@ -2470,6 +2548,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": _DATASET_SPLIT_SQL,
         "pack_shards": _PACK_SHARDS_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
+        "kmeans_assign": _KMEANS_SQL,
         "chunk_documents": _CHUNK_SQL,
         "scrub_blocks": _SCRUB_BLOCKS_SQL,
         "normalize_text": _NORMALIZE_SQL,

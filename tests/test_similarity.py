@@ -174,3 +174,32 @@ def test_sq8_topk_recall_vs_brute_force(spark, emb):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
     recall = len(bf & sq_pairs) / max(len(bf), 1)
     assert recall >= 0.8, f"SQ8 recall {recall}"
+
+
+def test_kmeans_separates_blobs_and_is_deterministic(spark):
+    """Two well-separated blobs: after 2 Lloyd rounds every vector in
+    a blob shares a cluster id and the two blobs differ; re-running
+    yields the identical assignment (integer arithmetic, no RNG)."""
+    from pyspark.sql import functions as F
+    from yacy_grid_crawler_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+
+    # blob A around +0.4, blob B around -0.4, tiny deterministic jitter
+    rows = []
+    for i in range(40):
+        base = 0.4 if i % 2 == 0 else -0.4
+        rows.append((i, [base + ((i * 7 + j) % 5 - 2) * 0.01 for j in range(8)]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    caches = []
+    out1 = {r["vec_id"]: r["cluster_id"] for r in
+            kmeans_assignments(vecs, k=2, iters=2, cache_registry=caches).collect()}
+    out2 = {r["vec_id"]: r["cluster_id"] for r in
+            kmeans_assignments(vecs, k=2, iters=2, cache_registry=caches).collect()}
+    for c in caches:
+        c.unpersist()
+    assert out1 == out2
+    a = {out1[i] for i in range(0, 40, 2)}
+    b = {out1[i] for i in range(1, 40, 2)}
+    assert len(a) == 1 and len(b) == 1 and a != b

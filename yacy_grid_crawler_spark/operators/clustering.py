@@ -1,0 +1,120 @@
+"""Embedding k-means clustering — the grouping primitive behind
+semantic dedup, topic balancing, and IVF index training in a
+training-data pipeline.
+
+Lloyd's algorithm, made EXACTLY reproducible across engines the same
+way `graph.py::pagerank_scaled` is: every arithmetic step is integer.
+
+* Quantize each float dim to `floor(x * 2^20) + 2^20` (the offset
+  makes every value non-negative, so truncating and floor division
+  coincide — Spark `div` and DuckDB `//` then agree everywhere).
+* Init: the k lowest-id vectors are the seed centroids (RNG-free).
+* Assign: integer squared-L2 argmin, ties to the lowest centroid id.
+* Update: per-dim integer mean `sum div count`. A centroid whose
+  cluster empties simply drops out (deterministic in both engines);
+  k is a cap, not a guarantee.
+
+Plan shape per Lloyd round: assignment is a single-row broadcast
+nested-loop join (the k×d centroid matrix as one array<struct> value)
+followed by a codegen `transform` + `array_min` argmin — the big side
+never shuffles and the expression tree is fixed-size in k. The update
+is one groupBy(cluster) with d `element_at` sum columns: a single
+shuffle of ≤k×d longs per round (map-side partial agg). The only
+driver traffic is the centroid matrix between rounds — the same
+bounded metadata every distributed k-means (including Spark MLlib's)
+moves per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1 << 20
+OFFSET = 1 << 20
+
+
+def quantized(vectors: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    """Append `_q`: the non-negative integer quantization of the
+    embedding (floor(x * 2^20) + 2^20 per dim). Codegen, no shuffle."""
+    q = F.transform(
+        F.col(emb_col),
+        lambda x: F.floor(x.cast("double") * SCALE).cast("long") + OFFSET,
+    )
+    return vectors.withColumn("_q", q)
+
+
+def _assign(
+    qdf: DataFrame, centroids: list[tuple[int, list[int]]], id_col: str
+) -> DataFrame:
+    """(id, _q, cluster_id): nearest centroid by integer squared L2,
+    ties to the lowest centroid id. Centroid ids are STABLE across
+    rounds (an emptied cluster's id disappears rather than remapping
+    the survivors — the oracle states the same rule).
+
+    The centroid matrix travels as ONE broadcast row holding an
+    array<struct<j,c>> — a single-row broadcast nested-loop join adds
+    it to every partition, and the argmin is `array_min` over a
+    `transform` of that array. The expression tree is fixed-size in k
+    (no per-centroid literals), so plan analysis/codegen cost doesn't
+    grow with k and the same plan serves k=8 and k=65536; the big
+    side still never shuffles."""
+    spark = qdf.sparkSession
+    cent_df = spark.createDataFrame(
+        [([(int(cid), [int(v) for v in c]) for cid, c in centroids],)],
+        "cents array<struct<j:long,c:array<bigint>>>",
+    )
+
+    def _cand(s):
+        diff2 = F.zip_with(
+            F.col("_q"), s["c"], lambda a, b: (a - b) * (a - b)
+        )
+        dist = F.aggregate(diff2, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        return F.struct(dist.alias("d"), s["j"].alias("j"))
+
+    best = F.array_min(F.transform(F.col("cents"), _cand))
+    return qdf.join(F.broadcast(cent_df)).select(
+        id_col, "_q", best["j"].alias("cluster_id")
+    )
+
+
+def kmeans_assignments(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Run `iters` exact-integer Lloyd rounds and return the final
+    (id, cluster_id) assignment. See module docstring for the
+    reproducibility contract and per-round plan shape."""
+    qdf = quantized(vectors, emb_col).select(id_col, "_q").persist()
+    if cache_registry is not None:
+        cache_registry.append(qdf)
+
+    seeds = qdf.orderBy(id_col).limit(k).collect()
+    centroids = [(j, list(r["_q"])) for j, r in enumerate(seeds)]
+    d = len(centroids[0][1])
+
+    for _ in range(iters):
+        assigned = _assign(qdf, centroids, id_col)
+        # per-(cluster, dim) sums via posexplode: the plan is fixed
+        # size in d (one explode + one agg, vs d agg expressions) and
+        # partial agg bounds the shuffle at k×d rows per partition
+        sums = (
+            assigned.select(
+                "cluster_id", F.posexplode(F.col("_q")).alias("_i", "_v")
+            )
+            .groupBy("cluster_id", "_i")
+            .agg(F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n"))
+        )
+        rows = sums.collect()  # ≤k×d rows of longs — bounded metadata
+        by_cluster: dict[int, list[int]] = {}
+        for r in rows:
+            by_cluster.setdefault(int(r["cluster_id"]), [0] * d)[
+                int(r["_i"])
+            ] = int(r["_s"]) // int(r["_n"])
+        centroids = sorted(by_cluster.items())
+
+    return _assign(qdf, centroids, id_col).select(id_col, "cluster_id")
