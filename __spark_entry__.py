@@ -536,6 +536,57 @@ _MINHASH_SQL = f"""
 """
 
 
+NEAR_DUP_MIN_SIM = 0.5
+
+
+def _q_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate→verify near-dup pipeline: LSH candidates confirmed by
+    exact JVM levenshtein, thresholded on rounded edit similarity."""
+    from yacy_grid_crawler_spark.operators.dedup_text import (
+        verified_near_dup_pairs,
+    )
+
+    return verified_near_dup_pairs(
+        _docs(spark, sf_dir),
+        min_sim=NEAR_DUP_MIN_SIM,
+        cache_registry=_QUERY_CACHES,
+    )
+
+
+_DEDUP_VERIFIED_SQL = f"""
+  WITH {_SHINGLES_CTE},
+  sig AS (
+    SELECT doc_id,
+           {", ".join(f"min(md5('{j}|' || shingle)) AS h{j}" for j in range(8))}
+    FROM shingles GROUP BY doc_id
+  ),
+  banded AS (
+    {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS band_key FROM sig"
+        for b in range(4)
+    )}
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  ),
+  verified AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_distance,
+           round(CASE WHEN greatest(strlen(ta.text), strlen(tb.text)) = 0
+                      THEN 1.0
+                      ELSE 1.0 - levenshtein(ta.text, tb.text)
+                           / greatest(strlen(ta.text), strlen(tb.text))
+                 END, 4) AS edit_sim
+    FROM cand c
+    JOIN documents ta ON ta.doc_id = c.doc_a
+    JOIN documents tb ON tb.doc_id = c.doc_b
+  )
+  SELECT * FROM verified WHERE edit_sim >= {NEAR_DUP_MIN_SIM}
+"""
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yacy_grid_crawler_spark.operators.dedup_text import simhash_docs
 
@@ -2456,6 +2507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data ops
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_verified": _q_dedup_verified,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -2527,6 +2579,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_pricing": _LINEITEM_PRICING_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _MINHASH_SQL,
+        "dedup_verified": _DEDUP_VERIFIED_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,

@@ -634,3 +634,44 @@ def test_pack_sequences_full_coverage_and_splits(spark):
         for dstart, n in pieces:
             assert dstart == pos
             pos += n
+
+
+def test_verified_near_dup_pairs_confirms_and_rejects(spark):
+    """LSH proposes candidates; exact edit distance keeps true near
+    dups and rejects hash-collision false positives. Identical docs
+    score 1.0; a one-word edit scores just under; unrelated docs that
+    happen to band-collide are filtered out."""
+    from yacy_grid_crawler_spark.operators.dedup_text import (
+        verified_near_dup_pairs,
+        minhash_lsh_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                                   # exact dup of 1
+            (3, base.replace("lazy", "busy", 1)),        # near dup
+            (4, "completely different content here with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    caches = []
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in verified_near_dup_pairs(
+            docs, min_sim=0.8, cache_registry=caches
+        ).collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, cache_registry=caches).collect()
+    }
+    for c in caches:
+        c.unpersist()
+    assert (1, 2) in out and out[(1, 2)]["edit_distance"] == 0
+    assert out[(1, 2)]["edit_sim"] == 1.0
+    assert (1, 3) in out and 0 < out[(1, 3)]["edit_distance"] <= 4
+    # verified output is a subset of the LSH candidates
+    assert set(out) <= cand
+    assert all(p[0] != 4 and p[1] != 4 for p in out)

@@ -626,3 +626,51 @@ def minhash_jaccard_estimates(
             (matches.cast("double") / F.lit(float(n_hashes))).alias("j_est"),
         )
     )
+
+
+def verified_near_dup_pairs(
+    docs: DataFrame,
+    min_sim: float = 0.5,
+    n_hashes: int = N_MINHASHES,
+    bands: int = LSH_BANDS,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """The full candidate→verify near-dup pipeline: MinHash-LSH
+    proposes pairs, exact edit distance confirms them.
+
+    edit_sim = 1 - levenshtein(a, b) / max(len(a), len(b)), rounded to
+    4 places BEFORE thresholding so the accept set is identical across
+    engines. Returns (doc_a, doc_b, edit_distance, edit_sim) for pairs
+    with edit_sim >= min_sim.
+
+    Scale shape: levenshtein is O(len_a x len_b) per pair, so it runs
+    ONLY on the LSH candidate set (never all pairs) — the standard
+    verify-stage economics. Text is re-joined onto the candidates by
+    doc_id (two hash joins on unique keys, AQE-safe); `levenshtein` is
+    a JVM builtin, so the verify stays codegen with zero Python.
+    """
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes=n_hashes, bands=bands, cache_registry=cache_registry
+    )
+    txt = docs.select("doc_id", "text")
+    j = pairs.join(
+        txt.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta")),
+        "doc_a",
+    ).join(
+        txt.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb")),
+        "doc_b",
+    )
+    lev = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    denom = F.greatest(F.length("_ta"), F.length("_tb"))
+    sim = F.round(
+        F.when(denom == 0, F.lit(1.0)).otherwise(1.0 - lev / denom), 4
+    )
+    return (
+        j.select(
+            "doc_a",
+            "doc_b",
+            lev.cast("long").alias("edit_distance"),
+            sim.alias("edit_sim"),
+        )
+        .filter(F.col("edit_sim") >= min_sim)
+    )
