@@ -536,6 +536,62 @@ _MINHASH_SQL = f"""
 """
 
 
+def _q_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-increment dedup: docs with doc_id % 10 == 0 are the new
+    batch, the rest the accumulated corpus; LSH A×B join on persisted
+    signatures decides novelty."""
+    from yacy_grid_crawler_spark.operators.dedup_text import (
+        incremental_novelty,
+    )
+
+    d = _docs(spark, sf_dir)
+    return incremental_novelty(
+        d.filter(F.col("doc_id") % 10 == 0),
+        d.filter(F.col("doc_id") % 10 != 0),
+        cache_registry=_QUERY_CACHES,
+    )
+
+
+_INCREMENTAL_SQL = f"""
+  WITH words AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+    FROM documents
+  ),
+  shingles AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     for i in generate_series(1, greatest(len(w) - 2, 0))])
+               AS shingle
+      FROM words
+    )
+  ),
+  sig AS (
+    SELECT doc_id,
+           {", ".join(f"min(md5('{j}|' || shingle)) AS h{j}" for j in range(8))}
+    FROM shingles GROUP BY doc_id
+  ),
+  banded AS (
+    {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS band_key FROM sig"
+        for b in range(4)
+    )}
+  ),
+  hits AS (
+    SELECT n.doc_id,
+           count(DISTINCT c.doc_id) AS n_dup_candidates,
+           min(c.doc_id) AS first_match
+    FROM (SELECT * FROM banded WHERE doc_id % 10 = 0) n
+    LEFT JOIN (SELECT * FROM banded WHERE doc_id % 10 != 0) c
+      ON n.band = c.band AND n.band_key = c.band_key
+    GROUP BY n.doc_id
+  )
+  SELECT doc_id, n_dup_candidates, first_match,
+         n_dup_candidates = 0 AS novel
+  FROM hits
+"""
+
+
 NEAR_DUP_MIN_SIM = 0.5
 
 
@@ -2508,6 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_verified": _q_dedup_verified,
+        "incremental_novelty": _q_incremental_novelty,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -2580,6 +2637,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _MINHASH_SQL,
         "dedup_verified": _DEDUP_VERIFIED_SQL,
+        "incremental_novelty": _INCREMENTAL_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,

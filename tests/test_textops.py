@@ -675,3 +675,29 @@ def test_verified_near_dup_pairs_confirms_and_rejects(spark):
     # verified output is a subset of the LSH candidates
     assert set(out) <= cand
     assert all(p[0] != 4 and p[1] != 4 for p in out)
+
+
+def test_incremental_novelty_flags_corpus_dups(spark):
+    """A new batch deduped against an existing corpus: an exact dup of
+    a corpus doc is non-novel with first_match = that doc; a fresh doc
+    is novel; per-doc verdicts are independent of batch composition."""
+    from yacy_grid_crawler_spark.operators.dedup_text import (
+        incremental_novelty,
+    )
+
+    body = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    corpus = spark.createDataFrame(
+        [(1, body), (2, "one two three four five six seven eight " * 3)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, body),  # dup of corpus doc 1
+            (11, "nine ten eleven twelve thirteen fourteen fifteen sixteen " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in incremental_novelty(new, corpus).collect()}
+    assert out[10]["novel"] is False and out[10]["first_match"] == 1
+    assert out[10]["n_dup_candidates"] == 1
+    assert out[11]["novel"] is True and out[11]["first_match"] is None

@@ -674,3 +674,63 @@ def verified_near_dup_pairs(
         )
         .filter(F.col("edit_sim") >= min_sim)
     )
+
+
+def _banded(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, band_key): one row per LSH band, key = concat of
+    the band's r minhashes (one posexplode pass, see
+    minhash_lsh_pairs)."""
+    r = n_hashes // bands
+    band_keys = [
+        F.concat_ws("", *[F.col(f"h{b * r + k}") for k in range(r)])
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
+    )
+
+
+def incremental_novelty(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    n_hashes: int = N_MINHASHES,
+    bands: int = LSH_BANDS,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Dedup an incoming batch against an EXISTING corpus — the shape
+    every continuously-crawled corpus actually runs (daily increment
+    vs. the accumulated store), as an A×B LSH join instead of the
+    self-join of :func:`minhash_lsh_pairs`.
+
+    Returns one row per new doc: (doc_id, n_dup_candidates,
+    first_match — the lowest corpus doc_id sharing ≥1 LSH band, NULL
+    if none — and novel = no collision).
+
+    Scale shape: the corpus side is the PERSISTED signature table in
+    production (computed once per increment cycle, not per query);
+    both sides band-explode and meet in one equi-join on
+    (band, band_key), then one groupBy(doc_id) with map-side combine.
+    The corpus text is never read — only its 8×32B signatures — so a
+    10^10-doc store joins at signature width, and band-key skew (a
+    boilerplate band shared by millions) is AQE's skew-join case, not
+    a driver problem."""
+    new_b = _banded(minhash_signatures(new_docs, n_hashes), n_hashes, bands)
+    corp_b = _banded(
+        minhash_signatures(corpus_docs, n_hashes), n_hashes, bands
+    ).select(
+        F.col("doc_id").alias("corpus_doc_id"), "band", "band_key"
+    )
+    hits = (
+        new_b.join(corp_b, ["band", "band_key"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("corpus_doc_id").alias("n_dup_candidates"),
+            F.min("corpus_doc_id").alias("first_match"),
+        )
+    )
+    return hits.select(
+        "doc_id",
+        "n_dup_candidates",
+        "first_match",
+        (F.col("n_dup_candidates") == 0).alias("novel"),
+    )
