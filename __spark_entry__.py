@@ -536,6 +536,26 @@ _MINHASH_SQL = f"""
 """
 
 
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile with exact quantiles (Spark and
+    DuckDB interpolate identically — value-hash-exact)."""
+    from yacy_grid_crawler_spark.operators.textstats import corpus_stats
+
+    return corpus_stats(_docs(spark, sf_dir))
+
+
+_CORPUS_STATS_SQL = """
+  SELECT lang,
+         count(*) AS n_docs,
+         count(DISTINCT source) AS n_sources,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         round(avg(n_chars), 4) AS mean_chars,
+         quantile_cont(n_chars, 0.5) AS p50_chars,
+         quantile_cont(n_chars, 0.9) AS p90_chars
+  FROM documents GROUP BY lang
+"""
+
+
 def _q_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-increment dedup: docs with doc_id % 10 == 0 are the new
     batch, the rest the accumulated corpus; LSH A×B join on persisted
@@ -2565,6 +2585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_verified": _q_dedup_verified,
         "incremental_novelty": _q_incremental_novelty,
+        "corpus_stats": _q_corpus_stats,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -2638,6 +2659,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _MINHASH_SQL,
         "dedup_verified": _DEDUP_VERIFIED_SQL,
         "incremental_novelty": _INCREMENTAL_SQL,
+        "corpus_stats": _CORPUS_STATS_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,

@@ -701,3 +701,23 @@ def test_incremental_novelty_flags_corpus_dups(spark):
     assert out[10]["novel"] is False and out[10]["first_match"] == 1
     assert out[10]["n_dup_candidates"] == 1
     assert out[11]["novel"] is True and out[11]["first_match"] is None
+
+
+def test_corpus_stats_exact_quantiles(spark):
+    """Exact percentile semantics: linear interpolation between order
+    statistics, per group; approximate variant returns same schema."""
+    from yacy_grid_crawler_spark.operators.textstats import corpus_stats
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 5 else "de", f"s{i % 2}", v)
+         for i, v in enumerate([1, 2, 3, 4, 10, 7, 7, 7])],
+        "doc_id long, lang string, source string, n_chars long",
+    )
+    out = {r["lang"]: r for r in corpus_stats(docs).collect()}
+    assert out["en"]["n_docs"] == 5 and out["en"]["n_sources"] == 2
+    assert out["en"]["p50_chars"] == 3.0
+    assert abs(out["en"]["p90_chars"] - 7.6) < 1e-9
+    assert out["de"]["p50_chars"] == 7.0 and out["de"]["total_chars"] == 21
+    approx = corpus_stats(docs, approximate=True)
+    assert approx.columns == corpus_stats(docs).columns
+    assert approx.count() == 2

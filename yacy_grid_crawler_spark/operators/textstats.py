@@ -448,3 +448,40 @@ def source_quality_rollup(
         F.sum("_ws").cast("bigint").alias("total_ws_tokens"),
         (F.avg("quality") < F.lit(min_avg_quality)).alias("low_quality"),
     )
+
+
+def corpus_stats(
+    docs: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    approximate: bool = False,
+) -> DataFrame:
+    """Per-group corpus profile: doc count, distinct sources, total /
+    mean / median / p90 of `value_col` — the summary table every
+    curation run starts and ends with.
+
+    `approximate=False` (default) uses exact `percentile`, which
+    buffers each group's values in the aggregation — fine up to
+    millions of rows per group and exactly reproducible (Spark and
+    DuckDB interpolate quantiles identically, bit-for-bit; pinned by
+    the oracle gate). At 100 TB pass `approximate=True`:
+    `percentile_approx` (t-digest, constant memory per group) — same
+    plan shape, bounded state, not oracle-hashable by construction.
+    """
+    pctl = (
+        (lambda c, p: F.percentile_approx(c, p, 10_000))
+        if approximate
+        else (lambda c, p: F.percentile(c, F.lit(p)))
+    )
+    v = F.col(value_col)
+    return (
+        docs.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum(v).alias("total_chars"),
+            F.round(F.avg(v), 4).alias("mean_chars"),
+            pctl(v, 0.5).alias("p50_chars"),
+            pctl(v, 0.9).alias("p90_chars"),
+        )
+    )
