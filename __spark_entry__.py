@@ -536,6 +536,95 @@ _MINHASH_SQL = f"""
 """
 
 
+def _span_tables(spark: SparkSession, sf_dir: str):
+    """Two synthetic interleaved-span tables: B perturbs A
+    deterministically (doc_id%13==0 missing from B, %7==0 span
+    dropped, %11==0 text mutated) — the span_diff test surface.
+    media_ref uses '' (not NULL) in text spans so array-of-struct
+    equality is engine-portable."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    url = F.concat(F.lit("http://h"), (F.col("doc_id") % 10).cast("string"),
+                   F.lit(".org/p/"), F.col("doc_id").cast("string"))
+    s0 = F.struct(F.lit("canonical").alias("kind"), url.alias("text"),
+                  F.lit("").alias("media_ref"), F.lit(0).alias("offset"))
+    s1 = F.struct(F.lit("outbound").alias("kind"),
+                  F.concat(url, F.lit("/next")).alias("text"),
+                  F.lit("").alias("media_ref"), F.lit(1).alias("offset"))
+    s2 = F.struct(F.lit("media").alias("kind"), F.lit("").alias("text"),
+                  F.concat(F.lit("img://"), F.col("doc_id").cast("string"))
+                  .alias("media_ref"), F.lit(2).alias("offset"))
+    a = d.select("doc_id", F.array(s0, s1, s2).alias("spans"))
+    s1_mut = F.struct(F.lit("outbound").alias("kind"),
+                      F.concat(url, F.lit("/CHANGED")).alias("text"),
+                      F.lit("").alias("media_ref"), F.lit(1).alias("offset"))
+    b = (
+        d.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, F.array(s0, s1))
+            .when(F.col("doc_id") % 11 == 0, F.array(s0, s1_mut, s2))
+            .otherwise(F.array(s0, s1, s2))
+            .alias("spans"),
+        )
+    )
+    return a, b
+
+
+def _q_span_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-sequence equality audit (the input_hint per-row
+    invariant): rows where two document tables' span arrays differ."""
+    from yacy_grid_crawler_spark.operators.extract import span_diff
+
+    a, b = _span_tables(spark, sf_dir)
+    return span_diff(a, b)
+
+
+_SPAN_DIFF_SQL = """
+  WITH base AS (
+    SELECT doc_id, 'http://h' || (doc_id % 10) || '.org/p/' || doc_id AS url
+    FROM documents
+  ),
+  a AS (
+    SELECT doc_id, [
+      struct_pack(kind := 'canonical', text := url, media_ref := '', "offset" := 0),
+      struct_pack(kind := 'outbound', text := url || '/next', media_ref := '', "offset" := 1),
+      struct_pack(kind := 'media', text := '', media_ref := 'img://' || doc_id, "offset" := 2)
+    ] AS spans
+    FROM base
+  ),
+  b AS (
+    SELECT doc_id,
+      CASE
+        WHEN doc_id % 7 = 0 THEN [
+          struct_pack(kind := 'canonical', text := url, media_ref := '', "offset" := 0),
+          struct_pack(kind := 'outbound', text := url || '/next', media_ref := '', "offset" := 1)
+        ]
+        WHEN doc_id % 11 = 0 THEN [
+          struct_pack(kind := 'canonical', text := url, media_ref := '', "offset" := 0),
+          struct_pack(kind := 'outbound', text := url || '/CHANGED', media_ref := '', "offset" := 1),
+          struct_pack(kind := 'media', text := '', media_ref := 'img://' || doc_id, "offset" := 2)
+        ]
+        ELSE [
+          struct_pack(kind := 'canonical', text := url, media_ref := '', "offset" := 0),
+          struct_pack(kind := 'outbound', text := url || '/next', media_ref := '', "offset" := 1),
+          struct_pack(kind := 'media', text := '', media_ref := 'img://' || doc_id, "offset" := 2)
+        ]
+      END AS spans
+    FROM base WHERE doc_id % 13 != 0
+  )
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN b.doc_id IS NULL THEN 'only_a'
+              WHEN a.doc_id IS NULL THEN 'only_b'
+              WHEN a.spans != b.spans THEN 'differ'
+         END AS status
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+  WHERE CASE WHEN b.doc_id IS NULL THEN 'only_a'
+             WHEN a.doc_id IS NULL THEN 'only_b'
+             WHEN a.spans != b.spans THEN 'differ'
+        END IS NOT NULL
+"""
+
+
 def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus profile with exact quantiles (Spark and
     DuckDB interpolate identically — value-hash-exact)."""
@@ -2586,6 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_verified": _q_dedup_verified,
         "incremental_novelty": _q_incremental_novelty,
         "corpus_stats": _q_corpus_stats,
+        "span_diff": _q_span_diff,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -2660,6 +2750,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_verified": _DEDUP_VERIFIED_SQL,
         "incremental_novelty": _INCREMENTAL_SQL,
         "corpus_stats": _CORPUS_STATS_SQL,
+        "span_diff": _SPAN_DIFF_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,

@@ -827,3 +827,32 @@ def test_warc_build_parse_roundtrip(spark):
         assert p["length_ok"] is True
         assert p["content_type"] == "text/plain; charset=utf-8"
         assert p["record_id"].startswith("urn:md5:")
+
+
+def test_span_diff_classifies_all_divergence_kinds(spark):
+    from yacy_grid_crawler_spark.operators.extract import span_diff
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        )
+
+    s = lambda k, t, m, o: (k, t, m, o)
+    a = mk([
+        ("d1", [s("canonical", "u1", "", 0)]),
+        ("d2", [s("canonical", "u2", "", 0), s("media", "", "img1", 1)]),
+        ("d3", [s("outbound", "x", "", 0)]),
+        ("d4", [s("outbound", "x", "", 0)]),          # order matters below
+    ])
+    b = mk([
+        ("d1", [s("canonical", "u1", "", 0)]),         # equal → absent
+        ("d2", [s("media", "", "img1", 1), s("canonical", "u2", "", 0)]),  # reordered
+        ("d4", [s("outbound", "y", "", 0)]),           # text differs
+        ("d5", [s("canonical", "u5", "", 0)]),         # only in b
+    ])
+    out = {r["doc_id"]: r["status"] for r in span_diff(a, b).collect()}
+    assert out == {
+        "d2": "differ", "d3": "only_a", "d4": "differ", "d5": "only_b",
+    }

@@ -60,3 +60,35 @@ def span_sequence(docs: DataFrame) -> DataFrame:
         F.col("span.media_ref").alias("media_ref"),
         F.col("span.offset").alias("offset"),
     )
+
+
+def span_diff(
+    a: DataFrame, b: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-row span-sequence diff between two interleaved-document
+    tables — the engine's per-row invariant (BASELINE.json
+    input_hint: span-sequence equality on kind, text, media_ref,
+    order) as a first-class data-quality operator. Use it to audit a
+    format roundtrip (e.g. sources/jsonlist.py), a migration, or two
+    pipeline versions.
+
+    Returns only rows that are NOT equal: (id, status) with status in
+    'only_a' / 'only_b' / 'differ'. Equality is whole-array
+    struct equality, order-sensitive — exactly the invariant.
+
+    Scale shape: one full-outer hash join on the id, comparison pure
+    codegen; no explode, so a 100-span doc costs one array compare,
+    not 100 rows."""
+    left = a.select(F.col(id_col).alias("_id"), F.col("spans").alias("_sa"))
+    right = b.select(F.col(id_col).alias("_id"), F.col("spans").alias("_sb"))
+    j = left.join(right, "_id", "full_outer")
+    status = (
+        F.when(F.col("_sb").isNull(), "only_a")
+        .when(F.col("_sa").isNull(), "only_b")
+        .when(F.col("_sa") != F.col("_sb"), "differ")
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(F.col("_id").alias(id_col), "status")
+    )
