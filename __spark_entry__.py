@@ -625,6 +625,31 @@ _SPAN_DIFF_SQL = """
 """
 
 
+def _q_assemble_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span→text assembly: non-media spans joined in offset order
+    (crawl data model → text-pipeline documents shape)."""
+    from yacy_grid_crawler_spark.operators.extract import assemble_text
+
+    a, _ = _span_tables(spark, sf_dir)
+    # present spans in a scrambled order so the offset sort is load-
+    # bearing (reverse is deterministic and engine-portable)
+    scrambled = a.select("doc_id", F.reverse(F.col("spans")).alias("spans"))
+    return assemble_text(scrambled)
+
+
+_ASSEMBLE_TEXT_SQL = """
+  WITH base AS (
+    SELECT doc_id, 'http://h' || (doc_id % 10) || '.org/p/' || doc_id AS url
+    FROM documents
+  )
+  SELECT doc_id,
+         url || ' ' || url || '/next' AS assembled_text,
+         2 AS n_text_spans,
+         1 AS n_media_spans
+  FROM base
+"""
+
+
 def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus profile with exact quantiles (Spark and
     DuckDB interpolate identically — value-hash-exact)."""
@@ -2676,6 +2701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_novelty": _q_incremental_novelty,
         "corpus_stats": _q_corpus_stats,
         "span_diff": _q_span_diff,
+        "assemble_text": _q_assemble_text,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -2751,6 +2777,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_novelty": _INCREMENTAL_SQL,
         "corpus_stats": _CORPUS_STATS_SQL,
         "span_diff": _SPAN_DIFF_SQL,
+        "assemble_text": _ASSEMBLE_TEXT_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,

@@ -856,3 +856,25 @@ def test_span_diff_classifies_all_divergence_kinds(spark):
     assert out == {
         "d2": "differ", "d3": "only_a", "d4": "differ", "d5": "only_b",
     }
+
+
+def test_assemble_text_offset_order_and_media_skip(spark):
+    from yacy_grid_crawler_spark.operators.extract import assemble_text
+
+    docs = spark.createDataFrame(
+        [
+            # scrambled offsets; media interleaved mid-sequence
+            ("d1", [("outbound", "world", "", 2),
+                    ("media", "", "img://x", 1),
+                    ("canonical", "hello", "", 0)]),
+            ("d2", [("media", "", "img://y", 0)]),   # media-only
+            ("d3", []),                               # empty
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = {r["doc_id"]: r for r in assemble_text(docs).collect()}
+    assert out["d1"]["assembled_text"] == "hello world"
+    assert out["d1"]["n_text_spans"] == 2 and out["d1"]["n_media_spans"] == 1
+    assert out["d2"]["assembled_text"] == "" and out["d2"]["n_media_spans"] == 1
+    assert out["d3"]["assembled_text"] == "" and out["d3"]["n_text_spans"] == 0

@@ -92,3 +92,39 @@ def span_diff(
         .filter(F.col("status").isNotNull())
         .select(F.col("_id").alias(id_col), "status")
     )
+
+
+def assemble_text(docs: DataFrame, sep: str = " ") -> DataFrame:
+    """Materialize a training-text column from an interleaved span
+    document: non-media spans concatenated in offset order (media
+    spans are counted but contribute no text) — the bridge from the
+    crawl's span model (BASELINE.json input_hint) to the text
+    pipeline's `documents(text)` shape.
+
+    Pure codegen per row: re-struct each span offset-first so
+    `array_sort`'s lexicographic struct order IS offset order, filter,
+    `array_join`. No explode — a 500-span page is one array pipeline,
+    not 500 rows."""
+    by_offset = F.array_sort(
+        F.transform(
+            F.col("spans"),
+            lambda s: F.struct(
+                s["offset"].alias("offset"),
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+            ),
+        )
+    )
+    is_media = lambda s: s["kind"] == "media"
+    texts = F.filter(by_offset, lambda s: ~is_media(s))
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(texts, lambda s: s["text"]), sep
+        ).alias("assembled_text"),
+        F.size(texts).cast("int").alias("n_text_spans"),
+        F.size(F.filter(F.col("spans"), is_media)).cast("int").alias(
+            "n_media_spans"
+        ),
+    )
