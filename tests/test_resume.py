@@ -351,3 +351,38 @@ def test_checkpoint_filters_enabled_mid_crawl_covers_prior_seen(
         F.col("crawl_id") == cid_b).select("url_id").collect()
     assert len(rows) == len({r["url_id"] for r in rows})
     assert seen(job_a, cid_a) == seen(job_b2, cid_b)
+
+
+def test_snapshot_diff_is_o_delta_changelog(spark, corpus, docs_df, robots_df, tmp_path):
+    """snapshot_diff between consecutive versions returns exactly the
+    rows that wave appended (url_seen is append-only), an empty diff
+    for identical versions, and removed+added across a compaction —
+    the Iceberg incremental-scan contract."""
+    job, cid = _run(spark, corpus, docs_df, robots_df,
+                    str(tmp_path / "sd"), interrupt_after=None)
+    store = job.store
+    vs = store.versions()
+    assert len(vs) >= 2  # older manifests auto-expired (keep_last=2)
+
+    full = {r["url_id"] for r in store.read("url_seen").collect()}
+    # union of per-version diffs from v0 == the final table
+    acc = set()
+    prev = 0
+    for v in vs:
+        d = store.snapshot_diff("url_seen", prev, v).collect()
+        assert all(r["change"] == "added" for r in d)  # append-only table
+        acc |= {r["url_id"] for r in d}
+        prev = v
+    assert acc == full
+
+    # identical versions → empty diff
+    assert store.snapshot_diff("url_seen", vs[-1], vs[-1]).count() == 0
+
+    # across a compaction: physical rewrite → removed(old) + added(new),
+    # logically the same row set
+    v_before = store.current_version()
+    store.compact("url_seen")
+    d = store.snapshot_diff("url_seen", v_before).collect()
+    added = {r["url_id"] for r in d if r["change"] == "added"}
+    removed = {r["url_id"] for r in d if r["change"] == "removed"}
+    assert added == removed == full
