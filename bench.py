@@ -149,6 +149,43 @@ def calib() -> dict:
     }
 
 
+# Quiet-window gate thresholds: a quiet guest measures the warmed
+# calib matmul at ~0.11-0.13 s and the 64 MB stream pass at
+# ~0.7-1.1 s; documented weather bursts inflate these 3-6x (e.g. the
+# 2026-08-18 run started at matmul 0.758 s and every number in it is
+# 2x off canonical). Guest loadavg CANNOT see the neighbors (that run
+# started at loadavg 0.43) — only the probe timings can.
+QUIET_MATMUL_S = float(os.environ.get("SPARK_GRAFT_QUIET_MATMUL_S", "0.30"))
+QUIET_STREAM_S = float(os.environ.get("SPARK_GRAFT_QUIET_STREAM_S", "1.80"))
+
+
+def wait_for_quiet(max_wait_s: float, probe_interval_s: float = 45.0) -> dict:
+    """Hold the bench start until the calib probe reports a quiet box,
+    or `max_wait_s` elapses (then start anyway — recorded, so a reader
+    knows the run began in weather). Bursts on this sandbox last
+    minutes, not hours (BASELINE.md), so a bounded wait converts a
+    poisoned artifact into a clean one more often than not and costs
+    nothing when the box is already quiet."""
+    waited = 0.0
+    probes = 0
+    while True:
+        c = calib()
+        probes += 1
+        quiet = (
+            c["cpu_matmul_sec"] <= QUIET_MATMUL_S
+            and c["mem_stream_sec"] <= QUIET_STREAM_S
+        )
+        if quiet or waited >= max_wait_s:
+            return {
+                "quiet_at_start": quiet,
+                "waited_sec": round(waited, 1),
+                "probes": probes,
+                "calib": c,
+            }
+        time.sleep(probe_interval_s)
+        waited += probe_interval_s
+
+
 def crawl_bench(
     cores: int, n_docs: int, wave_only: bool = False, master: str | None = None,
     warmup: bool = True,
@@ -421,7 +458,10 @@ def _run_phase_from_env() -> bool:
 def main() -> None:
     if _run_phase_from_env():
         return
-    calib_start = calib()
+    quiet_gate = wait_for_quiet(
+        float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_SEC", "600"))
+    )
+    calib_start = quiet_gate["calib"]
     queries = _phase("queries", cores=CPUS)
     crawl = _phase("crawl", cores=CPUS, n_docs=N_DOCS)
     # isolated-vs-inline decomposition (round-2 ask): the same wave,
@@ -487,17 +527,30 @@ def main() -> None:
             floors[cores] = _phase(
                 "crawl", cores=cores, n_docs=2000, wave_only=True
             )["wave_sec"]
+        def visit(cores: int, n_docs: int) -> None:
+            r = _phase(
+                "crawl", cores=cores, n_docs=n_docs,
+                wave_only=True, warmup=False,
+            )
+            prev = levels.get(cores)
+            visits = (prev or {}).get("visits", []) + [r["wave_sec"]]
+            if prev is None or r["wave_sec"] < prev["wave_sec"]:
+                levels[cores] = r
+            levels[cores]["visits"] = visits
+
         for _ in range(rounds):
             for cores, n_docs in level_specs:
-                r = _phase(
-                    "crawl", cores=cores, n_docs=n_docs,
-                    wave_only=True, warmup=False,
-                )
-                prev = levels.get(cores)
-                visits = (prev or {}).get("visits", []) + [r["wave_sec"]]
-                if prev is None or r["wave_sec"] < prev["wave_sec"]:
-                    levels[cores] = r
-                levels[cores]["visits"] = visits
+                visit(cores, n_docs)
+        # A weather burst that lands on ALL visits of one level still
+        # poisons the min. High spread between visits of the same level
+        # is the tell (engine-side run-to-run spread is <10%); grant
+        # such levels ONE extra visit after the burst has had time to
+        # pass. Bounded: +1 visit per level, worst case.
+        respread = float(os.environ.get("SPARK_GRAFT_VISIT_RESPREAD", "1.4"))
+        for cores, n_docs in level_specs:
+            v = levels[cores]["visits"]
+            if len(v) >= 2 and max(v) / max(min(v), 1e-9) > respread:
+                visit(cores, n_docs)
 
         def pair(lo_c, hi_c):
             lo, hi = levels[lo_c], levels[hi_c]
@@ -540,7 +593,14 @@ def main() -> None:
         # the scaling wave is the same metric at larger input — report
         # the best measured wave throughput as the headline value
         result["value"] = max(result["value"], hi["urls_per_sec"])
-    result["env"] = {"calib_start": calib_start, "calib_end": calib()}
+    result["env"] = {
+        "calib_start": calib_start,
+        "calib_end": calib(),
+        "quiet_gate": {
+            k: quiet_gate[k]
+            for k in ("quiet_at_start", "waited_sec", "probes")
+        },
+    }
     print(json.dumps(result))
 
 
