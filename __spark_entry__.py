@@ -1392,6 +1392,36 @@ def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(_docs(spark, sf_dir).select("doc_id", "text"), k=5)
 
 
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index posting lists (term -> df + sorted capped
+    postings) — the reference's downstream "web index" build
+    expressed as a Spark batch job; df-cap excludes stopword-grade
+    terms BEFORE any list is collected (bounded groups by
+    construction — see operators/textstats.py:inverted_index)."""
+    from yacy_grid_crawler_spark.operators.textstats import inverted_index
+
+    return inverted_index(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        df_cap=200, postings_cap=16,
+    )
+
+
+_INVINDEX_SQL = """
+  WITH words AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+    FROM documents
+  ),
+  pairs AS (SELECT DISTINCT doc_id, term FROM words),
+  dfreq AS (SELECT term, count(*) AS df FROM pairs GROUP BY term),
+  keep AS (SELECT term, df FROM dfreq WHERE df <= 200)
+  SELECT k.term, k.df,
+         CAST(least(k.df, 16) AS BIGINT) AS n_postings,
+         array_to_string(list_sort(list(p.doc_id))[1:16], '|') AS postings
+  FROM pairs p JOIN keep k USING (term)
+  GROUP BY k.term, k.df
+"""
+
+
 _TFIDF_SQL = """
   WITH words AS (
     SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
@@ -2722,6 +2752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition,
         "line_dedup": _q_line_dedup,
         "tfidf_topk": _q_tfidf,
+        "inverted_index": _q_inverted_index,
         "canonical_docs": _q_canonical_docs,
         "stratified_sample": _q_stratified_sample,
         "pagerank_priority": _q_pagerank,
@@ -2793,6 +2824,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _REPETITION_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
         "tfidf_topk": _TFIDF_SQL,
+        "inverted_index": _INVINDEX_SQL,
         "canonical_docs": _CANONICAL_SQL,
         "stratified_sample": _STRATIFIED_SQL,
         "pagerank_priority": _PAGERANK_SQL,

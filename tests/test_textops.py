@@ -721,3 +721,30 @@ def test_corpus_stats_exact_quantiles(spark):
     approx = corpus_stats(docs, approximate=True)
     assert approx.columns == corpus_stats(docs).columns
     assert approx.count() == 2
+
+
+def test_inverted_index_df_cap_and_sorted_postings(spark):
+    """df-cap drops stopword-grade terms BEFORE any posting list is
+    collected; postings are sorted and capped; df stays exact."""
+    from yacy_grid_crawler_spark.operators.textstats import inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "the quick fox"),
+            ("d2", "the lazy dog"),
+            ("d3", "the fox fox jumps"),  # repeated term: one posting
+            ("d4", "the dog naps"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["term"]: r for r in
+           inverted_index(docs, df_cap=2, postings_cap=2).collect()}
+    assert "the" not in out  # df=4 > cap: stopword skip-listed
+    assert out["fox"]["df"] == 2 and out["fox"]["postings"] == "d1|d3"
+    assert out["dog"]["postings"] == "d2|d4"
+    assert out["quick"]["df"] == 1 and out["quick"]["n_postings"] == 1
+    # postings_cap slices the list but df stays exact
+    out1 = {r["term"]: r for r in
+            inverted_index(docs, df_cap=2, postings_cap=1).collect()}
+    assert out1["fox"]["df"] == 2 and out1["fox"]["postings"] == "d1"
+    assert out1["fox"]["n_postings"] == 1

