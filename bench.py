@@ -505,14 +505,18 @@ def main() -> None:
         # visit, so a burst that lands on one visit of one level no
         # longer poisons the ratio (~12 min extra per round; set 1
         # for a quick pass).
-        # The 1 vs 4 pair is the cleanest N-vs-4N emulation this one-
-        # box sandbox can produce: BOTH levels sit far below the box's
-        # memory-bandwidth saturation point, so per-thread bandwidth is
-        # ~constant across the step — exactly the resource profile of
-        # adding executor NODES (each brings its own memory bus). Its
-        # RAW quotient is therefore the number to read against the
-        # north rule's >=0.8 bar; the higher pairs document how the
-        # same plan behaves as one box saturates. Disable with
+        # The 1 vs 4 pair was added hoping both levels sit far below
+        # the memory wall; MEASURED, its baseline is contaminated the
+        # other way: the local[1] wave charges MORE JVM CPU than its
+        # wall time (e.g. 140.9 CPU-s over 120.5 s — >100% of one
+        # thread), because GC/JIT/IO threads plus the pipelined Python
+        # Arrow workers run concurrently with the single task slot.
+        # "1 thread" is really ~1.2+ effective cores, the 4x step is
+        # <4x resources, and the raw quotient under-reports (~0.53
+        # measured on a quiet box). It stays reported as a scale-trend
+        # point, but 2v8 — where both levels' occupancy is ~98% of
+        # their nominal threads — is the honest sub-saturation pair to
+        # read (see BASELINE.md). Disable with
         # SPARK_GRAFT_SCALING_1V4=0 for a faster pass.
         with_1v4 = os.environ.get("SPARK_GRAFT_SCALING_1V4", "1") == "1"
         rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
