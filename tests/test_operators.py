@@ -2,6 +2,8 @@
 splitter separators, depth clamp, blacklist file format, index split,
 batch size, bloom FP safety, salting skew bound."""
 
+import os
+
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -878,3 +880,72 @@ def test_assemble_text_offset_order_and_media_skip(spark):
     assert out["d1"]["n_text_spans"] == 2 and out["d1"]["n_media_spans"] == 1
     assert out["d2"]["assembled_text"] == "" and out["d2"]["n_media_spans"] == 1
     assert out["d3"]["assembled_text"] == "" and out["d3"]["n_text_spans"] == 0
+
+
+def test_spark_submit_py_files_deployment(tmp_path):
+    """North-rule deployment shape: the engine ships to a fresh
+    spark-submit driver ONLY as a --py-files zip (no repo on
+    sys.path), runs a crawl, and reports metrics. Skipped when
+    spark-submit isn't on this box."""
+    import json
+    import shutil
+    import subprocess
+    import zipfile
+
+    spark_submit = shutil.which("spark-submit") or (
+        "/opt/spark/bin/spark-submit"
+        if os.path.exists("/opt/spark/bin/spark-submit")
+        else None
+    )
+    if spark_submit is None:
+        pytest.skip("spark-submit not available")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = tmp_path / "engine.zip"
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        pkg = os.path.join(repo, "yacy_grid_crawler_spark")
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, repo))
+
+    from yacy_grid_crawler_spark.fixtures.gen import generate
+
+    corpus = generate(seed=3, n_docs=40, n_hosts=5)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"doc_id": d["doc_id"], "spans": d["spans"]} for d in corpus.docs]
+        ),
+        tmp_path / "docs.parquet",
+    )
+    driver = tmp_path / "run_crawl.py"
+    driver.write_text(
+        "from yacy_grid_crawler_spark.__main__ import main\n"
+        "import sys; sys.exit(main(sys.argv[1:]))\n"
+    )
+    proc = subprocess.run(
+        [
+            spark_submit, "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", str(zip_path), str(driver),
+            "--docs", str(tmp_path / "docs.parquet"),
+            "--store", str(tmp_path / "store"),
+            "--crawling-url", corpus.seeds[0],
+            "--crawling-depth", "1",
+        ],
+        capture_output=True, text=True, timeout=300,
+        cwd=str(tmp_path),  # repo must NOT be importable from cwd
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert out["success"] is True and len(out["crawl_ids"]) == 1
+    metrics = out["metrics"][out["crawl_ids"][0]]
+    assert metrics["extracted"] > 0 and metrics["accepted"] > 0
