@@ -1406,6 +1406,69 @@ def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval (training-data mining / retrieval eval): probe
+    queries — here a deterministic slice of the corpus itself (every
+    97th doc's first 4 words) — scored against all documents by
+    integer-exact summed tf·idf; top-5 docs per query."""
+    from yacy_grid_crawler_spark.operators.textstats import batch_search
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    queries = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(
+                    F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"),
+                    1, 4,
+                ),
+                " ",
+            ).alias("qtext"),
+        )
+    )
+    return batch_search(docs, queries, k=5, df_cap=200)
+
+
+_BATCH_SEARCH_SQL = """
+  WITH words AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+    FROM documents
+  ),
+  tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+  dfreq AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term HAVING count(*) <= 200
+  ),
+  n AS (SELECT count(*) AS n_docs FROM documents),
+  q AS (
+    SELECT doc_id AS query_id,
+           array_to_string(regexp_extract_all(lower(text), '[a-z]+')[1:4], ' ')
+             AS qtext
+    FROM documents WHERE doc_id % 97 = 0
+  ),
+  qterms AS (
+    SELECT DISTINCT query_id,
+           unnest(regexp_extract_all(lower(qtext), '[a-z]+')) AS term
+    FROM q
+  ),
+  scored AS (
+    SELECT qt.query_id, t.doc_id,
+           sum(t.tf * (1000000 * n.n_docs // d.df)) AS score,
+           count(*) AS n_terms_matched
+    FROM tf t JOIN qterms qt USING (term)
+              JOIN dfreq d USING (term) CROSS JOIN n
+    GROUP BY qt.query_id, t.doc_id
+  )
+  SELECT query_id, doc_id, score, n_terms_matched,
+         CAST(rnk AS INTEGER) AS rnk
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id
+    ) AS rnk FROM scored
+  ) WHERE rnk <= 5
+"""
+
+
 _INVINDEX_SQL = """
   WITH words AS (
     SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
@@ -2753,6 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "tfidf_topk": _q_tfidf,
         "inverted_index": _q_inverted_index,
+        "batch_search": _q_batch_search,
         "canonical_docs": _q_canonical_docs,
         "stratified_sample": _q_stratified_sample,
         "pagerank_priority": _q_pagerank,
@@ -2825,6 +2889,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _LINE_DEDUP_SQL,
         "tfidf_topk": _TFIDF_SQL,
         "inverted_index": _INVINDEX_SQL,
+        "batch_search": _BATCH_SEARCH_SQL,
         "canonical_docs": _CANONICAL_SQL,
         "stratified_sample": _STRATIFIED_SQL,
         "pagerank_priority": _PAGERANK_SQL,

@@ -748,3 +748,43 @@ def test_inverted_index_df_cap_and_sorted_postings(spark):
             inverted_index(docs, df_cap=2, postings_cap=1).collect()}
     assert out1["fox"]["df"] == 2 and out1["fox"]["postings"] == "d1"
     assert out1["fox"]["n_postings"] == 1
+
+
+def test_batch_search_ranks_by_tfidf_overlap(spark):
+    """Docs sharing more (and rarer) query terms rank higher; df-cap
+    drops corpus-wide terms from scoring; ties break on doc_id."""
+    from yacy_grid_crawler_spark.operators.textstats import batch_search
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "apple banana cherry"),
+            ("d2", "apple banana"),
+            ("d3", "apple"),
+            ("d4", "durian elderberry"),
+            ("d5", "common common common"),  # 'common' appears everywhere
+            ("d6", "common apple"),
+        ],
+        "doc_id string, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "apple banana cherry"), (2, "durian")],
+        "query_id long, qtext string",
+    )
+    # dfs: apple=4 (>cap 3, dropped), banana=2, cherry=1, durian=1,
+    # common=2 (not a query term)
+    out = batch_search(docs, queries, k=3, df_cap=3)
+    rows = {(r["query_id"], r["rnk"]): r for r in out.collect()}
+    # q1: d1 matches banana+cherry (2 scorable terms) > d2 (banana);
+    # d3/d6 only contain the capped 'apple' and get NO rank at all
+    assert rows[(1, 1)]["doc_id"] == "d1"
+    assert rows[(1, 1)]["n_terms_matched"] == 2
+    assert rows[(1, 2)]["doc_id"] == "d2"
+    assert rows[(1, 2)]["n_terms_matched"] == 1
+    assert (1, 3) not in rows
+    # q2: only d4 contains 'durian'
+    assert rows[(2, 1)]["doc_id"] == "d4" and (2, 2) not in rows
+    # tighter cap=1 also drops banana (df=2): only cherry scores
+    out1 = batch_search(docs, queries, k=3, df_cap=1)
+    r1 = {(r["query_id"], r["rnk"]): r for r in out1.collect()}
+    assert r1[(1, 1)]["doc_id"] == "d1" and r1[(1, 1)]["n_terms_matched"] == 1
+    assert (1, 2) not in r1  # no other doc has a df<=1 query term

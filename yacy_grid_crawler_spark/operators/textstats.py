@@ -551,3 +551,72 @@ def inverted_index(
             "postings",
         )
     )
+
+
+def batch_search(
+    docs: DataFrame, queries: DataFrame, k: int = 5, df_cap: int = 1000
+) -> DataFrame:
+    """Batch retrieval over the corpus: for each probe query, the
+    top-k documents by summed tf·idf over shared terms — the serve
+    side of `inverted_index`, shaped for training-data mining (probe
+    queries → matching corpus docs) and retrieval eval, not online
+    point lookup. Integer-exact idf_ppm scoring (same contract as
+    `tfidf_topk`) so the cross-engine hash is stable.
+
+    Scale shape: the corpus side is the same (doc_id, term) tf hash
+    aggregate as tfidf; the probe side (queries are a SMALL dim by
+    construction — eval sets, mined probes) is distinct-term-exploded
+    and BROADCAST onto the tf table (no shuffle of the corpus side
+    beyond its own aggs); scoring is one (query_id, doc_id) agg and
+    the top-k window partitions on query_id. A query term matching
+    half the corpus is the skew risk — idf weighting makes such terms
+    worthless, so they are dropped by the same df-cap policy as the
+    index build (df <= df_cap), which also bounds the join fan-out.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"regexp_extract_all(lower(text), '{WORD_RE}', 0)")
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= F.lit(df_cap)
+    )
+    total = docs.agg(F.count("*").alias("_n_docs"))
+    qterms = (
+        queries.select(
+            "query_id",
+            F.explode(
+                F.expr(f"regexp_extract_all(lower(qtext), '{WORD_RE}', 0)")
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dfreq, "term")  # inner join: df-capped terms drop here
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "w",
+            F.col("tf") * F.expr("CAST(1000000 AS BIGINT) * _n_docs DIV df"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("w").alias("score"),
+            F.count("*").alias("n_terms_matched"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "score", "n_terms_matched", "rnk")
+    )
