@@ -2532,6 +2532,60 @@ def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_order_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping-priority query — the multi-table join
+    capability check (dim → fact → fact): BUILDING-segment customers'
+    unshipped orders ranked by revenue. Scale shape: the filtered
+    customer dim BROADCASTS onto orders (no shuffle of the fact side
+    for the dim join), lineitem joins orders on the shared orderkey,
+    revenue is one grouped agg, and the top-10 is a deterministic
+    (revenue desc, orderkey) TakeOrdered — no global sort
+    materialization."""
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    ords = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") < "1998-03-15")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_shipdate") > "1998-03-15")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "o_orderdate", "o_orderpriority", "revenue")
+    )
+
+
+_ORDER_REVENUE_SQL = """
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+    AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+  ORDER BY revenue DESC, l_orderkey
+  LIMIT 10
+"""
+
+
 _LINEITEM_PRICING_SQL = """
   SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
@@ -2787,6 +2841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "topk_per_group": _q_topk_per_group,
         "lineitem_pricing": _q_lineitem_pricing,
+        "order_revenue_topk": _q_order_revenue_topk,
         # training-data ops
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -2866,6 +2921,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _EVENTS_HOURLY_SQL,
         "topk_per_group": _TOPK_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,
+        "order_revenue_topk": _ORDER_REVENUE_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _MINHASH_SQL,
         "dedup_verified": _DEDUP_VERIFIED_SQL,
