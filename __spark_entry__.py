@@ -2571,6 +2571,66 @@ def _q_order_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5/Q9-lite: revenue by (nation, part brand) for ASIA
+    suppliers — the snowflake-dim join geometry (region → nation →
+    supplier chained BROADCASTS assembled into one tiny dim before
+    touching the fact table; part joins on the fact's own key). The
+    lineitem fact shuffles only for the final grouped agg."""
+    region = (
+        spark.read.parquet(f"{sf_dir}/region.parquet")
+        .filter(F.col("r_name") == "ASIA")
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    # snowflake collapse: region ⋈ nation ⋈ supplier is dim-sized —
+    # resolve it first so the fact table sees ONE broadcast join
+    asia_supp = (
+        supp.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                )
+            ),
+            supp.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_suppkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(F.broadcast(asia_supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .select("n_name", "p_brand", "revenue", "n_items")
+    )
+
+
+_SUPPLIER_VOLUME_SQL = """
+  SELECT n_name, p_brand,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE r_name = 'ASIA'
+  GROUP BY n_name, p_brand
+"""
+
+
 _ORDER_REVENUE_SQL = """
   SELECT l_orderkey, o_orderdate, o_orderpriority,
          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -2842,6 +2902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": _q_topk_per_group,
         "lineitem_pricing": _q_lineitem_pricing,
         "order_revenue_topk": _q_order_revenue_topk,
+        "supplier_volume": _q_supplier_volume,
         # training-data ops
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -2922,6 +2983,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": _TOPK_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,
         "order_revenue_topk": _ORDER_REVENUE_SQL,
+        "supplier_volume": _SUPPLIER_VOLUME_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _MINHASH_SQL,
         "dedup_verified": _DEDUP_VERIFIED_SQL,
