@@ -312,3 +312,47 @@ def test_host_cap_sample_distributed_has_no_global_window(spark):
     for frag in plan.split("Window ")[1:]:
         spec = frag.split("\n", 1)[0]
         assert "SPARK_PARTITION_ID" in spec or "_pid" in spec, spec
+
+
+def test_inverted_index_no_window_no_cartesian(spark):
+    """Index build: pure hash aggregates + term-keyed join — no
+    window (no single-partition risk), no cartesian, no Python."""
+    from yacy_grid_crawler_spark.operators.textstats import inverted_index
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(inverted_index(docs))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_batch_search_broadcasts_probe_side(spark):
+    """Batch retrieval: the probe-query term dim must broadcast so
+    the corpus tf table never shuffles for that join; the only window
+    partitions on query_id (small, many-partition key)."""
+    from yacy_grid_crawler_spark.operators.textstats import batch_search
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    queries = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    plan = _plan(batch_search(docs, queries))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tpch_join_queries_broadcast_dims(spark):
+    """Q3/Q5-shape queries: every dim side broadcasts — the lineitem
+    fact must never sort-merge or shuffle for a dim join."""
+    import __spark_entry__ as e
+
+    for name in ("order_revenue_topk", "supplier_volume"):
+        plan = _plan(e.queries()[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
