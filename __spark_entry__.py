@@ -1384,6 +1384,161 @@ _LINE_DEDUP_SQL = """
 """
 
 
+def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule gate (Rae et al. 2021). The synthetic docs
+    are punctuation-free word soup, so deterministic structure is
+    planted identically in both engines: bullets on doc_id%5, '#'
+    symbol runs on %7, an ellipsis trailer line on %6, and a
+    stopword-bearing trailer on %4 (without it stop_hits>=2 fails
+    corpus-wide — the corpus contains 'the' but few other required
+    stopwords)."""
+    from yacy_grid_crawler_spark.operators.textstats import gopher_rules
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("- nav menu item\n- second item\n")
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" # ## ###")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 6 == 0, F.lit("\nread more...")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit(" of and that with")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return gopher_rules(planted)
+
+
+_GOPHER_SQL = """
+  WITH planted AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN '- nav menu item' || chr(10) || '- second item' || chr(10)
+                ELSE '' END ||
+           text ||
+           CASE WHEN doc_id % 7 = 0 THEN ' # ## ###' ELSE '' END ||
+           CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'read more...' ELSE '' END ||
+           CASE WHEN doc_id % 4 = 0 THEN ' of and that with' ELSE '' END AS text
+    FROM documents
+  ),
+  feats AS (
+    SELECT doc_id,
+           regexp_extract_all(lower(text), '[a-z]+') AS w,
+           [l FOR l IN [trim(x) FOR x IN string_split(text, chr(10))]
+            IF length(l) > 0] AS lines,
+           regexp_extract_all(text, '\\S+') AS t,
+           len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym
+    FROM planted
+  ),
+  stats AS (
+    SELECT doc_id,
+           len(w) AS n_words,
+           round(coalesce(list_sum([len(x) FOR x IN w]), 0)
+                 / greatest(len(w), 1), 4) AS mean_word_len,
+           round(n_sym / greatest(len(w), 1), 4) AS symbol_ratio,
+           round(len([l FOR l IN lines
+                      IF starts_with(l, '-') OR starts_with(l, '*')])
+                 / greatest(len(lines), 1), 4) AS bullet_frac,
+           round(len([l FOR l IN lines IF l LIKE '%...'])
+                 / greatest(len(lines), 1), 4) AS ellipsis_frac,
+           round(len([x FOR x IN t IF regexp_matches(x, '[a-zA-Z]')])
+                 / greatest(len(t), 1), 4) AS alpha_word_frac,
+           len([s FOR s IN ['the','be','to','of','and','that','have','with']
+                IF list_contains(w, s)]) AS stop_hits
+    FROM feats
+  )
+  SELECT *,
+         (n_words >= 50 AND n_words <= 100000
+          AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+          AND symbol_ratio < 0.1
+          AND bullet_frac < 0.9
+          AND ellipsis_frac < 0.3
+          AND alpha_word_frac > 0.8
+          AND stop_hits >= 2) AS keep
+  FROM stats
+"""
+
+
+def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020). Planted structure
+    (identical in the oracle): every doc gets one proper leading
+    sentence; %2 docs a short punctuation-free line (dropped); %3 docs
+    a two-sentence trailer (these reach the 3-sentence doc gate);
+    %11 docs a code line with '{' (whole doc dropped)."""
+    from yacy_grid_crawler_spark.operators.textstats import c4_clean
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.lit("A first proper sentence.\n"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("short line\n")).otherwise(
+                F.lit("")
+            ),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\nSentence two arrives. And sentence three follows!"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit("\nfunction() { return; }"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return c4_clean(planted)
+
+
+_C4_SQL = """
+  WITH planted AS (
+    SELECT doc_id,
+           'A first proper sentence.' || chr(10) ||
+           CASE WHEN doc_id % 2 = 0 THEN 'short line' || chr(10) ELSE '' END ||
+           text ||
+           CASE WHEN doc_id % 3 = 0
+                THEN chr(10) || 'Sentence two arrives. And sentence three follows!'
+                ELSE '' END ||
+           CASE WHEN doc_id % 11 = 0
+                THEN chr(10) || 'function() { return; }' ELSE '' END AS text
+    FROM documents
+  ),
+  split AS (
+    SELECT doc_id, text,
+           [l FOR l IN [trim(x) FOR x IN string_split(text, chr(10))]
+            IF length(l) > 0] AS lines
+    FROM planted
+  ),
+  kept AS (
+    SELECT doc_id, text, lines,
+           array_to_string(
+             [l FOR l IN lines
+              IF regexp_matches(l, '[.!?"]$')
+                 AND len(string_split_regex(l, ' +')) >= 3],
+             chr(10)) AS ktext,
+           len([l FOR l IN lines
+                IF regexp_matches(l, '[.!?"]$')
+                   AND len(string_split_regex(l, ' +')) >= 3]) AS n_kept
+    FROM split
+  )
+  SELECT doc_id,
+         len(lines) AS n_lines,
+         n_kept,
+         len(regexp_extract_all(ktext, '[.!?]')) AS n_sentences,
+         (len(regexp_extract_all(ktext, '[.!?]')) >= 3
+          AND NOT contains(text, '{')
+          AND NOT contains(lower(text), 'lorem ipsum')) AS keep_doc,
+         md5(ktext) AS cleaned_md5
+  FROM kept
+"""
+
+
 def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 tf-idf terms per document (integer-exact idf_ppm
     scoring — see operators/textstats.py:tfidf_topk)."""
@@ -2924,6 +3079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "token_count": _q_token_count,
+        "gopher_rules": _q_gopher_rules,
+        "c4_clean": _q_c4_clean,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_clusters": _q_dedup_clusters,
         "decontaminate": _q_decontaminate,
@@ -2999,6 +3156,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANG_ID_SQL,
         "quality_score": _QUALITY_SQL,
         "token_count": _TOKEN_SQL,
+        "gopher_rules": _GOPHER_SQL,
+        "c4_clean": _C4_SQL,
         "doc_fingerprint": _FINGERPRINT_SQL,
         "dedup_clusters": _CLUSTERS_SQL,
         "decontaminate": _DECONTAM_SQL,

@@ -51,6 +51,14 @@ SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "4000000"))
 SCALING_1V4_DOCS = int(
     os.environ.get("SPARK_GRAFT_SCALING_1V4_DOCS", str(SCALING_DOCS // 2))
 )
+# Tasks-per-slot ratio for the crawl phases: shuffle_partitions =
+# cores x this factor. At exactly 1 task/slot (factor 1) any task-time
+# imbalance idles slots for the whole stage tail; a few tasks per slot
+# lets the scheduler backfill (AQE coalesce trims the excess where
+# partitions are small). Measured occupancy at factor 1, local[8],
+# 28M-URL wave: 300 CPU-s over 46.9 s wall = 80% — ~9 s of stage-tail
+# idle that 2-4 tasks/slot can reclaim.
+SHUFFLE_FACTOR = int(os.environ.get("SPARK_GRAFT_SHUFFLE_FACTOR", "1"))
 # Bench I/O lands on tmpfs when available. The sandbox is ONE box with
 # ONE shared disk: sink + shuffle bytes take the same wall-clock at
 # local[8] and local[32], so disk time shows up as a parallelism-
@@ -215,7 +223,8 @@ def crawl_bench(
             "spark.executor.memory": "15g",
         })
     spark = get_spark(
-        app=f"bench-crawl-{cores}", cores=cores, shuffle_partitions=cores,
+        app=f"bench-crawl-{cores}", cores=cores,
+        shuffle_partitions=cores * SHUFFLE_FACTOR,
         extra=extra, master=master,
     )
     t_gen = time.time()

@@ -788,3 +788,79 @@ def test_batch_search_ranks_by_tfidf_overlap(spark):
     r1 = {(r["query_id"], r["rnk"]): r for r in out1.collect()}
     assert r1[(1, 1)]["doc_id"] == "d1" and r1[(1, 1)]["n_terms_matched"] == 1
     assert (1, 2) not in r1  # no other doc has a df<=1 query term
+
+
+def test_gopher_rules_each_gate_trips_independently(spark):
+    """One doc per Gopher rule violation; every other gate holds, so
+    each row isolates exactly the rule it plants (Rae et al. 2021
+    §A1.1 semantics as implemented in textstats.gopher_rules)."""
+    from yacy_grid_crawler_spark.operators.textstats import gopher_rules
+
+    base = ("the quick brown fox jumps over that lazy dog and then "
+            "walks off to be with friends who have seen it all before "
+            "while many other animals watch from nearby fields today "
+            "because nothing else moves anywhere near this place now "
+            "truly") * 2  # ~100 words, mean len ~4, 5+ stopwords
+    docs = spark.createDataFrame(
+        [
+            ("ok", base),
+            ("short", "the of and that have with be to"),  # < 50 words
+            ("symbols", base + " " + "# " * 30),  # symbol ratio > 0.1
+            ("bullets", "- a point here today.\n- b point here too.\n"
+             + base),  # 2/3 bullet lines? no: bullet_frac < 0.9 needs >=90%
+            ("ellipsis", base + "\nmore...\nmore...\nmore..."),
+            ("stopless", "alpha beta gamma delta epsilon zeta " * 20),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert out["ok"]["keep"] is True
+    assert out["short"]["keep"] is False and out["short"]["n_words"] < 50
+    assert out["symbols"]["keep"] is False
+    assert out["symbols"]["symbol_ratio"] >= 0.1
+    # 3 trailing '...' lines over 1 base line + 3 = 3/4 >= 0.3
+    assert out["ellipsis"]["keep"] is False
+    assert out["ellipsis"]["ellipsis_frac"] >= 0.3
+    assert out["stopless"]["keep"] is False and out["stopless"]["stop_hits"] < 2
+    # bullets row: only 2 of 3 lines are bullets (0.667 < 0.9) -> kept
+    assert out["bullets"]["bullet_frac"] > 0.6
+    assert out["bullets"]["keep"] is True
+    # tightened threshold flips it
+    tight = {r["doc_id"]: r for r in
+             gopher_rules(docs, max_bullet_frac=0.5).collect()}
+    assert tight["bullets"]["keep"] is False
+
+
+def test_c4_clean_line_and_doc_gates(spark):
+    """C4 §2.2: line filter (terminal punctuation + >=3 words), doc
+    gates (>=3 sentences, no '{', no 'lorem ipsum'); cleaned_md5
+    hashes kept lines joined by newline in original order."""
+    import hashlib
+
+    from yacy_grid_crawler_spark.operators.textstats import c4_clean
+
+    good = ("First sentence stands alone.\n"
+            "menu\n"                      # < 3 words -> dropped
+            "click here now\n"            # no terminal punct -> dropped
+            "Second sentence arrives intact.\n"
+            "And a third one lands too!")
+    docs = spark.createDataFrame(
+        [
+            ("good", good),
+            ("code", good + "\nif (x) { return; }"),
+            ("lorem", good + "\nLorem Ipsum dolor sit amet."),
+            ("thin", "Only one sentence here friends."),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_clean(docs).collect()}
+    assert out["good"]["keep_doc"] is True
+    assert out["good"]["n_lines"] == 5 and out["good"]["n_kept"] == 3
+    kept = ("First sentence stands alone.\n"
+            "Second sentence arrives intact.\n"
+            "And a third one lands too!")
+    assert out["good"]["cleaned_md5"] == hashlib.md5(kept.encode()).hexdigest()
+    assert out["code"]["keep_doc"] is False      # '{' anywhere kills the doc
+    assert out["lorem"]["keep_doc"] is False     # case-insensitive match
+    assert out["thin"]["keep_doc"] is False      # 1 sentence < 3
+    assert out["thin"]["n_kept"] == 1

@@ -620,3 +620,154 @@ def batch_search(
         .filter(F.col("rnk") <= k)
         .select("query_id", "doc_id", "score", "n_terms_matched", "rnk")
     )
+
+
+# Gopher (Rae et al. 2021, arXiv:2112.11446 §A1.1) quality-filter rule
+# set. The required-stopword list is the paper's; thresholds are the
+# published defaults, overridable per-corpus (the synthetic test corpus
+# uses the defaults — its planted structure is sized to trip them).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021) as one
+    narrow codegen map — the classic pre-training corpus gate:
+
+      * word count within [min_words, max_words]
+      * mean word length within [min_mean_word_len, max_mean_word_len]
+      * '#'/'...' symbol-to-word ratio below max_symbol_ratio
+      * < max_bullet_frac of lines start with a bullet ('-' / '*')
+      * < max_ellipsis_frac of lines end with '...'
+      * > min_alpha_word_frac of whitespace tokens contain a letter
+      * >= min_stop_hits distinct required stopwords present
+
+    Output: (doc_id, n_words, mean_word_len, symbol_ratio,
+    bullet_frac, ellipsis_frac, alpha_word_frac, stop_hits, keep).
+    Ratios rounded to 4dp (the cross-engine hash surface). Pure
+    JVM expressions over the text column — no UDF, no shuffle; at
+    100 TB this is a map over the corpus scan, usually fused with
+    the scan of whatever filter ran before it."""
+    words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    d = docs.withColumn("_w", words)
+    n_words = F.size("_w")
+    safe_w = F.greatest(n_words, F.lit(1))
+    mean_wl = F.round(
+        F.expr("aggregate(_w, 0L, (a, x) -> a + length(x))") / safe_w, 4
+    )
+    n_sym = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("#|\\.\\.\\."), F.lit(0))
+    )
+    sym_ratio = F.round(n_sym / safe_w, 4)
+    # line stats: trimmed non-empty lines
+    d = d.withColumn(
+        "_lines",
+        F.expr(
+            "filter(transform(split(text, '\\n'), l -> trim(l)),"
+            " l -> length(l) > 0)"
+        ),
+    )
+    n_lines = F.greatest(F.size("_lines"), F.lit(1))
+    bullet = F.round(
+        F.expr(
+            "size(filter(_lines, l -> startswith(l, '-')"
+            " or startswith(l, '*')))"
+        )
+        / n_lines,
+        4,
+    )
+    ellipsis = F.round(
+        F.expr("size(filter(_lines, l -> endswith(l, '...')))") / n_lines, 4
+    )
+    # whitespace tokens containing at least one letter
+    d = d.withColumn(
+        "_t", F.regexp_extract_all(F.col("text"), F.lit("\\S+"), F.lit(0))
+    )
+    alpha = F.round(
+        F.expr("size(filter(_t, t -> t rlike '[a-zA-Z]'))")
+        / F.greatest(F.size("_t"), F.lit(1)),
+        4,
+    )
+    stop_arr = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    stops = F.expr(
+        f"size(filter(array({stop_arr}), s -> array_contains(_w, s)))"
+    )
+    out = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        bullet.alias("bullet_frac"),
+        ellipsis.alias("ellipsis_frac"),
+        alpha.alias("alpha_word_frac"),
+        stops.alias("stop_hits"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") < max_symbol_ratio)
+        & (F.col("bullet_frac") < max_bullet_frac)
+        & (F.col("ellipsis_frac") < max_ellipsis_frac)
+        & (F.col("alpha_word_frac") > min_alpha_word_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return out.withColumn("keep", keep)
+
+
+def c4_clean(docs: DataFrame, min_line_words: int = 3,
+             min_sentences: int = 3) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2): keep
+    only lines that end in terminal punctuation ('.', '!', '?', '\"')
+    AND have at least `min_line_words` whitespace tokens; then drop
+    whole documents that retain fewer than `min_sentences` sentences
+    (terminal-punctuation marks over the kept text), contain a curly
+    brace (code), or contain 'lorem ipsum' (placeholder boilerplate).
+
+    Output: (doc_id, n_lines, n_kept, n_sentences, keep_doc,
+    cleaned_md5) where cleaned_md5 hashes kept lines re-joined by
+    '\\n' in original order. Unlike `line_dedup` (corpus-frequency
+    evidence, one shuffle), every C4 rule is per-document: the whole
+    operator is a narrow codegen map — zero shuffles at any scale."""
+    d = docs.withColumn(
+        "_lines",
+        F.expr(
+            "filter(transform(split(text, '\\n'), l -> trim(l)),"
+            " l -> length(l) > 0)"
+        ),
+    )
+    kept = F.expr(
+        "filter(_lines, l -> l rlike '[.!?\"]$'"
+        f" and size(split(l, ' +')) >= {min_line_words})"
+    )
+    d = d.withColumn("_kept", kept).withColumn(
+        "_ktext", F.array_join(F.col("_kept"), "\n")
+    )
+    n_sent = F.size(
+        F.regexp_extract_all(F.col("_ktext"), F.lit("[.!?]"), F.lit(0))
+    )
+    lower = F.lower(F.col("text"))
+    keep_doc = (
+        (n_sent >= min_sentences)
+        & ~F.col("text").contains("{")
+        & ~lower.contains("lorem ipsum")
+    )
+    return d.select(
+        "doc_id",
+        F.size("_lines").alias("n_lines"),
+        F.size("_kept").alias("n_kept"),
+        n_sent.alias("n_sentences"),
+        keep_doc.alias("keep_doc"),
+        F.md5(F.col("_ktext")).alias("cleaned_md5"),
+    )
