@@ -1539,6 +1539,174 @@ _C4_SQL = """
 """
 
 
+def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction from raw HTML (post-fetch parse step).
+    The synthetic corpus has no HTML, so a deterministic page is
+    wrapped around each doc identically in both engines: a title from
+    doc_id, a script block on %3, a style block always, doc_id%4
+    anchor links, an img on %5, a comment, and an entity-bearing
+    trailer exercising the decode chain."""
+    from yacy_grid_crawler_spark.operators.extract import html_extract
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    page = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title> Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" | synthetic </title>"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("<script type='text/javascript'>var x = 1 < 2;"
+                      " spam();</script>"),
+            ).otherwise(F.lit("")),
+            F.lit("<style>.c { color: red }</style></head><body><p>"),
+            F.col("text"),
+            F.lit("</p>"),
+            F.expr("repeat('<a href=\"http://x.example/p\">l</a>',"
+                   " cast(doc_id % 4 as int))"),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit('<img src="i.png">')).otherwise(F.lit("")),
+            F.lit("<!-- hidden --> fish &amp; chips &lt;raw&gt;"
+                  " &quot;q&quot; it&#39;s a&nbsp;b</body></html>"),
+        ).alias("html"),
+    )
+    return html_extract(page)
+
+
+_HTML_EXTRACT_SQL = """
+  WITH page AS (
+    SELECT doc_id,
+           '<html><head><title> Doc ' || doc_id || ' | synthetic </title>' ||
+           CASE WHEN doc_id % 3 = 0
+                THEN '<script type=''text/javascript''>var x = 1 < 2; spam();</script>'
+                ELSE '' END ||
+           '<style>.c { color: red }</style></head><body><p>' ||
+           text || '</p>' ||
+           repeat('<a href="http://x.example/p">l</a>', CAST(doc_id % 4 AS INT)) ||
+           CASE WHEN doc_id % 5 = 0 THEN '<img src="i.png">' ELSE '' END ||
+           '<!-- hidden --> fish &amp; chips &lt;raw&gt; &quot;q&quot; it&#39;s a&nbsp;b</body></html>'
+           AS html
+    FROM documents
+  ),
+  stripped AS (
+    SELECT doc_id, html,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(html, '(?is)<script\\b.*?</script>', ' ', 'g'),
+               '(?is)<style\\b.*?</style>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g') AS s
+    FROM page
+  )
+  SELECT doc_id,
+         trim(regexp_replace(
+             regexp_extract(s, '(?is)<title[^>]*>(.*?)</title>', 1),
+             '\\s+', ' ', 'g')) AS title,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(s, '(?is)<title\\b.*?</title>', ' ', 'g'),
+               '(?s)<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+           '\\s+', ' ', 'g')) AS text,
+         len(regexp_extract_all(s, '(?i)<a\\s[^>]*href')) AS n_links,
+         len(regexp_extract_all(s, '(?i)<img\\b')) AS n_images,
+         length(html) AS html_len
+  FROM stripped
+"""
+
+
+def _q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural URL quality features for frontier prioritization.
+    Canonical URLs are synthesized deterministically from doc_id
+    (subdomain on %9, numeric host on %13, port on %11, .html ext on
+    %2, query params = %3) identically in both engines."""
+    from yacy_grid_crawler_spark.operators.graph import url_features
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    urls = d.select(
+        F.concat(
+            F.lit("http://"),
+            F.when(F.col("doc_id") % 9 == 0, F.lit("deep.sub.")).otherwise(
+                F.lit("")
+            ),
+            F.lit("host"),
+            F.when(F.col("doc_id") % 13 == 0,
+                   (F.col("doc_id") % 1000).cast("string")).otherwise(
+                F.lit("")
+            ),
+            F.lit(".example.org"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(":8080")).otherwise(
+                F.lit("")
+            ),
+            F.expr("repeat('/seg', cast(doc_id % 5 as int))"),
+            F.lit("/page"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".html")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 3 == 1, F.lit("?a=1")
+            ).when(
+                F.col("doc_id") % 3 == 2, F.lit("?a=1&b=2")
+            ).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return url_features(urls)
+
+
+_URL_FEATURES_SQL = """
+  WITH u AS (
+    SELECT 'http://' ||
+           CASE WHEN doc_id % 9 = 0 THEN 'deep.sub.' ELSE '' END ||
+           'host' ||
+           CASE WHEN doc_id % 13 = 0 THEN CAST(doc_id % 1000 AS VARCHAR)
+                ELSE '' END ||
+           '.example.org' ||
+           CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END ||
+           repeat('/seg', CAST(doc_id % 5 AS INT)) ||
+           '/page' || doc_id ||
+           CASE WHEN doc_id % 2 = 0 THEN '.html' ELSE '' END ||
+           CASE WHEN doc_id % 3 = 1 THEN '?a=1'
+                WHEN doc_id % 3 = 2 THEN '?a=1&b=2' ELSE '' END AS url
+    FROM documents
+  ),
+  comps AS (
+    SELECT url,
+           split_part(split_part(url, '://', 2), '/', 1) AS authority,
+           substring(split_part(url, '://', 2),
+                     length(split_part(split_part(url, '://', 2), '/', 1)) + 1)
+             AS path_q
+    FROM u
+  ),
+  feat AS (
+    SELECT url, authority,
+           split_part(authority, ':', 1) AS host,
+           split_part(path_q, '?', 1) AS path,
+           CASE WHEN contains(path_q, '?')
+                THEN split_part(path_q, '?', 2) ELSE '' END AS query,
+           [s FOR s IN string_split(split_part(path_q, '?', 1), '/')
+            IF s <> ''] AS segs
+    FROM comps
+  )
+  SELECT url,
+         length(host) AS host_len,
+         greatest(len(string_split(host, '.')) - 2, 0) AS n_subdomains,
+         round(length(regexp_replace(host, '[^0-9]', '', 'g'))
+               / greatest(length(host), 1), 4) AS host_digit_ratio,
+         len(segs) AS path_depth,
+         length(path) AS path_len,
+         CASE WHEN query = '' THEN 0
+              ELSE len(string_split(query, '&')) END AS n_query_params,
+         authority <> host AS has_port,
+         CASE WHEN contains(COALESCE(segs[-1], ''), '.')
+              THEN lower(string_split(segs[-1], '.')[-1])
+              ELSE '' END AS ext
+  FROM feat
+"""
+
+
 def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 tf-idf terms per document (integer-exact idf_ppm
     scoring — see operators/textstats.py:tfidf_topk)."""
@@ -3081,6 +3249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "gopher_rules": _q_gopher_rules,
         "c4_clean": _q_c4_clean,
+        "html_extract": _q_html_extract,
+        "url_features": _q_url_features,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_clusters": _q_dedup_clusters,
         "decontaminate": _q_decontaminate,
@@ -3158,6 +3328,8 @@ def oracle_sql() -> dict[str, str]:
         "token_count": _TOKEN_SQL,
         "gopher_rules": _GOPHER_SQL,
         "c4_clean": _C4_SQL,
+        "html_extract": _HTML_EXTRACT_SQL,
+        "url_features": _URL_FEATURES_SQL,
         "doc_fingerprint": _FINGERPRINT_SQL,
         "dedup_clusters": _CLUSTERS_SQL,
         "decontaminate": _DECONTAM_SQL,

@@ -356,3 +356,26 @@ def test_tpch_join_queries_broadcast_dims(spark):
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_html_extract_and_url_features_are_pure_maps(spark):
+    """Both new feature operators claim zero shuffles and zero Python
+    surfaces: the physical plan must be scan -> project only."""
+    from yacy_grid_crawler_spark.operators.extract import html_extract
+    from yacy_grid_crawler_spark.operators.graph import url_features
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    page = docs.select(
+        "doc_id", F.concat(F.lit("<html><body>"), "text",
+                           F.lit("</body></html>")).alias("html")
+    )
+    for df in (
+        html_extract(page),
+        url_features(docs.select(
+            F.concat(F.lit("http://h.example.org/p/"),
+                     F.col("doc_id").cast("string")).alias("url")
+        )),
+    ):
+        plan = _plan(df)
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -864,3 +864,59 @@ def test_c4_clean_line_and_doc_gates(spark):
     assert out["lorem"]["keep_doc"] is False     # case-insensitive match
     assert out["thin"]["keep_doc"] is False      # 1 sentence < 3
     assert out["thin"]["n_kept"] == 1
+
+
+def test_html_extract_strips_scripts_decodes_entities(spark):
+    from yacy_grid_crawler_spark.operators.extract import html_extract
+
+    pages = spark.createDataFrame(
+        [
+            ("full",
+             "<html><head><title> My\n  Page </title>"
+             "<script>var a = '<p>not text</p>';</script>"
+             "<style>p { x: y }</style></head>"
+             "<body><h1>Head</h1><p>fish &amp; chips &lt;b&gt;</p>"
+             "<a href='/x'>one</a><a  href='/y'>two</a>"
+             "<img src='i'><img src='j'><!-- <a href='z'>c</a> -->"
+             "</body></html>"),
+            ("bare", "no tags at   all"),
+            ("notitle", "<body><p>text.</p></body>"),
+        ],
+        "doc_id string, html string",
+    )
+    out = {r["doc_id"]: r for r in html_extract(pages).collect()}
+    f = out["full"]
+    assert f["title"] == "My Page"
+    # script/style/comment content gone, entities decoded, ws collapsed
+    assert f["text"] == 'Head fish & chips <b> one two'
+    assert f["n_links"] == 2  # the commented-out anchor doesn't count
+    assert f["n_images"] == 2
+    assert out["bare"]["text"] == "no tags at all"
+    assert out["bare"]["title"] == "" and out["bare"]["n_links"] == 0
+    assert out["notitle"]["title"] == ""
+
+
+def test_url_features_components(spark):
+    from yacy_grid_crawler_spark.operators.graph import url_features
+
+    urls = spark.createDataFrame(
+        [
+            ("http://a.b.host123.example.org:8080/x/y/z/page.HTML?a=1&b=2",),
+            ("http://example.org/",),
+            ("http://127x.example.org/file.tar.gz",),
+        ],
+        "url string",
+    )
+    out = {r["url"]: r for r in url_features(urls).collect()}
+    r = out["http://a.b.host123.example.org:8080/x/y/z/page.HTML?a=1&b=2"]
+    assert r["host_len"] == len("a.b.host123.example.org")
+    assert r["n_subdomains"] == 3
+    assert r["path_depth"] == 4 and r["n_query_params"] == 2
+    assert r["has_port"] is True and r["ext"] == "html"
+    assert abs(r["host_digit_ratio"] - 3 / 23) < 1e-3
+    root = out["http://example.org/"]
+    assert root["path_depth"] == 0 and root["ext"] == ""
+    assert root["has_port"] is False and root["n_query_params"] == 0
+    gz = out["http://127x.example.org/file.tar.gz"]
+    assert gz["ext"] == "gz"  # extension after the LAST dot
+    assert gz["host_digit_ratio"] > 0.1

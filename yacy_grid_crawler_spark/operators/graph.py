@@ -118,3 +118,60 @@ def link_host_stats(links: DataFrame) -> DataFrame:
         F.countDistinct("src_host").alias("n_src_hosts"),
         F.countDistinct("dst_url").alias("n_dst_urls"),
     )
+
+
+def url_features(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-URL structural quality features over CANONICAL URLs — the
+    classic spam/quality signals a frontier prioritizer feeds into
+    its lane scoring (alongside pagerank_scaled / link_host_stats):
+
+      host_len, n_subdomains  — long, deeply-nested hosts skew spammy
+      host_digit_ratio        — digit-heavy hosts (DGA/farm pattern)
+      path_depth              — '/'-separated segments below the host
+      path_len
+      n_query_params          — '&'-split params after '?'
+      has_port                — explicit :port survives canonicalization
+      ext                     — last path segment's extension ('' if none)
+
+    Pure codegen string ops, zero shuffles — a map over whatever scan
+    carries the URL column; at 100 TB it fuses into the wave's
+    canonicalize stage. Assumes canonical form (scheme://host[:p]/path
+    [?q], no fragment) as produced by P2 — behavior on arbitrary
+    strings is undefined like every post-P2 operator."""
+    u = F.col(url_col)
+    after_scheme = F.substring_index(u, "://", -1)
+    authority = F.substring_index(after_scheme, "/", 1)
+    host = F.substring_index(authority, ":", 1)
+    has_port = (authority != host).alias("has_port")
+    # path without query: between the authority and '?'
+    path_q = F.expr(
+        f"substring(substring_index({url_col}, '://', -1),"
+        f" length(substring_index(substring_index({url_col}, '://', -1),"
+        " '/', 1)) + 1)"
+    )
+    path = F.substring_index(path_q, "?", 1)
+    query = F.when(
+        path_q.contains("?"), F.substring_index(path_q, "?", -1)
+    ).otherwise(F.lit(""))
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    last_seg = F.element_at(F.concat(F.array(F.lit("")), segs), -1)
+    ext = F.when(
+        last_seg.contains("."), F.lower(F.substring_index(last_seg, ".", -1))
+    ).otherwise(F.lit(""))
+    host_digits = F.length(F.regexp_replace(host, r"[^0-9]", ""))
+    return urls.select(
+        u.alias("url"),
+        F.length(host).cast("int").alias("host_len"),
+        F.greatest(
+            F.size(F.split(host, r"\.")) - F.lit(2), F.lit(0)
+        ).cast("int").alias("n_subdomains"),
+        F.round(host_digits / F.greatest(F.length(host), F.lit(1)), 4)
+        .alias("host_digit_ratio"),
+        F.size(segs).cast("int").alias("path_depth"),
+        F.length(path).cast("int").alias("path_len"),
+        F.when(query == "", F.lit(0))
+        .otherwise(F.size(F.split(query, "&")))
+        .cast("int").alias("n_query_params"),
+        has_port,
+        ext.alias("ext"),
+    )
