@@ -1707,6 +1707,25 @@ _URL_FEATURES_SQL = """
 """
 
 
+def _q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: dense 0-based
+    position in md5(seed||doc_id) order via the distributed two-phase
+    rank (sampling.py::corpus_shuffle) — no single-partition window."""
+    from yacy_grid_crawler_spark.operators.sampling import corpus_shuffle
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    return corpus_shuffle(d, seed="epoch0")
+
+
+_CORPUS_SHUFFLE_SQL = """
+  SELECT doc_id,
+         md5('epoch0' || doc_id) AS shuffle_key,
+         row_number() OVER (ORDER BY md5('epoch0' || doc_id)) - 1
+           AS shuffle_pos
+  FROM documents
+"""
+
+
 def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 tf-idf terms per document (integer-exact idf_ppm
     scoring — see operators/textstats.py:tfidf_topk)."""
@@ -3251,6 +3270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": _q_c4_clean,
         "html_extract": _q_html_extract,
         "url_features": _q_url_features,
+        "corpus_shuffle": _q_corpus_shuffle,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_clusters": _q_dedup_clusters,
         "decontaminate": _q_decontaminate,
@@ -3330,6 +3350,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean": _C4_SQL,
         "html_extract": _HTML_EXTRACT_SQL,
         "url_features": _URL_FEATURES_SQL,
+        "corpus_shuffle": _CORPUS_SHUFFLE_SQL,
         "doc_fingerprint": _FINGERPRINT_SQL,
         "dedup_clusters": _CLUSTERS_SQL,
         "decontaminate": _DECONTAM_SQL,

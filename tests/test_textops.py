@@ -920,3 +920,27 @@ def test_url_features_components(spark):
     gz = out["http://127x.example.org/file.tar.gz"]
     assert gz["ext"] == "gz"  # extension after the LAST dot
     assert gz["host_digit_ratio"] > 0.1
+
+
+def test_corpus_shuffle_dense_permutation_and_distributed_equality(spark):
+    from yacy_grid_crawler_spark.operators.sampling import corpus_shuffle
+
+    docs = spark.createDataFrame(
+        [(f"doc{i:03d}",) for i in range(97)], "doc_id string"
+    )
+    dist = corpus_shuffle(docs, seed="s1").collect()
+    # dense 0..n-1 permutation, ordered by the md5 key
+    assert sorted(r["shuffle_pos"] for r in dist) == list(range(97))
+    by_key = sorted(dist, key=lambda r: r["shuffle_key"])
+    assert [r["shuffle_pos"] for r in by_key] == list(range(97))
+    # window formulation is bit-identical
+    win = corpus_shuffle(docs, seed="s1", distributed=False).collect()
+    assert {(r["doc_id"], r["shuffle_pos"]) for r in win} == {
+        (r["doc_id"], r["shuffle_pos"]) for r in dist
+    }
+    # a different seed is a different permutation of the same set
+    other = corpus_shuffle(docs, seed="s2").collect()
+    assert {r["doc_id"] for r in other} == {r["doc_id"] for r in dist}
+    assert {(r["doc_id"], r["shuffle_pos"]) for r in other} != {
+        (r["doc_id"], r["shuffle_pos"]) for r in dist
+    }

@@ -370,3 +370,36 @@ def temperature_resample(
         .filter(u16 < F.col("_thr"))
         .select(id_col, stratum_col)
     )
+
+
+def corpus_shuffle(
+    docs: DataFrame,
+    seed: str = "epoch0",
+    id_col: str = "doc_id",
+    distributed: bool = True,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every document
+    gets a dense 0-based `shuffle_pos` in the order of
+    md5(seed || id) — reshuffling between epochs is just a new seed,
+    and the permutation is reproducible on any cluster size (the
+    order key is pure data, never partition layout).
+
+    The dense rank rides the same two-phase prefix-sum machinery as
+    `pack_shards` with a count of 1 per row: range-partition on the
+    md5 key (uniform by construction — no skew, no salt needed),
+    per-partition counts (one tiny row each), running-sum offsets,
+    offset + local rank. No single-partition window at any scale;
+    `distributed=False` is the window formulation for small inputs
+    (identical output, pinned by tests)."""
+    keyed = docs.withColumn(
+        "_shuffle_key", F.md5(F.concat(F.lit(seed), F.col(id_col)))
+    ).withColumn("_one", F.lit(1))
+    pref = _token_prefix_sum(
+        keyed, "_one", "_shuffle_key", distributed, cache_registry
+    )
+    return pref.select(
+        id_col,
+        F.col("_shuffle_key").alias("shuffle_key"),
+        F.col("_start").cast("bigint").alias("shuffle_pos"),
+    )
