@@ -2368,6 +2368,100 @@ _ROBOTS_PARSE_SQL = """
 """
 
 
+def _q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-line discovery from robots bodies (the other half of
+    the sitemap loop; seeds.parse_sitemap expands the fetched docs).
+    Synthetic bodies: doc_id%5 hosts carry 1-2 Sitemap lines (CRLF on
+    %2), the rest none (inner explode drops them)."""
+    from yacy_grid_crawler_spark.operators.robots import robots_sitemaps
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    bodies = docs.select(
+        F.concat(F.lit("h"), F.col("doc_id").cast("string")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /p/\n"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit("Sitemap: http://h"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(".example.org/sitemap.xml"),
+                    F.when(F.col("doc_id") % 2 == 0, F.lit("\r")).otherwise(
+                        F.lit("")
+                    ),
+                    F.lit("\n"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(
+                    F.lit("Sitemap: http://h"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(".example.org/sitemap2.xml\n"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("Allow: /"),
+        ).alias("robots_txt"),
+    )
+    return robots_sitemaps(bodies)
+
+
+_ROBOTS_SITEMAPS_SQL = """
+  WITH bodies AS (
+    SELECT 'h' || doc_id AS host,
+           'User-agent: *' || chr(10) || 'Disallow: /p/' || chr(10) ||
+           CASE WHEN doc_id % 5 = 0
+                THEN 'Sitemap: http://h' || doc_id || '.example.org/sitemap.xml'
+                     || CASE WHEN doc_id % 2 = 0 THEN chr(13) ELSE '' END
+                     || chr(10)
+                ELSE '' END ||
+           CASE WHEN doc_id % 10 = 0
+                THEN 'Sitemap: http://h' || doc_id ||
+                     '.example.org/sitemap2.xml' || chr(10)
+                ELSE '' END ||
+           'Allow: /' AS robots_txt
+    FROM documents
+  )
+  SELECT host, u AS sitemap_url
+  FROM bodies,
+       UNNEST(list_filter(
+         list_transform(
+           list_filter(
+             list_transform(regexp_split_to_array(robots_txt, '\\r?\\n'),
+                            l -> trim(l)),
+             l -> starts_with(l, 'Sitemap:')),
+           l -> trim(substring(l, 9))),
+         x -> x != '')) AS t(u)
+"""
+
+
+def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-100 word bigrams by count (vocabulary /
+    boilerplate census). One count shuffle + TakeOrdered top-k."""
+    from yacy_grid_crawler_spark.operators.textstats import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir).select("text"), n=2, k=100)
+
+
+_TOP_NGRAMS_SQL = """
+  WITH w AS (
+    SELECT regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents
+  ),
+  grams AS (
+    SELECT unnest(CASE WHEN len(w) >= 2
+                  THEN [array_to_string(w[i + 1 : i + 2], ' ')
+                        FOR i IN range(len(w) - 1)]
+                  ELSE [] END) AS ngram
+    FROM w
+  )
+  SELECT ngram, count(*) AS n_occurrences
+  FROM grams
+  GROUP BY ngram
+  ORDER BY n_occurrences DESC, ngram ASC
+  LIMIT 100
+"""
+
+
 def _q_frontier_dequeue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consumer-side per-shard dequeue: next k=5 politeness-eligible
     URLs per shard at now=1500ms, priority lane first then doc order
@@ -3271,6 +3365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": _q_html_extract,
         "url_features": _q_url_features,
         "corpus_shuffle": _q_corpus_shuffle,
+        "robots_sitemaps": _q_robots_sitemaps,
+        "top_ngrams": _q_top_ngrams,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_clusters": _q_dedup_clusters,
         "decontaminate": _q_decontaminate,
@@ -3351,6 +3447,8 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": _HTML_EXTRACT_SQL,
         "url_features": _URL_FEATURES_SQL,
         "corpus_shuffle": _CORPUS_SHUFFLE_SQL,
+        "robots_sitemaps": _ROBOTS_SITEMAPS_SQL,
+        "top_ngrams": _TOP_NGRAMS_SQL,
         "doc_fingerprint": _FINGERPRINT_SQL,
         "dedup_clusters": _CLUSTERS_SQL,
         "decontaminate": _DECONTAM_SQL,

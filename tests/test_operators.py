@@ -949,3 +949,26 @@ def test_spark_submit_py_files_deployment(tmp_path):
     assert out["success"] is True and len(out["crawl_ids"]) == 1
     metrics = out["metrics"][out["crawl_ids"][0]]
     assert metrics["extracted"] > 0 and metrics["accepted"] > 0
+
+
+def test_robots_sitemaps_extraction(spark):
+    from yacy_grid_crawler_spark.operators.robots import robots_sitemaps
+
+    bodies = spark.createDataFrame(
+        [
+            ("a", "User-agent: *\r\nSitemap: http://a/s1.xml\r\n"
+             "Disallow: /x\nSitemap: http://a/s2.xml"),
+            ("b", "User-agent: *\nDisallow: /"),       # none -> no rows
+            ("c", "Sitemap:\nSitemap:   http://c/s.xml  "),  # empty dropped
+        ],
+        "host string, robots_txt string",
+    )
+    rows = sorted(
+        (r["host"], r["sitemap_url"])
+        for r in robots_sitemaps(bodies).collect()
+    )
+    assert rows == [
+        ("a", "http://a/s1.xml"),
+        ("a", "http://a/s2.xml"),
+        ("c", "http://c/s.xml"),
+    ]

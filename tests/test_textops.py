@@ -944,3 +944,20 @@ def test_corpus_shuffle_dense_permutation_and_distributed_equality(spark):
     assert {(r["doc_id"], r["shuffle_pos"]) for r in other} != {
         (r["doc_id"], r["shuffle_pos"]) for r in dist
     }
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    from yacy_grid_crawler_spark.operators.textstats import top_ngrams
+
+    docs = spark.createDataFrame(
+        [("the cat sat",), ("the cat ran",), ("a dog",), ("x",)],
+        "text string",
+    )
+    rows = top_ngrams(docs, n=2, k=3).collect()
+    assert [(r["ngram"], r["n_occurrences"]) for r in rows] == [
+        ("the cat", 2),       # top by count
+        ("a dog", 1),          # count-1 ties broken alphabetically
+        ("cat ran", 1),
+    ]
+    # n longer than any doc -> empty, not an error
+    assert top_ngrams(docs, n=5, k=3).count() == 0

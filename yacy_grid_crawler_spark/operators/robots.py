@@ -56,3 +56,27 @@ def parse_robots(
         F.expr(prefixes).alias("disallow_prefixes"),
         F.expr(delay).cast("int").alias("crawl_delay_ms"),
     )
+
+
+def robots_sitemaps(
+    bodies: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, robots_txt) → one row per ``Sitemap: <url>`` directive
+    (host, sitemap_url) — the discovery half of the sitemap loop
+    (`seeds.parse_sitemap` expands the fetched documents). Same
+    contract style as parse_robots: exact-case directive, line
+    oriented, CRLF-safe, pure codegen; hosts without sitemap lines
+    produce no rows (inner explode)."""
+    urls = (
+        f"transform(filter(transform(split({text_col}, '\\r?\\n'),"
+        " l -> trim(l)), l -> startswith(l, 'Sitemap:')),"
+        " l -> trim(substring(l, 9)))"
+    )
+    return bodies.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.expr(f"filter({urls}, u -> u != '')")).alias(
+            "sitemap_url"
+        ),
+    )

@@ -771,3 +771,30 @@ def c4_clean(docs: DataFrame, min_line_words: int = 3,
         keep_doc.alias("keep_doc"),
         F.md5(F.col("_ktext")).alias("cleaned_md5"),
     )
+
+
+def top_ngrams(docs: DataFrame, n: int = 2, k: int = 100) -> DataFrame:
+    """Corpus-wide top-k word n-grams by occurrence count — the
+    vocabulary/boilerplate census behind stopword lists, boilerplate
+    detectors, and contamination probes. Ties broken by the n-gram
+    string so the top-k is deterministic.
+
+    Scale shape: per-doc n-gram arrays built with codegen
+    sequence+slice (no self-join), ONE count shuffle with map-side
+    partial aggregation, then a TakeOrdered top-k (per-partition heap,
+    driver merge of k rows per partition — never a global sort of the
+    n-gram space)."""
+    grams = F.expr(
+        "case when size(_w) >= {n} then transform("
+        "  sequence(0, size(_w) - {n}),"
+        "  i -> array_join(slice(_w, i + 1, {n}), ' '))"
+        " else array() end".format(n=int(n))
+    )
+    return (
+        docs.withColumn("_w", _words())
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(int(k))
+    )
