@@ -2462,6 +2462,73 @@ _TOP_NGRAMS_SQL = """
 """
 
 
+def _q_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling. Deterministic
+    synthetic chains: doc_id%4!=0 redirects to doc_id-1 (chains of
+    1-3 hops ending at multiples of 4), plus one 2-cycle on synthetic
+    ids 1000000001<->1000000002 exercising the give-up lane
+    (final_id NULL, hops -1)."""
+    from yacy_grid_crawler_spark.operators.graph import resolve_redirects
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    extra = spark.createDataFrame(
+        [(1000000001,), (1000000002,)], "doc_id bigint"
+    )
+    nodes = d.union(extra).select(F.col("doc_id").alias("url_id"))
+    cyc = spark.createDataFrame(
+        [(1000000001, 1000000002), (1000000002, 1000000001)],
+        "src bigint, dst bigint",
+    )
+    edges = d.filter(F.col("doc_id") % 4 != 0).select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") - 1).alias("dst"),
+    ).union(cyc)
+    out = resolve_redirects(nodes, edges)
+    # unresolved final_id is NULL by operator contract (id-type
+    # generic); the compare harness sorts rows, so encode as -1 here
+    return out.select(
+        "url_id",
+        F.coalesce("final_id", F.lit(-1)).alias("final_id"),
+        "hops",
+    )
+
+
+_RESOLVE_REDIRECTS_SQL = """
+  WITH RECURSIVE nodes AS (
+    SELECT doc_id AS url_id FROM documents
+    UNION ALL SELECT * FROM (VALUES (CAST(1000000001 AS BIGINT)),
+                                    (CAST(1000000002 AS BIGINT))) v(url_id)
+  ),
+  edges AS (
+    SELECT doc_id AS src, doc_id - 1 AS dst
+    FROM documents WHERE doc_id % 4 <> 0
+    UNION ALL SELECT * FROM (VALUES
+      (CAST(1000000001 AS BIGINT), CAST(1000000002 AS BIGINT)),
+      (CAST(1000000002 AS BIGINT), CAST(1000000001 AS BIGINT))) v(src, dst)
+  ),
+  walk(src, cur, hops) AS (
+    SELECT src, dst, CAST(1 AS BIGINT) FROM edges
+    UNION ALL
+    SELECT w.src, e.dst, w.hops + 1
+    FROM walk w JOIN edges e ON w.cur = e.src
+    WHERE w.hops < 64
+  ),
+  term AS (
+    SELECT src, cur AS final_id, hops FROM walk
+    WHERE cur NOT IN (SELECT src FROM edges)
+  )
+  SELECT n.url_id,
+         CASE WHEN t.src IS NOT NULL THEN t.final_id
+              WHEN n.url_id IN (SELECT src FROM edges)
+                THEN CAST(-1 AS BIGINT)
+              ELSE n.url_id END AS final_id,
+         CASE WHEN t.src IS NOT NULL THEN t.hops
+              WHEN n.url_id IN (SELECT src FROM edges) THEN CAST(-1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS hops
+  FROM nodes n LEFT JOIN term t ON n.url_id = t.src
+"""
+
+
 def _q_frontier_dequeue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consumer-side per-shard dequeue: next k=5 politeness-eligible
     URLs per shard at now=1500ms, priority lane first then doc order
@@ -3367,6 +3434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": _q_corpus_shuffle,
         "robots_sitemaps": _q_robots_sitemaps,
         "top_ngrams": _q_top_ngrams,
+        "resolve_redirects": _q_resolve_redirects,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_clusters": _q_dedup_clusters,
         "decontaminate": _q_decontaminate,
@@ -3449,6 +3517,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shuffle": _CORPUS_SHUFFLE_SQL,
         "robots_sitemaps": _ROBOTS_SITEMAPS_SQL,
         "top_ngrams": _TOP_NGRAMS_SQL,
+        "resolve_redirects": _RESOLVE_REDIRECTS_SQL,
         "doc_fingerprint": _FINGERPRINT_SQL,
         "dedup_clusters": _CLUSTERS_SQL,
         "decontaminate": _DECONTAM_SQL,

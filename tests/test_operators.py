@@ -972,3 +972,37 @@ def test_robots_sitemaps_extraction(spark):
         ("a", "http://a/s2.xml"),
         ("c", "http://c/s.xml"),
     ]
+
+
+def test_resolve_redirects_chains_cycles_terminals(spark):
+    """Pointer doubling: exact hops on chains, self for terminals,
+    NULL/-1 give-up on cycles; string ids work (md5 url_id shape)."""
+    from yacy_grid_crawler_spark.operators.graph import resolve_redirects
+
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("x",), ("y",), ("lone",)],
+        "url_id string",
+    )
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("y", "x")],
+        "src string, dst string",
+    )
+    out = {r["url_id"]: (r["final_id"], r["hops"])
+           for r in resolve_redirects(nodes, edges).collect()}
+    assert out["a"] == ("d", 3)
+    assert out["b"] == ("d", 2)
+    assert out["c"] == ("d", 1)
+    assert out["d"] == ("d", 0)
+    assert out["lone"] == ("lone", 0)
+    assert out["x"] == (None, -1) and out["y"] == (None, -1)
+    # a 9-hop chain resolves within ceil(log2(9))+1 = 5 doublings
+    long_nodes = spark.createDataFrame(
+        [(f"n{i}",) for i in range(10)], "url_id string"
+    )
+    long_edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(9)], "src string, dst string"
+    )
+    lo = {r["url_id"]: (r["final_id"], r["hops"])
+          for r in resolve_redirects(long_nodes, long_edges,
+                                     max_iters=5).collect()}
+    assert lo["n0"] == ("n9", 9) and lo["n9"] == ("n9", 0)

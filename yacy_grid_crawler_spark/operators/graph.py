@@ -175,3 +175,78 @@ def url_features(urls: DataFrame, url_col: str = "url") -> DataFrame:
         has_port,
         ext.alias("ext"),
     )
+
+
+def resolve_redirects(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "url_id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 16,
+) -> DataFrame:
+    """Resolve every URL through its redirect chain to the terminal
+    target: (url_id, final_id, hops). A fetched 3xx still costs a
+    politeness slot but yields no document — the frontier wants the
+    terminal URL (one url_id per real resource) before dedup, exactly
+    like the P2 canonical form collapses syntactic aliases.
+
+    Pointer DOUBLING, not per-hop walking: each iteration rewrites
+    every mapping src→cur to src→f(cur) by self-joining the mapping
+    on cur=src, so chain length L resolves in ceil(log2 L) joins —
+    at 10^10 URLs a 1000-hop spam chain costs 10 shuffles, not 1000.
+    Convergence = an iteration where no row advanced (observe()-free
+    count on the advanced side only). Redirect GRAPHS can contain
+    cycles (a<->b); rows still in flight after max_iters doublings
+    (chain > 2^max_iters or cyclic) resolve to final_id = NULL,
+    hops = -1 — the caller's reject lane, matching how a fetcher
+    gives up after its redirect limit. Assumes at most one redirect
+    edge per src (HTTP gives one Location per URL)."""
+    m = edges.select(
+        F.col(src_col).alias("_s"),
+        F.col(dst_col).alias("_c"),
+        F.lit(1).cast("bigint").alias("_h"),
+        F.lit(False).alias("_done"),
+    ).localCheckpoint()  # truncate lineage: the doubling loop joins m
+    # with itself, so an un-truncated plan doubles in size per round
+    # (2^iters Catalyst nodes — analysis, not execution, becomes the
+    # cost); localCheckpoint per round keeps it O(1) like pagerank's
+    for _ in range(max_iters):
+        nxt = m.select(
+            F.col("_s").alias("_ns"),
+            F.col("_c").alias("_nc"),
+            F.col("_h").alias("_nh"),
+        )
+        m = (
+            m.join(nxt, m["_c"] == nxt["_ns"], "left")
+            .select(
+                "_s",
+                F.coalesce("_nc", "_c").alias("_c"),
+                (F.col("_h") + F.coalesce("_nh", F.lit(0))).alias("_h"),
+                # done when cur has no outgoing edge anymore
+                F.col("_nc").isNull().alias("_done"),
+            )
+            .localCheckpoint()
+        )
+        if m.filter(~F.col("_done")).count() == 0:
+            break
+    resolved = m.select(
+        F.col("_s").alias(id_col),
+        F.when(F.col("_done"), F.col("_c")).alias("final_id"),
+        F.when(F.col("_done"), F.col("_h")).otherwise(F.lit(-1)).alias(
+            "hops"
+        ),
+    )
+    return (
+        nodes.select(F.col(id_col))
+        .join(resolved, id_col, "left")
+        .select(
+            id_col,
+            # no redirect edge at all -> the URL is its own terminal;
+            # unresolved (cycle / over-limit) keeps final_id NULL
+            F.when(F.col("hops").isNull(), F.col(id_col))
+            .otherwise(F.col("final_id"))
+            .alias("final_id"),
+            F.coalesce("hops", F.lit(0)).cast("bigint").alias("hops"),
+        )
+    )
