@@ -2030,6 +2030,42 @@ def _kmeans_sql(k: int, iters: int, d: int) -> str:
 _KMEANS_SQL = _kmeans_sql(KMEANS_K, KMEANS_ITERS, KMEANS_DIM)
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means blocking + in-cluster exact cosine + lowest-id
+    keeper, over the embeddings table (clustering.semantic_dedup)."""
+    from yacy_grid_crawler_spark.operators.clustering import semantic_dedup
+
+    return semantic_dedup(
+        _emb(spark, sf_dir),
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        threshold=0.4,
+        cache_registry=_QUERY_CACHES,
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    """The kmeans assignment CTE chain (shared builder) wrapped with
+    the in-cluster pair verify and the lowest-id keeper."""
+    kmeans = _kmeans_sql(KMEANS_K, KMEANS_ITERS, KMEANS_DIM)
+    return f"""
+  WITH assign AS ({kmeans}),
+  joined AS (
+    SELECT s.vec_id, s.cluster_id, e.embedding
+    FROM assign s JOIN embeddings e USING (vec_id)
+  ),
+  dropped AS (
+    SELECT DISTINCT b.vec_id
+    FROM joined a JOIN joined b
+      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::double[],
+                                       b.embedding::double[]), 4) >= 0.4
+  )
+  SELECT s.vec_id, s.cluster_id, d.vec_id IS NULL AS keep
+  FROM assign s LEFT JOIN dropped d USING (vec_id)
+"""
+
+
 SEQ_LEN = 2048
 
 
@@ -3435,6 +3471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": _q_robots_sitemaps,
         "top_ngrams": _q_top_ngrams,
         "resolve_redirects": _q_resolve_redirects,
+        "semantic_dedup": _q_semantic_dedup,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_clusters": _q_dedup_clusters,
         "decontaminate": _q_decontaminate,
@@ -3518,6 +3555,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_sitemaps": _ROBOTS_SITEMAPS_SQL,
         "top_ngrams": _TOP_NGRAMS_SQL,
         "resolve_redirects": _RESOLVE_REDIRECTS_SQL,
+        "semantic_dedup": _semantic_dedup_sql(),
         "doc_fingerprint": _FINGERPRINT_SQL,
         "dedup_clusters": _CLUSTERS_SQL,
         "decontaminate": _DECONTAM_SQL,

@@ -203,3 +203,34 @@ def test_kmeans_separates_blobs_and_is_deterministic(spark):
     a = {out1[i] for i in range(0, 40, 2)}
     b = {out1[i] for i in range(1, 40, 2)}
     assert len(a) == 1 and len(b) == 1 and a != b
+
+
+def test_semantic_dedup_keeps_one_per_near_dup_group(spark):
+    """SemDeDup: two planted near-identical groups + distinct
+    singletons; exactly the lowest id of each co-clustered group
+    survives, singletons always keep. Ids ordered so the first-k
+    seeding starts from DISTINCT groups (seeding near-dups apart
+    splits a dup group across clusters — the known SemDeDup recall
+    caveat, same as any blocking scheme)."""
+    from yacy_grid_crawler_spark.operators.clustering import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),      # group A representative
+        (1, [0.0, 1.0, 0.0, 0.0]),      # group B representative
+        (2, [0.0, 0.0, 1.0, 0.0]),      # singleton 1
+        (3, [0.999, 0.01, 0.0, 0.0]),   # group A near-dup
+        (4, [0.01, 0.999, 0.0, 0.0]),   # group B near-dup
+        (5, [0.0, 0.0, 0.0, 1.0]),      # singleton 2
+    ]
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(vecs, k=3, iters=2, threshold=0.95).collect()}
+    assert out[0]["keep"] is True and out[3]["keep"] is False
+    assert out[1]["keep"] is True and out[4]["keep"] is False
+    assert out[2]["keep"] is True and out[5]["keep"] is True
+    # near-dups must share a cluster for the keeper to see them
+    assert out[0]["cluster_id"] == out[3]["cluster_id"]
+    assert out[1]["cluster_id"] == out[4]["cluster_id"]

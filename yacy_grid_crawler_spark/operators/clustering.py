@@ -118,3 +118,81 @@ def kmeans_assignments(
         centroids = sorted(by_cluster.items())
 
     return _assign(qdf, centroids, id_col).select(id_col, "cluster_id")
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means
+    clusters as the candidate-blocking key, exact cosine only WITHIN
+    a cluster, drop every document whose cluster holds a
+    >= threshold neighbor with a smaller id (the deterministic
+    keeper). Same candidate→verify economics as
+    `similarity.embedding_near_dup_lsh`, but the buckets are LEARNED
+    (centroids chase density), which is what lets the paper use far
+    fewer buckets than random hyperplanes need at equal recall.
+
+    Output: (id, cluster_id, keep) for EVERY input row. Threshold
+    compares the 4-dp-rounded cosine (the repo's cross-engine
+    boundary convention).
+
+    Scale shape: the Lloyd rounds are the bounded-metadata pattern of
+    `kmeans_assignments`; the verify is an equi-join on cluster_id
+    (never a cross join) + one distinct on dropped ids + one
+    left-anti-shaped flag join. In-cluster pair count is the classic
+    SemDeDup cost knob: raise k until clusters are verify-sized."""
+    from .similarity import _dot, with_norm
+
+    assign = kmeans_assignments(
+        vectors, k=k, iters=iters, id_col=id_col, emb_col=emb_col,
+        cache_registry=cache_registry,
+    )
+    v = (
+        with_norm(vectors, emb_col)
+        .select(id_col, "_emb", "_norm")
+        .join(assign, id_col)
+    )
+    a = v.select(
+        F.col(id_col).alias("_ida"),
+        F.col("cluster_id").alias("_ca"),
+        F.col("_emb").alias("_ea"),
+        F.col("_norm").alias("_na"),
+    )
+    b = v.select(
+        F.col(id_col).alias("_idb"),
+        F.col("cluster_id").alias("_cb"),
+        F.col("_emb").alias("_eb"),
+        F.col("_norm").alias("_nb"),
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("_ca") == F.col("_cb")) & (F.col("_ida") < F.col("_idb")),
+        )
+        .withColumn(
+            "_sim",
+            F.round(
+                _dot(F.col("_ea"), F.col("_eb"))
+                / (F.col("_na") * F.col("_nb")),
+                4,
+            ),
+        )
+        .filter(F.col("_sim") >= threshold)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        assign.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.col("_dropped").isNull().alias("keep"),
+        )
+    )
