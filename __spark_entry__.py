@@ -2565,6 +2565,61 @@ _RESOLVE_REDIRECTS_SQL = """
 """
 
 
+def _q_trap_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection over a synthetic URL population: hosts
+    h0-h9; trap host h0 gets every doc_id as a ?session= variant of
+    just 3 paths, normal hosts get distinct paths."""
+    from yacy_grid_crawler_spark.operators.graph import trap_hosts
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    urls = d.select(
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("http://trap.example.org/cal"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit("?session="),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://h"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.org/page/"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+        .alias("url")
+    )
+    return trap_hosts(urls, min_urls=50, max_distinct_ratio=0.2)
+
+
+_TRAP_HOSTS_SQL = """
+  WITH u AS (
+    SELECT CASE WHEN doc_id % 4 = 0
+           THEN 'http://trap.example.org/cal' || (doc_id % 3) ||
+                '?session=' || doc_id
+           ELSE 'http://h' || (doc_id % 7) || '.example.org/page/' || doc_id
+           END AS url
+    FROM documents
+  ),
+  parts AS (
+    SELECT regexp_extract(url, '^[a-z]+://(?:[^/@]*@)?([^/:?]+)', 1) AS host,
+           split_part(url, '?', 1) AS path
+    FROM u
+  ),
+  agg AS (
+    SELECT host, count(*) AS n_urls, count(DISTINCT path) AS n_paths
+    FROM parts GROUP BY host
+  )
+  SELECT host, n_urls, n_paths,
+         round(n_paths / n_urls, 4) AS distinct_ratio,
+         (n_urls >= 50 AND round(n_paths / n_urls, 4) <= 0.2) AS is_trap
+  FROM agg
+"""
+
+
 def _q_frontier_dequeue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consumer-side per-shard dequeue: next k=5 politeness-eligible
     URLs per shard at now=1500ms, priority lane first then doc order
@@ -3472,6 +3527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": _q_top_ngrams,
         "resolve_redirects": _q_resolve_redirects,
         "semantic_dedup": _q_semantic_dedup,
+        "trap_hosts": _q_trap_hosts,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_clusters": _q_dedup_clusters,
         "decontaminate": _q_decontaminate,
@@ -3556,6 +3612,7 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": _TOP_NGRAMS_SQL,
         "resolve_redirects": _RESOLVE_REDIRECTS_SQL,
         "semantic_dedup": _semantic_dedup_sql(),
+        "trap_hosts": _TRAP_HOSTS_SQL,
         "doc_fingerprint": _FINGERPRINT_SQL,
         "dedup_clusters": _CLUSTERS_SQL,
         "decontaminate": _DECONTAM_SQL,

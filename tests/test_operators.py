@@ -1006,3 +1006,32 @@ def test_resolve_redirects_chains_cycles_terminals(spark):
           for r in resolve_redirects(long_nodes, long_edges,
                                      max_iters=5).collect()}
     assert lo["n0"] == ("n9", 9) and lo["n9"] == ("n9", 0)
+
+
+def test_trap_hosts_flags_low_distinct_ratio(spark):
+    from pyspark.sql import functions as F
+
+    from yacy_grid_crawler_spark.operators.graph import trap_hosts
+
+    urls = spark.range(300).select(
+        F.when(
+            F.col("id") < 200,
+            F.concat(F.lit("http://trap.net/cal?d="), F.col("id")),
+        )
+        .when(
+            F.col("id") < 280,
+            F.concat(F.lit("http://good.net/p"), F.col("id")),
+        )
+        .otherwise(F.concat(F.lit("http://tiny.net/x?s="), F.col("id")))
+        .alias("url")
+    )
+    out = {r["host"]: r for r in
+           trap_hosts(urls, min_urls=100, max_distinct_ratio=0.2).collect()}
+    trap = out["trap.net"]
+    assert trap["n_urls"] == 200 and trap["n_paths"] == 1
+    assert trap["is_trap"] is True
+    good = out["good.net"]
+    assert good["n_paths"] == 80 and good["is_trap"] is False
+    # low ratio but below the min-population gate -> not flagged
+    tiny = out["tiny.net"]
+    assert tiny["n_paths"] == 1 and tiny["is_trap"] is False

@@ -250,3 +250,43 @@ def resolve_redirects(
             F.coalesce("hops", F.lit(0)).cast("bigint").alias("hops"),
         )
     )
+
+
+def trap_hosts(
+    urls: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 100,
+    max_distinct_ratio: float = 0.2,
+) -> DataFrame:
+    """Crawler-trap detection: a host whose URL population collapses
+    onto few distinct query-stripped paths (calendar pages, session
+    ids, faceted search) is generating synthetic URL space — the
+    frontier should cap or reject it before it starves real hosts.
+
+    Per host: n_urls, n_paths (distinct path after dropping the query
+    string), distinct_ratio = n_paths/n_urls (4dp), and
+    is_trap = n_urls >= min_urls AND distinct_ratio <= max_ratio.
+
+    Scale shape: ONE aggregate keyed on host; the distinct-path count
+    rewrites to the standard expand + two-level partial agg (no
+    per-group set materializes). The Zipf head host concentrates only
+    the final narrow reduce — same skew posture as link_host_stats."""
+    parts = urls.select(
+        F.regexp_extract(F.col(url_col), HOST_RE, 1).alias("host"),
+        F.substring_index(F.col(url_col), "?", 1).alias("_path"),
+    )
+    agg = parts.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("_path").alias("n_paths"),
+    )
+    ratio = F.round(F.col("n_paths") / F.col("n_urls"), 4)
+    return agg.select(
+        "host",
+        "n_urls",
+        "n_paths",
+        ratio.alias("distinct_ratio"),
+        (
+            (F.col("n_urls") >= min_urls)
+            & (ratio <= max_distinct_ratio)
+        ).alias("is_trap"),
+    )
