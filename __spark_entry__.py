@@ -2565,6 +2565,15 @@ _RESOLVE_REDIRECTS_SQL = """
 """
 
 
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup spans (Lee et al. 2022): maximal token
+    spans covered by corpus-duplicated word 5-grams — the spans an
+    exact-substring dedup pass would cut from the training text."""
+    from yacy_grid_crawler_spark.operators.dedup_text import dup_spans
+
+    return dup_spans(_docs(spark, sf_dir).select("doc_id", "text"), k=5)
+
+
 def _q_trap_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawler-trap detection over a synthetic URL population: hosts
     h0-h9; trap host h0 gets every doc_id as a ?session= variant of
@@ -2593,6 +2602,43 @@ def _q_trap_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("url")
     )
     return trap_hosts(urls, min_urls=50, max_distinct_ratio=0.2)
+
+
+_DUP_SPANS_SQL = """
+  WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+    FROM documents
+  ),
+  grams AS (
+    SELECT doc_id,
+           unnest([{'pos': i, 'g': array_to_string(w[i + 1 : i + 5], ' ')}
+                   FOR i IN range(len(w) - 4)]) AS s
+    FROM toks WHERE len(w) >= 5
+  ),
+  occ AS (SELECT doc_id, s.pos AS pos, s.g AS g FROM grams),
+  dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2),
+  hits AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (g)),
+  isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     IS NULL
+                  OR pos > lag(pos) OVER (PARTITION BY doc_id
+                                          ORDER BY pos) + 5
+                THEN 1 ELSE 0 END AS brk
+    FROM hits
+  ),
+  isl2 AS (
+    SELECT doc_id, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM isl
+  )
+  SELECT doc_id,
+         CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + 4 AS BIGINT) AS span_end,
+         CAST(max(pos) + 5 - min(pos) AS BIGINT) AS span_len
+  FROM isl2
+  GROUP BY doc_id, island
+"""
 
 
 _TRAP_HOSTS_SQL = """
@@ -3528,6 +3574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_redirects": _q_resolve_redirects,
         "semantic_dedup": _q_semantic_dedup,
         "trap_hosts": _q_trap_hosts,
+        "dup_spans": _q_dup_spans,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_clusters": _q_dedup_clusters,
         "decontaminate": _q_decontaminate,
@@ -3613,6 +3660,7 @@ def oracle_sql() -> dict[str, str]:
         "resolve_redirects": _RESOLVE_REDIRECTS_SQL,
         "semantic_dedup": _semantic_dedup_sql(),
         "trap_hosts": _TRAP_HOSTS_SQL,
+        "dup_spans": _DUP_SPANS_SQL,
         "doc_fingerprint": _FINGERPRINT_SQL,
         "dedup_clusters": _CLUSTERS_SQL,
         "decontaminate": _DECONTAM_SQL,

@@ -961,3 +961,47 @@ def test_top_ngrams_counts_and_tiebreak(spark):
     ]
     # n longer than any doc -> empty, not an error
     assert top_ngrams(docs, n=5, k=3).count() == 0
+
+
+def test_dup_spans_exact_substring_semantics(spark):
+    """Lee-et-al exact-substring spans: a shared 5-gram marks the
+    window in BOTH docs; a shared 7-token run's three overlapping
+    shingles merge into ONE maximal span; far-apart duplicated
+    shingles stay separate spans; self-repetition within one doc
+    counts; short (<k tokens) and all-unique docs emit nothing."""
+    from yacy_grid_crawler_spark.operators.dedup_text import dup_spans
+
+    docs = spark.createDataFrame(
+        [
+            # one shared 5-gram "aa bb cc dd ee" at pos 0 / pos 2
+            (1, "aa bb cc dd ee ff gg hh"),
+            (2, "xx yy aa bb cc dd ee zz"),
+            # shared 7-token run -> shingles at pos 0,1,2 merge to [0,6]
+            (3, "pp qq rr ss tt uu vv one"),
+            (4, "pp qq rr ss tt uu vv two"),
+            # two far-apart duplicated shingles -> two spans
+            (5, "mm nn oo ppp qqq u1 u2 u3 u4 u5 fff ggg hhh iii jjj"),
+            (6, "mm nn oo ppp qqq k1 k2 k3 fff ggg hhh iii jjj"),
+            # self-repetition: 5-gram repeats at pos 0 and 5, merges
+            (7, "w1 w2 w3 w4 w5 w1 w2 w3 w4 w5"),
+            (8, "too short"),
+            (9, "all unique tokens here nothing repeats anywhere ever"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in dup_spans(docs, k=5).collect()
+    }
+    assert rows == {
+        (1, 0, 4, 5),
+        (2, 2, 6, 5),
+        (3, 0, 6, 7),
+        (4, 0, 6, 7),
+        (5, 0, 4, 5), (5, 10, 14, 5),
+        (6, 0, 4, 5), (6, 8, 12, 5),
+        # tokenizer is [a-z]+ so "w1".."w5" -> "w","w","w","w","w":
+        # every 5-gram of doc 7 is "w w w w w" (6 occurrences) -> one
+        # maximal span covering the whole 10-token doc
+        (7, 0, 9, 10),
+    }

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 N_MINHASHES = 8
 LSH_BANDS = 4  # r = N_MINHASHES / LSH_BANDS = 2 rows per band
@@ -733,4 +734,75 @@ def incremental_novelty(
         "n_dup_candidates",
         "first_match",
         (F.col("n_dup_candidates") == 0).alias("novel"),
+    )
+
+
+def dup_spans(docs: DataFrame, k: int = 5, min_count: int = 2) -> DataFrame:
+    """Exact substring deduplication spans (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): per
+    document, the MAXIMAL token spans covered by word `k`-grams that
+    occur >= `min_count` times corpus-wide (self-repetition counts,
+    as in the paper's suffix-array formulation). These are the spans
+    an exact-substring dedup pass would cut out of the training text.
+
+    The reference engine has no analogue (its dedup is whole-URL,
+    CrawlerListener.java:300-320); this is the training-data-curation
+    extension family, over the `documents` table.
+
+    Returns (doc_id, span_start, span_end, span_len) — token indices,
+    0-based inclusive; one row per maximal span.
+
+    Scale shape — the suffix array is replaced by three key-partitioned
+    shuffles, never a pairwise join: (1) per-doc k-gram+position arrays
+    built with codegen sequence+slice (no self-join, explode factor
+    ~1x tokens), (2) ONE count shuffle on the gram string with map-side
+    partial agg to find duplicated grams, (3) a left-semi join of
+    occurrences to that (much smaller) dup-gram set on the same key —
+    AQE reuses the gram partitioning — then (4) one doc_id-partitioned
+    window pass to merge overlapping/adjacent windows into maximal
+    spans (gaps-and-islands: shingle starts are sorted, so the
+    previous running max end is just lag(pos)+k-1; a gap opens a new
+    island). Window state is per-document — bounded by doc length,
+    never a global sort."""
+    k = int(k)
+    grams = F.expr(
+        "case when size(_w) >= {k} then transform("
+        "  sequence(0, size(_w) - {k}),"
+        "  i -> struct(i as pos, array_join(slice(_w, i + 1, {k}), ' ')"
+        "       as g))"
+        " else array() end".format(k=k)
+    )
+    occ = (
+        docs.withColumn("_w", F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .select("doc_id", F.explode(grams).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+    )
+    dup = (
+        occ.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= int(min_count))
+        .select("g")
+    )
+    hits = occ.join(dup, "g", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    brk = F.when(prev.isNull() | (F.col("pos") > prev + k), 1).otherwise(0)
+    islands = hits.withColumn("_brk", brk).withColumn(
+        "_island",
+        F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy("doc_id", "_island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
     )
