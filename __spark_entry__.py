@@ -2959,6 +2959,131 @@ def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's most recent view
+    at-or-before it (union+window single-shuffle form; the DuckDB
+    oracle uses its native ASOF JOIN — two independent algorithms).
+    Views are pre-deduped per (user_id, ts) to the max event_id so the
+    equal-time winner is engine-independent."""
+    from yacy_grid_crawler_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir).withColumn(
+        # ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the cast is
+        # the same wall-clock epoch DuckDB's epoch_us(naive ts) computes
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    out = asof_join(
+        clicks, views, keys=["user_id"], time_col="ts_us",
+        payload_cols=["event_id"], prefix="view_",
+    )
+    return out.select(
+        "user_id", "event_id", "ts_us", "view_ts_us", "view_event_id"
+    )
+
+
+_EVENTS_ASOF_SQL = """
+  WITH ev AS (
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+    FROM events
+  ),
+  clicks AS (
+    SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'
+  ),
+  views AS (
+    SELECT user_id, ts_us, max(event_id) AS view_event_id
+    FROM ev WHERE event_type = 'view' GROUP BY user_id, ts_us
+  )
+  SELECT c.user_id, c.event_id, c.ts_us,
+         v.ts_us AS view_ts_us, v.view_event_id AS view_event_id
+  FROM clicks c
+  ASOF LEFT JOIN views v
+    ON c.user_id = v.user_id AND c.ts_us >= v.ts_us
+"""
+
+
+def _q_events_range_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks attributed to the 30-min window before each
+    purchase by the same user (bucketized equi-join; the oracle is the
+    plain inequality join). Integer-only aggregates keep the hash
+    float-free; zero-click purchases survive via the left join."""
+    from yacy_grid_crawler_spark.operators.joins import range_join
+
+    win_us = 1800 * 1_000_000
+    ev = _events(spark, sf_dir).withColumn(
+        # ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the cast is
+        # the same wall-clock epoch DuckDB's epoch_us(naive ts) computes
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts_us").alias("t"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.col("ts_us") - F.lit(win_us)).alias("win_start"),
+        F.col("ts_us").alias("win_end"),
+    )
+    pairs = range_join(
+        clicks, purchases, keys=["user_id"], time_col="t",
+        start_col="win_start", end_col="win_end", bucket=win_us,
+    )
+    agg = pairs.groupBy("purchase_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.max("click_id").alias("last_click_id"),
+    )
+    return (
+        purchases.select("purchase_id", "user_id")
+        .join(agg, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+            "last_click_id",
+        )
+    )
+
+
+_EVENTS_RANGE_SQL = """
+  WITH ev AS (
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+    FROM events
+  ),
+  clicks AS (
+    SELECT user_id, ts_us AS t, event_id AS click_id
+    FROM ev WHERE event_type = 'click'
+  ),
+  purchases AS (
+    SELECT event_id AS purchase_id, user_id,
+           ts_us - 1800000000 AS win_start, ts_us AS win_end
+    FROM ev WHERE event_type = 'purchase'
+  ),
+  pairs AS (
+    SELECT p.purchase_id, c.click_id
+    FROM purchases p JOIN clicks c
+      ON c.user_id = p.user_id AND c.t BETWEEN p.win_start AND p.win_end
+  ),
+  agg AS (
+    SELECT purchase_id, count(*) AS n_clicks,
+           max(click_id) AS last_click_id
+    FROM pairs GROUP BY purchase_id
+  )
+  SELECT p.purchase_id, p.user_id,
+         CAST(coalesce(a.n_clicks, 0) AS BIGINT) AS n_clicks,
+         a.last_click_id
+  FROM purchases p LEFT JOIN agg a USING (purchase_id)
+"""
+
+
 _SESSIONIZE_SQL = """
   WITH g AS (
     SELECT user_id, event_id, ts,
@@ -3607,6 +3732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_build": _q_warc_build,
         "warc_roundtrip": _q_warc_roundtrip,
         "events_sessionize": _q_events_sessionize,
+        "events_asof": _q_events_asof,
+        "events_range_attrib": _q_events_range_attrib,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
@@ -3693,6 +3820,8 @@ def oracle_sql() -> dict[str, str]:
         "warc_build": _WARC_BUILD_SQL,
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
+        "events_asof": _EVENTS_ASOF_SQL,
+        "events_range_attrib": _EVENTS_RANGE_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
         "ann_sq8_topk": _ANN_SQ8_SQL,

@@ -379,3 +379,59 @@ def test_html_extract_and_url_features_are_pure_maps(spark):
         plan = _plan(df)
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_asof_join_is_single_key_shuffle_no_pair_join(spark):
+    """asof_join must never form a join operator at all — the
+    union+window formulation is one hash shuffle on the keys plus a
+    per-key sort. A pair join (theta/cartesian/BNLJ) would be the
+    quadratic plan this operator exists to avoid at 100 TB."""
+    from yacy_grid_crawler_spark.operators.joins import asof_join
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts_us", F.col("event_id").alias("vid")
+    )
+    plan = _plan(
+        asof_join(left, right, ["user_id"], "ts_us", ["vid"])
+    )
+    for op in ("Join", "CartesianProduct"):
+        assert op not in plan, op
+    assert "hashpartitioning(user_id" in plan
+    assert "Window" in plan
+    # no global range sort — the only sort is the per-key window sort
+    assert "rangepartitioning" not in plan
+
+
+def test_range_join_is_bucketized_equi_join(spark):
+    """range_join must compile to an equi-join on (keys, bucket) with
+    the range predicate as a join/filter condition — never a
+    BroadcastNestedLoopJoin or CartesianProduct, which is what a raw
+    inequality join degenerates to when neither side is tiny."""
+    from yacy_grid_crawler_spark.operators.joins import range_join
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    points = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("t"),
+        F.col("event_id").alias("click_id"),
+    )
+    intervals = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        (F.col("ts_us") - F.lit(1800_000_000)).alias("s"),
+        F.col("ts_us").alias("e"),
+    )
+    plan = _plan(
+        range_join(points, intervals, ["user_id"], "t", "s", "e",
+                   bucket=1800_000_000)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the bucket key participates in the equi-join keys
+    assert "_bucket" in plan
