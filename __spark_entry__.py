@@ -2959,6 +2959,15 @@ def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts_us (epoch micros, bigint). ts is TIMESTAMP_NTZ;
+    the session TZ is pinned UTC so casting to TIMESTAMP yields the
+    same wall-clock epoch DuckDB's epoch_us(naive ts) computes."""
+    return _events(spark, sf_dir).withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+
+
 def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click matched to the user's most recent view
     at-or-before it (union+window single-shuffle form; the DuckDB
@@ -2967,11 +2976,7 @@ def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal-time winner is engine-independent."""
     from yacy_grid_crawler_spark.operators.joins import asof_join
 
-    ev = _events(spark, sf_dir).withColumn(
-        # ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the cast is
-        # the same wall-clock epoch DuckDB's epoch_us(naive ts) computes
-        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
-    )
+    ev = _events_us(spark, sf_dir)
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts_us"
     )
@@ -3017,11 +3022,7 @@ def _q_events_range_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yacy_grid_crawler_spark.operators.joins import range_join
 
     win_us = 1800 * 1_000_000
-    ev = _events(spark, sf_dir).withColumn(
-        # ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the cast is
-        # the same wall-clock epoch DuckDB's epoch_us(naive ts) computes
-        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
-    )
+    ev = _events_us(spark, sf_dir)
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id",
         F.col("ts_us").alias("t"),

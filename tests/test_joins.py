@@ -71,3 +71,39 @@ def test_range_join_inclusive_bounds_and_single_emission(spark):
         ("p200", "iv1"),   # end boundary inclusive
     ]
     # p201 just past end (excluded), k=2 point isolated
+
+
+def test_asof_null_keys_and_null_times_follow_sql_join_semantics(spark):
+    """NULL = NULL is false in SQL joins and t >= NULL never holds, so
+    NULL-key/NULL-time RIGHT rows must never match anything, while
+    NULL-key/NULL-time LEFT rows survive unmatched (left join)."""
+    left = spark.createDataFrame(
+        [(None, 10, "lnullk"), (1, None, "lnullt"), (1, 10, "lok")],
+        "k long, t long, lval string",
+    )
+    right = spark.createDataFrame(
+        [(None, 5, "rnullk"), (1, None, "rnullt"), (1, 4, "r4")],
+        "k long, t long, rval string",
+    )
+    out = {
+        (r["k"], r["lval"]): (r["matched_t"], r["matched_rval"])
+        for r in asof_join(left, right, keys=["k"], time_col="t",
+                           payload_cols=["rval"]).collect()
+    }
+    assert out == {
+        (None, "lnullk"): (None, None),
+        (1, "lnullt"): (None, None),
+        (1, "lok"): (4, "r4"),  # NULL-time right row never carried
+    }
+
+
+def test_range_join_rejects_nonpositive_bucket(spark):
+    import pytest
+
+    df = spark.range(1).select(
+        F.col("id").alias("k"), F.col("id").alias("t"),
+        F.col("id").alias("s"), F.col("id").alias("e"),
+    )
+    for bad in (0, -5):
+        with pytest.raises(ValueError):
+            range_join(df, df, ["k"], "t", "s", "e", bucket=bad)

@@ -48,6 +48,14 @@ def asof_join(
         *[F.col(c) for c in payload_cols],
     )
     left_cols = [c for c in left.columns if c not in keys]
+    # SQL join semantics: a right row with a NULL key or NULL time can
+    # never satisfy `l.key = r.key AND l.t >= r.t`, so it must not
+    # enter the window state (partitionBy would otherwise group NULL
+    # keys together and NULLS-FIRST ordering would carry a NULL-time
+    # payload onto every left row). NULL-key/time LEFT rows stay and
+    # simply never match — left-join semantics.
+    for c in (*keys, time_col):
+        right = right.filter(F.col(c).isNotNull())
     r = right.select(
         *keys,
         F.col(time_col).alias("_t"),
@@ -105,6 +113,8 @@ def range_join(
     Scale shape: shuffle on (keys, bucket) only; per-task work is
     bucket-local. Interval count × (len/bucket + 1) bounds the explode;
     hot buckets are AQE skew-join territory, never a cross product."""
+    if int(bucket) <= 0:
+        raise ValueError(f"bucket must be a positive integer, got {bucket}")
     keys = list(keys)
     # floor(x / b) is monotone, so start <= t <= end always implies
     # bucket(start) <= bucket(t) <= bucket(end) — coverage holds for
