@@ -2641,6 +2641,81 @@ _DUP_SPANS_SQL = """
 """
 
 
+def _q_cut_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. pipeline completed: cut the dup_spans spans out of
+    each doc, keep the rest; narrow output (md5 of surviving text)."""
+    from yacy_grid_crawler_spark.operators.dedup_text import cut_dup_spans
+
+    return cut_dup_spans(_docs(spark, sf_dir).select("doc_id", "text"), k=5)
+
+
+_CUT_DUP_SPANS_SQL = """
+  WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+    FROM documents
+  ),
+  grams AS (
+    SELECT doc_id,
+           unnest([{'pos': i, 'g': array_to_string(w[i + 1 : i + 5], ' ')}
+                   FOR i IN range(len(w) - 4)]) AS s
+    FROM toks WHERE len(w) >= 5
+  ),
+  occ AS (SELECT doc_id, s.pos AS pos, s.g AS g FROM grams),
+  dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2),
+  hits AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (g)),
+  isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     IS NULL
+                  OR pos > lag(pos) OVER (PARTITION BY doc_id
+                                          ORDER BY pos) + 5
+                THEN 1 ELSE 0 END AS brk
+    FROM hits
+  ),
+  isl2 AS (
+    SELECT doc_id, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM isl
+  ),
+  spans AS (
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+           max(pos) + 5 - min(pos) AS span_len
+    FROM isl2 GROUP BY doc_id, island
+  ),
+  posr AS (
+    SELECT doc_id, p.pos AS pos, p.tok AS tok FROM (
+      SELECT doc_id,
+             unnest([{'pos': i, 'tok': w[i + 1]} FOR i IN range(len(w))])
+               AS p
+      FROM toks WHERE len(w) > 0
+    )
+  ),
+  kept AS (
+    SELECT pr.doc_id, pr.pos, pr.tok
+    FROM posr pr
+    WHERE NOT EXISTS (
+      SELECT 1 FROM spans s
+      WHERE s.doc_id = pr.doc_id
+        AND pr.pos BETWEEN s.span_start AND s.span_end
+    )
+  ),
+  clean AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct
+    FROM kept GROUP BY doc_id
+  ),
+  removed AS (
+    SELECT doc_id, sum(span_len) AS removed FROM spans GROUP BY doc_id
+  )
+  SELECT t.doc_id,
+         CAST(len(t.w) AS BIGINT) AS n_tokens,
+         CAST(coalesce(r.removed, 0) AS BIGINT) AS tokens_removed,
+         md5(coalesce(c.ct, '')) AS clean_md5
+  FROM toks t
+  LEFT JOIN removed r USING (doc_id)
+  LEFT JOIN clean c USING (doc_id)
+"""
+
+
 _TRAP_HOSTS_SQL = """
   WITH u AS (
     SELECT CASE WHEN doc_id % 4 = 0
@@ -2990,7 +3065,15 @@ def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_cols=["event_id"], prefix="view_",
     )
     return out.select(
-        "user_id", "event_id", "ts_us", "view_ts_us", "view_event_id"
+        "user_id",
+        "event_id",
+        "ts_us",
+        # -1 sentinel for never-matched clicks: the value-hash gate
+        # sorts row tuples, and NULLs are unorderable there
+        F.coalesce("view_ts_us", F.lit(-1).cast("long")).alias("view_ts_us"),
+        F.coalesce("view_event_id", F.lit(-1).cast("long")).alias(
+            "view_event_id"
+        ),
     )
 
 
@@ -3007,7 +3090,8 @@ _EVENTS_ASOF_SQL = """
     FROM ev WHERE event_type = 'view' GROUP BY user_id, ts_us
   )
   SELECT c.user_id, c.event_id, c.ts_us,
-         v.ts_us AS view_ts_us, v.view_event_id AS view_event_id
+         CAST(coalesce(v.ts_us, -1) AS BIGINT) AS view_ts_us,
+         CAST(coalesce(v.view_event_id, -1) AS BIGINT) AS view_event_id
   FROM clicks c
   ASOF LEFT JOIN views v
     ON c.user_id = v.user_id AND c.ts_us >= v.ts_us
@@ -3049,7 +3133,9 @@ def _q_events_range_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_id",
             "user_id",
             F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
-            "last_click_id",
+            F.coalesce("last_click_id", F.lit(-1).cast("long")).alias(
+                "last_click_id"
+            ),
         )
     )
 
@@ -3080,7 +3166,7 @@ _EVENTS_RANGE_SQL = """
   )
   SELECT p.purchase_id, p.user_id,
          CAST(coalesce(a.n_clicks, 0) AS BIGINT) AS n_clicks,
-         a.last_click_id
+         CAST(coalesce(a.last_click_id, -1) AS BIGINT) AS last_click_id
   FROM purchases p LEFT JOIN agg a USING (purchase_id)
 """
 
@@ -3701,6 +3787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "trap_hosts": _q_trap_hosts,
         "dup_spans": _q_dup_spans,
+        "cut_dup_spans": _q_cut_dup_spans,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_clusters": _q_dedup_clusters,
         "decontaminate": _q_decontaminate,
@@ -3789,6 +3876,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_sql(),
         "trap_hosts": _TRAP_HOSTS_SQL,
         "dup_spans": _DUP_SPANS_SQL,
+        "cut_dup_spans": _CUT_DUP_SPANS_SQL,
         "doc_fingerprint": _FINGERPRINT_SQL,
         "dedup_clusters": _CLUSTERS_SQL,
         "decontaminate": _DECONTAM_SQL,

@@ -1005,3 +1005,33 @@ def test_dup_spans_exact_substring_semantics(spark):
         # maximal span covering the whole 10-token doc
         (7, 0, 9, 10),
     }
+
+
+def test_cut_dup_spans_removes_exactly_the_spans(spark):
+    """The cut must remove precisely the dup_spans token ranges: md5
+    of the surviving space-joined tokens, counts consistent, docs with
+    nothing duplicated (or no word tokens) pass through whole."""
+    import hashlib
+
+    from yacy_grid_crawler_spark.operators.dedup_text import cut_dup_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee ff gg hh"),   # span [0,4] -> "ff gg hh"
+            (2, "xx yy aa bb cc dd ee zz"),   # span [2,6] -> "xx yy zz"
+            (7, "w1 w2 w3 w4 w5 w1 w2 w3 w4 w5"),  # whole doc duplicated
+            (8, "too short"),                 # untouched
+        ],
+        "doc_id long, text string",
+    )
+    md5 = lambda t: hashlib.md5(t.encode()).hexdigest()
+    rows = {
+        r["doc_id"]: (r["n_tokens"], r["tokens_removed"], r["clean_md5"])
+        for r in cut_dup_spans(docs, k=5).collect()
+    }
+    assert rows == {
+        1: (8, 5, md5("ff gg hh")),
+        2: (8, 5, md5("xx yy zz")),
+        7: (10, 10, md5("")),
+        8: (2, 0, md5("too short")),
+    }

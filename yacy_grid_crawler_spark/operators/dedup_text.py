@@ -806,3 +806,48 @@ def dup_spans(docs: DataFrame, k: int = 5, min_count: int = 2) -> DataFrame:
             (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
         )
     )
+
+
+def cut_dup_spans(docs: DataFrame, k: int = 5, min_count: int = 2) -> DataFrame:
+    """Completes the Lee et al. 2022 exact-substring pipeline: CUT the
+    :func:`dup_spans` spans out of each document, keeping the rest
+    (the paper's remedy — remove the duplicated substring, not the
+    whole document).
+
+    Returns one row per input doc: (doc_id, n_tokens, tokens_removed,
+    clean_md5) — md5 of the space-joined surviving tokens ('' when
+    everything was duplicated or the doc had no word tokens), so the
+    result stays narrow no matter how large the text.
+
+    Scale shape: dup_spans' shuffles plus ONE doc_id groupBy packing
+    each doc's few spans into an array, a left join back onto the doc
+    scan, and a per-row codegen `filter(transform(...))` that drops
+    covered token positions — the text is never exploded to
+    (doc, pos) rows for the cut itself. exists() over the span array
+    is O(tokens x spans/doc) with spans/doc small by construction
+    (maximal, disjoint)."""
+    spans = dup_spans(docs, k=k, min_count=min_count)
+    agg = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
+        F.sum("span_len").alias("_removed"),
+    )
+    d = docs.withColumn(
+        "_w", F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    ).join(agg, "doc_id", "left")
+    kept = F.expr(
+        "filter(transform(_w, (t, i) -> struct(t as t, i as i)),"
+        " x -> _spans is null or not exists(_spans,"
+        "   sp -> x.i >= sp.span_start and x.i <= sp.span_end))"
+    )
+    clean = F.array_join(F.expr("transform(_kept, x -> x.t)"), " ")
+    return (
+        d.withColumn("_kept", kept)
+        .select(
+            "doc_id",
+            F.size("_w").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("_removed"), F.lit(0)).cast("long").alias(
+                "tokens_removed"
+            ),
+            F.md5(clean).alias("clean_md5"),
+        )
+    )
