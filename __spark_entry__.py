@@ -2844,6 +2844,52 @@ def _q_recrawl_due(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recrawl_due(seen, now_ms=RECRAWL_NOW_MS)
 
 
+def _q_adaptive_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate-adaptive recrawl scheduling over a synthetic fetch
+    history: url u = doc_id % 500 (so ~n/500 fetches per URL),
+    fetch_ts = doc_id, content hash changes every (u % 5 + 1)-th
+    fetch — URLs with different churn rates get different intervals."""
+    from yacy_grid_crawler_spark.sources.statestore import adaptive_recrawl
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    hist = d.select(
+        F.md5((F.col("doc_id") % 500).cast("string")).alias("url_id"),
+        F.col("doc_id").cast("long").alias("fetch_ts_ms"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                (F.col("doc_id") % 500).cast("string"),
+                (
+                    (F.col("doc_id") / F.lit(500)).cast("long")
+                    / ((F.col("doc_id") % 500) % 5 + 1)
+                ).cast("long").cast("string"),
+            )
+        ).alias("content_md5"),
+    )
+    return adaptive_recrawl(hist, base_interval_ms=86_400_000)
+
+
+_ADAPTIVE_RECRAWL_SQL = """
+  WITH hist AS (
+    SELECT md5(CAST(doc_id % 500 AS VARCHAR)) AS url_id,
+           doc_id AS fetch_ts_ms,
+           md5(CAST(doc_id % 500 AS VARCHAR) || '|' ||
+               CAST(((doc_id // 500) // ((doc_id % 500) % 5 + 1))
+                    AS VARCHAR)) AS content_md5
+    FROM documents
+  )
+  SELECT url_id,
+         count(*) AS n_fetches,
+         count(DISTINCT content_md5) AS n_changes,
+         CAST(86400000 * count(*) // count(DISTINCT content_md5)
+              AS BIGINT) AS interval_ms,
+         CAST(max(fetch_ts_ms)
+              + 86400000 * count(*) // count(DISTINCT content_md5)
+              AS BIGINT) AS next_due_ms
+  FROM hist GROUP BY url_id
+"""
+
+
 _RECRAWL_DUE_SQL = f"""
   WITH seen AS (
     SELECT 'c0' AS crawl_id,
@@ -3817,6 +3863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_dequeue": _q_frontier_dequeue,
         "sitemap_parse": _q_sitemap_parse,
         "recrawl_due": _q_recrawl_due,
+        "adaptive_recrawl": _q_adaptive_recrawl,
         "warc_build": _q_warc_build,
         "warc_roundtrip": _q_warc_roundtrip,
         "events_sessionize": _q_events_sessionize,
@@ -3906,6 +3953,7 @@ def oracle_sql() -> dict[str, str]:
         "frontier_dequeue": _FRONTIER_DEQUEUE_SQL,
         "sitemap_parse": _SITEMAP_SQL,
         "recrawl_due": _RECRAWL_DUE_SQL,
+        "adaptive_recrawl": _ADAPTIVE_RECRAWL_SQL,
         "warc_build": _WARC_BUILD_SQL,
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
         "events_sessionize": _SESSIONIZE_SQL,

@@ -125,3 +125,32 @@ def test_seen_ttl_inert_without_clock(
     assert n0 > 0
     job.maintain()
     assert job.store.read("url_seen").count() == n0
+
+
+def test_adaptive_recrawl_intervals_track_change_rate(spark):
+    """A URL that changed on every fetch keeps the base interval; one
+    that never changed stretches it by n_fetches; next_due anchors on
+    the LAST fetch."""
+    from yacy_grid_crawler_spark.sources.statestore import adaptive_recrawl
+
+    hist = spark.createDataFrame(
+        [
+            # u1: 3 fetches, 3 distinct versions -> base interval
+            ("u1", 100, "a"), ("u1", 200, "b"), ("u1", 300, "c"),
+            # u2: 4 fetches, 1 version -> 4x base
+            ("u2", 10, "x"), ("u2", 20, "x"), ("u2", 30, "x"), ("u2", 40, "x"),
+            # u3: 2 fetches, 2 versions but same hash seen twice later
+            ("u3", 5, "p"), ("u3", 6, "q"), ("u3", 7, "p"),
+        ],
+        "url_id string, fetch_ts_ms long, content_md5 string",
+    )
+    out = {
+        r["url_id"]: (r["n_fetches"], r["n_changes"], r["interval_ms"],
+                      r["next_due_ms"])
+        for r in adaptive_recrawl(hist, base_interval_ms=1000).collect()
+    }
+    assert out == {
+        "u1": (3, 3, 1000, 1300),
+        "u2": (4, 1, 4000, 4040),
+        "u3": (3, 2, 1500, 1507),
+    }
