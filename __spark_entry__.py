@@ -2309,6 +2309,122 @@ _INLINK_STATS_SQL = f"""
 """
 
 
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority over the shared synthetic link graph —
+    EXACT integer form (unnormalized iterates are monotone in the
+    normalized scores), same bit-exact-equality technique as
+    pagerank_priority."""
+    from yacy_grid_crawler_spark.operators.graph import hits_scores
+
+    return hits_scores(
+        _docs(spark, sf_dir).select("doc_id"), cache_registry=_QUERY_CACHES
+    )
+
+
+def _hits_sql() -> str:
+    # unrolled half-steps: a_{t+1} = in-sum of h_t; h_{t+1} = out-sum
+    # of a_{t+1}; CAST every step to BIGINT (DuckDB sum widens to
+    # HUGEINT, which pandas renders as float)
+    steps = []
+    for t in range(4):
+        steps.append(
+            f"a{t + 1} AS (SELECT d.doc_id,"
+            f" CAST(coalesce(sum(h{t}.h), 0) AS BIGINT) AS a"
+            f" FROM documents d"
+            f" LEFT JOIN edges e ON e.dst = d.doc_id"
+            f" LEFT JOIN h{t} ON h{t}.doc_id = e.src"
+            f" GROUP BY d.doc_id)"
+        )
+        steps.append(
+            f"h{t + 1} AS (SELECT d.doc_id,"
+            f" CAST(coalesce(sum(a{t + 1}.a), 0) AS BIGINT) AS h"
+            f" FROM documents d"
+            f" LEFT JOIN edges e ON e.src = d.doc_id"
+            f" LEFT JOIN a{t + 1} ON a{t + 1}.doc_id = e.dst"
+            f" GROUP BY d.doc_id)"
+        )
+    return f"""
+  WITH edges AS (
+    SELECT d.doc_id AS src,
+           (d.doc_id * 17 + k.k) % (SELECT count(*) FROM documents) AS dst
+    FROM documents d, (VALUES (1), (2), (3)) k(k)
+  ),
+  h0 AS (SELECT doc_id, CAST(1 AS BIGINT) AS h FROM documents),
+  {", ".join(steps)}
+  SELECT a4.doc_id, a4.a AS auth, h4.h AS hub
+  FROM a4 JOIN h4 USING (doc_id)
+"""
+
+
+_HITS_SQL = _hits_sql()
+
+
+def _q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link-graph rollup (the URL graph's host projection
+    every site-level authority/mirror computation runs on)."""
+    from yacy_grid_crawler_spark.operators.graph import host_link_graph
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    url = lambda d: F.concat(  # noqa: E731 — the canonical-URL template
+        F.lit("http://host"), (d % N_HOSTS).cast("string"),
+        F.lit(".example.org/page/"), d.cast("string"), F.lit(".html"),
+    )
+    links = docs.select(
+        url(F.col("doc_id")).alias("src_url"),
+        F.explode(
+            F.array(*[((F.col("doc_id") * 17 + k) % n) for k in (1, 2, 3)])
+        ).alias("_dst"),
+    ).select("src_url", url(F.col("_dst")).alias("dst_url"))
+    return host_link_graph(links)
+
+
+_HOST_GRAPH_SQL = f"""
+  WITH links AS (
+    SELECT 'http://host' || (doc_id % {N_HOSTS}) || '.example.org/page/'
+             || doc_id || '.html' AS src_url,
+           'http://host' || (((doc_id * 17 + k) % c.n) % {N_HOSTS})
+             || '.example.org/page/' || ((doc_id * 17 + k) % c.n)
+             || '.html' AS dst_url
+    FROM documents, unnest([1, 2, 3]) t(k),
+         (SELECT count(*) AS n FROM documents) c
+  ),
+  hosts AS (
+    SELECT regexp_extract(src_url, '^[a-z]+://(?:[^/@]*@)?([^/:?]+)', 1)
+             AS src_host,
+           regexp_extract(dst_url, '^[a-z]+://(?:[^/@]*@)?([^/:?]+)', 1)
+             AS dst_host,
+           dst_url
+    FROM links
+  )
+  SELECT src_host, dst_host,
+         count(*) AS n_links,
+         count(DISTINCT dst_url) AS n_dst_urls,
+         src_host = dst_host AS is_internal
+  FROM hosts GROUP BY src_host, dst_host
+"""
+
+
+def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact length quantiles — the curation-cutoff
+    distribution snapshot."""
+    from yacy_grid_crawler_spark.operators.textstats import length_quantiles
+
+    return length_quantiles(_docs(spark, sf_dir))
+
+
+_LENGTH_QUANTILES_SQL = """
+  SELECT lang, count(*) AS n_docs,
+         round(quantile_cont(n_chars, 0.25), 4) AS p25,
+         round(quantile_cont(n_chars, 0.50), 4) AS p50,
+         round(quantile_cont(n_chars, 0.75), 4) AS p75,
+         round(quantile_cont(n_chars, 0.90), 4) AS p90,
+         min(n_chars) AS min_chars,
+         max(n_chars) AS max_chars
+  FROM documents GROUP BY lang
+"""
+
+
 HOST_CAP = 37  # < the ~50 docs/host at sf0.01 so the cap actually binds
 
 
@@ -3857,6 +3973,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_resample": _q_temperature_resample,
         "lm_score": _q_lm_score,
         "inlink_stats": _q_inlink_stats,
+        "hits_scores": _q_hits,
+        "host_graph": _q_host_graph,
+        "length_quantiles": _q_length_quantiles,
         "host_cap_sample": _q_host_cap_sample,
         "robots_parse": _q_robots_parse,
         "curate_pipeline": _q_curate_pipeline,
@@ -3947,6 +4066,9 @@ def oracle_sql() -> dict[str, str]:
         "temperature_resample": _TEMPERATURE_SQL,
         "lm_score": _LM_SCORE_SQL,
         "inlink_stats": _INLINK_STATS_SQL,
+        "hits_scores": _HITS_SQL,
+        "host_graph": _HOST_GRAPH_SQL,
+        "length_quantiles": _LENGTH_QUANTILES_SQL,
         "host_cap_sample": _HOST_CAP_SQL,
         "robots_parse": _ROBOTS_PARSE_SQL,
         "curate_pipeline": _curate_sql(),

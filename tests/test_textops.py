@@ -1035,3 +1035,58 @@ def test_cut_dup_spans_removes_exactly_the_spans(spark):
         7: (10, 10, md5("")),
         8: (2, 0, md5("too short")),
     }
+
+
+def test_hits_exact_small_graph(spark):
+    """Hand-computed unnormalized HITS on 0->2, 1->2, 2->0 (2 is the
+    authority, 0 and 1 are the hubs)."""
+    from yacy_grid_crawler_spark.operators.graph import hits_scores
+
+    docs = spark.createDataFrame([(0,), (1,), (2,)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(0, 2), (1, 2), (2, 0)], "src long, dst long"
+    )
+    out = {r["doc_id"]: (r["auth"], r["hub"]) for r in
+           hits_scores(docs, edges=edges, iters=2).collect()}
+    # h0=1 all. a1 = in-sum(h0): {0:1, 1:0, 2:2}; h1 = out-sum(a1):
+    # {0:2, 1:2, 2:1}. a2 = in-sum(h1): {0:1, 1:0, 2:4}; h2 =
+    # out-sum(a2): {0:4, 1:4, 2:1}.
+    assert out == {0: (1, 4), 1: (0, 4), 2: (4, 1)}
+
+
+def test_host_link_graph_rollup(spark):
+    from yacy_grid_crawler_spark.operators.graph import host_link_graph
+
+    links = spark.createDataFrame(
+        [
+            ("http://a.com/1", "http://b.com/x"),
+            ("http://a.com/2", "http://b.com/x"),
+            ("http://a.com/3", "http://b.com/y"),
+            ("http://a.com/1", "http://a.com/2"),  # internal nav edge
+        ],
+        "src_url string, dst_url string",
+    )
+    out = {(r["src_host"], r["dst_host"]): r
+           for r in host_link_graph(links).collect()}
+    ab = out[("a.com", "b.com")]
+    assert ab["n_links"] == 3 and ab["n_dst_urls"] == 2
+    assert not ab["is_internal"]
+    aa = out[("a.com", "a.com")]
+    assert aa["n_links"] == 1 and aa["is_internal"]
+
+
+def test_length_quantiles_linear_interpolation(spark):
+    from yacy_grid_crawler_spark.operators.textstats import length_quantiles
+
+    docs = spark.createDataFrame(
+        [("en", 1), ("en", 2), ("en", 3), ("en", 4), ("de", 10)],
+        "lang string, n_chars int",
+    )
+    out = {r["lang"]: r for r in length_quantiles(docs).collect()}
+    en = out["en"]
+    # rank p*(n-1) linear interpolation over [1,2,3,4]
+    assert (en["p25"], en["p50"], en["p75"], en["p90"]) == (
+        1.75, 2.5, 3.25, 3.7)
+    assert en["n_docs"] == 4 and en["min_chars"] == 1
+    de = out["de"]
+    assert de["p50"] == 10.0 and de["max_chars"] == 10

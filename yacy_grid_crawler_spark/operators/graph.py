@@ -84,6 +84,76 @@ def pagerank_scaled(
     return ranks.select("doc_id", F.col("s").alias("pr_scaled"))
 
 
+HITS_ITERS = 4
+
+
+def hits_scores(
+    docs: DataFrame,
+    edges: DataFrame | None = None,
+    iters: int = HITS_ITERS,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """(doc_id, auth, hub) — Kleinberg HITS over the link graph, the
+    complement to PageRank for crawl prioritization (authorities are
+    index-worthy targets; hubs are frontier-expansion-worthy link
+    pages). Same exact-arithmetic trick as `pagerank_scaled`:
+    unnormalized HITS is a pure integer recurrence
+
+        hub_0(v) = 1
+        auth_{t+1}(v) = sum over in-neighbors u  of hub_t(u)
+        hub_{t+1}(v)  = sum over out-neighbors w of auth_{t+1}(w)
+
+    and the unnormalized iterates are monotone in the normalized
+    scores (normalization rescales all of a side uniformly), which is
+    all a priority ORDERING needs. Values grow ~(indeg·outdeg)^t — at
+    out-degree 3 that is 9^t, bigint-safe far past any useful t.
+
+    Scale shape per half-step: one equi-join (edge table against the
+    current score vector) + one map-side-combining long-sum agg —
+    identical geometry to the PageRank round and to every distributed
+    power iteration; `localCheckpoint` keeps the plan O(1) in t. The
+    in-degree hub key is the skew point; two-level (salted) agg and
+    AQE skew-join apply exactly as documented on `pagerank_scaled`."""
+    if edges is None:
+        edges = synthetic_edges(docs)
+    edges = edges.persist()
+    if cache_registry is not None:
+        cache_registry.append(edges)
+    ids = docs.select("doc_id")
+    hub = ids.select(
+        "doc_id", F.lit(1).cast("long").alias("hub")
+    ).localCheckpoint()
+    auth = ids.select("doc_id", F.lit(0).cast("long").alias("auth"))
+    for _ in range(iters):
+        in_sum = (
+            edges.join(hub, edges.src == hub.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.sum("hub").alias("in_sum"))
+        )
+        auth = (
+            ids.join(in_sum, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("in_sum", F.lit(0)).cast("long").alias("auth"),
+            )
+            .localCheckpoint()
+        )
+        out_sum = (
+            edges.join(auth, edges.dst == auth.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.sum("auth").alias("out_sum"))
+        )
+        hub = (
+            ids.join(out_sum, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("out_sum", F.lit(0)).cast("long").alias("hub"),
+            )
+            .localCheckpoint()
+        )
+    return auth.join(hub, "doc_id").select("doc_id", "auth", "hub")
+
+
 HOST_RE = r"^[a-z]+://(?:[^/@]*@)?([^/:?]+)"  # same extractor as plans/wave.py
 
 
@@ -117,6 +187,40 @@ def link_host_stats(links: DataFrame) -> DataFrame:
         F.count("*").alias("n_inlinks"),
         F.countDistinct("src_host").alias("n_src_hosts"),
         F.countDistinct("dst_url").alias("n_dst_urls"),
+    )
+
+
+def host_link_graph(links: DataFrame) -> DataFrame:
+    """Collapse the URL-level link table to the HOST graph:
+    (src_host, dst_host, n_links, n_dst_urls, is_internal). This is
+    the standard first reduction before any site-level authority
+    computation (host-level PageRank, spam-mass propagation, mirror
+    detection) — the URL graph at 10^11 edges is ~100× larger than
+    its host projection, so every downstream graph algorithm runs on
+    this rollup, not the raw edges.
+
+    is_internal marks same-host (navigation) edges, which host-level
+    ranking discards but mirror/boilerplate detection keeps.
+
+    Scale shape: one hash aggregate keyed on (src_host, dst_host);
+    the countDistinct rewrites to an expand + two-level partial agg.
+    The pair key is far less skewed than either host alone (a Zipf
+    head host fans across all of its partners), so this usually needs
+    no salting even where per-host aggs do."""
+    hosts = links.select(
+        F.regexp_extract(F.col("src_url"), HOST_RE, 1).alias("src_host"),
+        F.regexp_extract(F.col("dst_url"), HOST_RE, 1).alias("dst_host"),
+        F.col("dst_url"),
+    )
+    return (
+        hosts.groupBy("src_host", "dst_host")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct("dst_url").alias("n_dst_urls"),
+        )
+        .withColumn(
+            "is_internal", F.col("src_host") == F.col("dst_host")
+        )
     )
 
 

@@ -798,3 +798,34 @@ def top_ngrams(docs: DataFrame, n: int = 2, k: int = 100) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
         .limit(int(k))
     )
+
+
+def length_quantiles(docs: DataFrame) -> DataFrame:
+    """Per-language exact length quantiles (p25/p50/p75/p90 of
+    n_chars) + doc count — the distribution snapshot every curation
+    run starts from (length cutoffs per language differ; picking them
+    from a global histogram over-trims CJK and under-trims en).
+
+    Uses Spark's exact `percentile` aggregate (linear interpolation at
+    rank p*(n-1), the same definition as DuckDB/Postgres
+    quantile_cont), NOT approx_percentile: per-group cardinalities
+    here are a corpus-stats reduce where the groups are few (languages)
+    and the sort-based exact agg is one shuffle keyed on lang. At
+    100 TB swap in approx_percentile(..., accuracy) — same plan shape,
+    bounded memory — which is why the quantile columns are rounded to
+    4 places: the contract is distribution-shape, not bit-exactness.
+
+    Scale shape: single hash-partition shuffle on lang; the percentile
+    buffer holds one language's values per reducer — the documented
+    memory ceiling of the exact variant and the reason the approx swap
+    exists."""
+    pct = F.expr("percentile(n_chars, array(0.25, 0.5, 0.75, 0.9))")
+    agg = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        pct.alias("_q"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    cols = [F.round(F.col("_q")[i], 4).alias(name)
+            for i, name in enumerate(("p25", "p50", "p75", "p90"))]
+    return agg.select("lang", "n_docs", *cols, "min_chars", "max_chars")
