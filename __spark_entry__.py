@@ -2425,6 +2425,57 @@ _LENGTH_QUANTILES_SQL = """
 """
 
 
+DSIR_TARGET = "src7"  # fixed target slice for the gate query
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: hashed-ngram log-likelihood ratio of
+    a target source slice vs the raw corpus (Xie et al. 2023)."""
+    from yacy_grid_crawler_spark.operators.textstats import dsir_weights
+
+    return dsir_weights(_docs(spark, sf_dir), DSIR_TARGET)
+
+
+_DSIR_WEIGHTS_SQL = f"""
+  WITH w AS (
+    SELECT doc_id, source,
+           regexp_extract_all(lower(text), '[a-z]+') AS toks
+    FROM documents
+  ),
+  feats AS (
+    SELECT doc_id, source, substr(md5(f), 1, 3) AS bucket FROM (
+      SELECT doc_id, source, unnest(toks) AS f FROM w
+      UNION ALL
+      SELECT doc_id, source, toks[i] || ' ' || toks[i + 1] AS f FROM (
+        SELECT doc_id, source, toks,
+               unnest(range(1, len(toks))) AS i
+        FROM w
+      )
+    )
+  ),
+  ct AS (
+    SELECT bucket,
+           CAST(sum(CASE WHEN source = '{DSIR_TARGET}' THEN 1 ELSE 0 END)
+                AS BIGINT) AS ct_t,
+           CAST(count(*) AS BIGINT) AS ct_r
+    FROM feats GROUP BY bucket
+  ),
+  tot AS (
+    SELECT CAST(sum(ct_t) AS BIGINT) AS nt,
+           CAST(sum(ct_r) AS BIGINT) AS nr
+    FROM ct
+  ),
+  lr AS (
+    SELECT bucket,
+           ln((ct_t + 1.0) / (nt + 4096)) - ln((ct_r + 1.0) / (nr + 4096))
+             AS _lr
+    FROM ct CROSS JOIN tot
+  )
+  SELECT doc_id, count(*) AS n_feats, round(sum(_lr), 4) AS log_weight
+  FROM feats JOIN lr USING (bucket) GROUP BY doc_id
+"""
+
+
 HOST_CAP = 37  # < the ~50 docs/host at sf0.01 so the cap actually binds
 
 
@@ -3976,6 +4027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": _q_hits,
         "host_graph": _q_host_graph,
         "length_quantiles": _q_length_quantiles,
+        "dsir_weights": _q_dsir_weights,
         "host_cap_sample": _q_host_cap_sample,
         "robots_parse": _q_robots_parse,
         "curate_pipeline": _q_curate_pipeline,
@@ -4069,6 +4121,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": _HITS_SQL,
         "host_graph": _HOST_GRAPH_SQL,
         "length_quantiles": _LENGTH_QUANTILES_SQL,
+        "dsir_weights": _DSIR_WEIGHTS_SQL,
         "host_cap_sample": _HOST_CAP_SQL,
         "robots_parse": _ROBOTS_PARSE_SQL,
         "curate_pipeline": _curate_sql(),

@@ -1090,3 +1090,26 @@ def test_length_quantiles_linear_interpolation(spark):
     assert en["n_docs"] == 4 and en["min_chars"] == 1
     de = out["de"]
     assert de["p50"] == 10.0 and de["max_chars"] == 10
+
+
+def test_dsir_weights_prefer_target_like_text(spark):
+    """Docs sharing the target slice's vocabulary out-weigh docs of
+    raw-only vocabulary; weights are deterministic."""
+    from yacy_grid_crawler_spark.operators.textstats import dsir_weights
+
+    rows = [
+        ("t1", "wiki", "physics theorem proof lemma physics theorem"),
+        ("t2", "wiki", "theorem lemma corollary proof physics"),
+        ("r1", "web", "click here buy cheap pills now click here"),
+        ("r2", "web", "physics theorem proof lemma corollary"),  # target-like
+        ("r3", "web", "buy cheap pills click buy cheap"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    out = {r["doc_id"]: r["log_weight"]
+           for r in dsir_weights(docs, "wiki").collect()}
+    # target-like raw doc scores above spam-like raw docs
+    assert out["r2"] > out["r1"] and out["r2"] > out["r3"]
+    # repeat run is bit-identical (pure function of the corpus)
+    out2 = {r["doc_id"]: r["log_weight"]
+            for r in dsir_weights(docs, "wiki").collect()}
+    assert out == out2

@@ -829,3 +829,78 @@ def length_quantiles(docs: DataFrame) -> DataFrame:
     cols = [F.round(F.col("_q")[i], 4).alias(name)
             for i, name in enumerate(("p25", "p50", "p75", "p90"))]
     return agg.select("lang", "n_docs", *cols, "min_chars", "max_chars")
+
+
+def dsir_weights(
+    docs: DataFrame, target_source: str, hex_chars: int = 3
+) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by the log-likelihood ratio of its hashed n-gram
+    features under a bag-of-words model of a TARGET slice vs the RAW
+    corpus, so resampling by weight shifts the mixture toward
+    target-like text without training a classifier.
+
+        feature  = first `hex_chars` of md5(token or bigram)
+                   (16^hex_chars buckets — the hashed-feature trick,
+                   and the md5-prefix form is engine-portable)
+        p_s(b)   = (ct_s(b) + 1) / (N_s + B)   add-one over the bucket
+                                               space, per side s
+        weight   = sum over doc features of ln p_t(b) - ln p_r(b)
+
+    Output: (doc_id, n_feats, log_weight) — log_weight rounded to 4dp
+    for oracle hashing (summation-order drift is ~1e-13 relative).
+    Docs with no alphabetic tokens are omitted, like lm_score.
+
+    Scale shape: ONE map-side-combining aggregate on the bucket key
+    builds BOTH side's counts (conditional sums — no second pass over
+    the corpus for the raw side); totals are a 1-row re-aggregate
+    broadcast back; the per-doc scoring join is skewed on stopword
+    buckets exactly like lm_score's freq join (AQE skew-join splits
+    it, and the doc_id re-aggregate absorbs the skew). The bucket
+    table is B rows — broadcastable outright at any corpus size, which
+    is the whole point of feature hashing here."""
+    buckets = int(16 ** hex_chars)
+    grams = F.expr(
+        "case when size(_w) >= 2 then transform("
+        "  sequence(0, size(_w) - 2),"
+        "  i -> array_join(slice(_w, i + 1, 2), ' '))"
+        " else array() end"
+    )
+    feats = (
+        docs.withColumn("_w", _words())
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.concat(F.col("_w"), grams)).alias("_f"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.substring(F.md5(F.col("_f")), 1, int(hex_chars)).alias(
+                "bucket"
+            ),
+        )
+    )
+    is_t = (F.col("source") == target_source).cast("long")
+    ct = feats.groupBy("bucket").agg(
+        F.sum(is_t).alias("ct_t"), F.count("*").alias("ct_r")
+    )
+    totals = ct.agg(
+        F.sum("ct_t").alias("_nt"), F.sum("ct_r").alias("_nr")
+    )
+    lr = ct.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("ct_t") + F.lit(1.0)) / (F.col("_nt") + buckets))
+            - F.log((F.col("ct_r") + F.lit(1.0)) / (F.col("_nr") + buckets))
+        ).alias("_lr"),
+    )
+    return (
+        feats.join(lr, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(F.sum("_lr"), 4).alias("log_weight"),
+        )
+    )
