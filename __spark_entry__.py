@@ -2476,6 +2476,56 @@ _DSIR_WEIGHTS_SQL = f"""
 """
 
 
+CRAWL_BUDGET = 777  # deliberately not a multiple of anything: remainders bind
+
+
+def _q_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder crawl-budget apportionment across hosts by
+    content mass — integer-exact, sum(quota) == budget."""
+    from yacy_grid_crawler_spark.operators.sampling import apportion_budget
+
+    dims = _docs(spark, sf_dir).groupBy(
+        F.concat(
+            F.lit("host"), (F.col("doc_id") % N_HOSTS).cast("string"),
+            F.lit(".example.org"),
+        ).alias("host")
+    ).agg(F.sum("n_chars").cast("long").alias("weight"))
+    return apportion_budget(
+        dims, CRAWL_BUDGET, cache_registry=_QUERY_CACHES
+    )
+
+
+_BUDGET_APPORTION_SQL = f"""
+  WITH dims AS (
+    SELECT 'host' || (doc_id % {N_HOSTS}) || '.example.org' AS host,
+           CAST(sum(n_chars) AS BIGINT) AS weight
+    FROM documents GROUP BY 1
+  ),
+  tot AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM dims
+          WHERE weight > 0),
+  base AS (
+    SELECT host, weight,
+           CAST(({CRAWL_BUDGET} * weight) // tw AS BIGINT) AS base_quota,
+           CAST(({CRAWL_BUDGET} * weight) % tw AS BIGINT) AS frac
+    FROM dims CROSS JOIN tot WHERE weight > 0
+  ),
+  r AS (SELECT CAST({CRAWL_BUDGET} - sum(base_quota) AS BIGINT) AS rem
+        FROM base),
+  ranked AS (
+    SELECT host, weight, base_quota,
+           row_number() OVER (ORDER BY frac DESC, host) - 1 AS pos
+    FROM base
+  )
+  SELECT host, weight,
+         CAST(base_quota + CASE WHEN pos < rem THEN 1 ELSE 0 END
+              AS BIGINT) AS quota
+  FROM ranked CROSS JOIN r
+  UNION ALL
+  SELECT host, coalesce(weight, 0) AS weight, CAST(0 AS BIGINT) AS quota
+  FROM dims WHERE weight IS NULL OR weight <= 0
+"""
+
+
 HOST_CAP = 37  # < the ~50 docs/host at sf0.01 so the cap actually binds
 
 
@@ -4028,6 +4078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": _q_host_graph,
         "length_quantiles": _q_length_quantiles,
         "dsir_weights": _q_dsir_weights,
+        "budget_apportion": _q_budget_apportion,
         "host_cap_sample": _q_host_cap_sample,
         "robots_parse": _q_robots_parse,
         "curate_pipeline": _q_curate_pipeline,
@@ -4122,6 +4173,7 @@ def oracle_sql() -> dict[str, str]:
         "host_graph": _HOST_GRAPH_SQL,
         "length_quantiles": _LENGTH_QUANTILES_SQL,
         "dsir_weights": _DSIR_WEIGHTS_SQL,
+        "budget_apportion": _BUDGET_APPORTION_SQL,
         "host_cap_sample": _HOST_CAP_SQL,
         "robots_parse": _ROBOTS_PARSE_SQL,
         "curate_pipeline": _curate_sql(),

@@ -1113,3 +1113,29 @@ def test_dsir_weights_prefer_target_like_text(spark):
     out2 = {r["doc_id"]: r["log_weight"]
             for r in dsir_weights(docs, "wiki").collect()}
     assert out == out2
+
+
+def test_apportion_budget_exact_sum_and_bounds(spark):
+    """sum(quota) == budget exactly; every quota is floor or ceil of
+    the proportional share; zero/negative weights get quota 0; the
+    distributed rank path equals the window path."""
+    from yacy_grid_crawler_spark.operators.sampling import apportion_budget
+
+    dims = spark.createDataFrame(
+        [("a", 10), ("b", 25), ("c", 7), ("d", 58), ("e", 0), ("f", -3)],
+        "host string, weight long",
+    )
+    budget = 101
+    out = {r["host"]: r["quota"]
+           for r in apportion_budget(dims, budget).collect()}
+    assert sum(out.values()) == budget
+    assert out["e"] == 0 and out["f"] == 0
+    total = 10 + 25 + 7 + 58
+    for h, w in (("a", 10), ("b", 25), ("c", 7), ("d", 58)):
+        lo = budget * w // total
+        assert out[h] in (lo, lo + 1)
+    # window path agrees
+    out2 = {r["host"]: r["quota"]
+            for r in apportion_budget(dims, budget, distributed=False)
+            .collect()}
+    assert out == out2

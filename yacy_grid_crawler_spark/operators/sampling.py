@@ -403,3 +403,86 @@ def corpus_shuffle(
         F.col("_shuffle_key").alias("shuffle_key"),
         F.col("_start").cast("bigint").alias("shuffle_pos"),
     )
+
+
+def apportion_budget(
+    dims: DataFrame,
+    budget: int,
+    weight_col: str = "weight",
+    key_col: str = "host",
+    distributed: bool = True,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer fetch
+    budget across hosts in proportion to a weight — the per-cycle
+    crawl-budget allocator (and, identically, a per-source sampling
+    quota assigner): sum(quota) == budget EXACTLY, every quota is
+    floor- or ceil-of-proportional, and the whole computation is
+    integer arithmetic, so engine and oracle agree bit-for-bit.
+
+        base(i)  = budget * w_i  DIV  W
+        frac(i)  = budget * w_i  MOD  W
+        quota(i) = base(i) + 1 for the R = budget - sum(base) largest
+                   frac (ties broken by key ascending), else base(i)
+
+    Scale shape: the input is a HOST/SOURCE dim (aggregated upstream),
+    orders of magnitude smaller than the corpus. W and R are 1-row
+    re-aggregates broadcast back; the remainder ranking rides the
+    shared two-phase distributed rank (`global_positions`) so even a
+    10^8-row dim never sorts on one task; rows with non-positive
+    weight get quota 0 and never join the ranking."""
+    from .batching import global_positions
+
+    w = F.col(weight_col).cast("long")
+    pos = dims.filter(w > 0).select(
+        F.col(key_col), w.alias("_w"), F.lit(0).alias("_g")
+    )
+    tot = pos.agg(F.sum("_w").alias("_tw"))
+    base = pos.crossJoin(F.broadcast(tot)).select(
+        key_col,
+        F.col("_w").alias(weight_col),
+        "_g",
+        (F.lit(int(budget)) * F.col("_w")).alias("_bw"),
+        F.col("_tw"),
+    ).select(
+        key_col,
+        weight_col,
+        "_g",
+        # integer DIV, not double '/': budget*w can pass 2^53 where a
+        # double round-trip would mis-floor
+        F.expr("_bw DIV _tw").alias("base_quota"),
+        (-(F.col("_bw") % F.col("_tw"))).alias("_negfrac"),
+    )
+    if distributed:
+        ranked = global_positions(
+            base,
+            group_cols=("_g",),
+            order_cols=("_negfrac", key_col),
+            out="_pos",
+            cache_registry=cache_registry,
+        )
+    else:
+        win = Window.partitionBy("_g").orderBy(
+            F.col("_negfrac"), F.col(key_col)
+        )
+        ranked = base.withColumn("_pos", F.row_number().over(win) - 1)
+    rem = ranked.agg(
+        (F.lit(int(budget)) - F.sum("base_quota")).alias("_rem")
+    )
+    zero = dims.filter(w.isNull() | (w <= 0)).select(
+        F.col(key_col),
+        F.coalesce(w, F.lit(0)).alias(weight_col),
+        F.lit(0).cast("long").alias("quota"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(rem))
+        .select(
+            key_col,
+            weight_col,
+            (
+                F.col("base_quota")
+                + F.when(F.col("_pos") < F.col("_rem"), 1).otherwise(0)
+            ).cast("long").alias("quota"),
+        )
+        .unionByName(zero)
+    )
