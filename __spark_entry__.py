@@ -2476,6 +2476,52 @@ _DSIR_WEIGHTS_SQL = f"""
 """
 
 
+def _q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection over the synthetic host partition:
+    host pairs sharing rare 8-word shingles (copied content)."""
+    from yacy_grid_crawler_spark.operators.dedup_text import mirror_pairs
+
+    docs = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % N_HOSTS).cast("string").alias("host"), "text"
+    )
+    return mirror_pairs(docs, cache_registry=_QUERY_CACHES)
+
+
+_MIRROR_HOSTS_SQL = f"""
+  WITH words AS (
+    SELECT CAST(doc_id % {N_HOSTS} AS VARCHAR) AS host,
+           regexp_extract_all(lower(text), '[a-z]+') AS w
+    FROM documents
+  ),
+  hg AS (
+    SELECT DISTINCT host, shingle FROM (
+      SELECT host,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                     w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+                     w[i+6] || ' ' || w[i+7]
+                     for i in generate_series(1, greatest(len(w) - 7, 0))])
+               AS shingle
+      FROM words
+    )
+  ),
+  rare AS (SELECT shingle FROM hg GROUP BY shingle HAVING count(*) <= 5),
+  hgr AS (SELECT hg.* FROM hg JOIN rare USING (shingle)),
+  sizes AS (SELECT host, count(*) AS n FROM hgr GROUP BY host),
+  pairs AS (
+    SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+    FROM hgr a JOIN hgr b ON a.shingle = b.shingle AND a.host < b.host
+    GROUP BY 1, 2 HAVING count(*) >= 5
+  )
+  SELECT host_a, host_b, shared,
+         sa.n AS n_a, sb.n AS n_b,
+         CAST((10000 * shared) // least(sa.n, sb.n) AS BIGINT)
+           AS containment_bp
+  FROM pairs
+  JOIN sizes sa ON sa.host = host_a
+  JOIN sizes sb ON sb.host = host_b
+"""
+
+
 CRAWL_BUDGET = 777  # deliberately not a multiple of anything: remainders bind
 
 
@@ -4079,6 +4125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": _q_length_quantiles,
         "dsir_weights": _q_dsir_weights,
         "budget_apportion": _q_budget_apportion,
+        "mirror_hosts": _q_mirror_hosts,
         "host_cap_sample": _q_host_cap_sample,
         "robots_parse": _q_robots_parse,
         "curate_pipeline": _q_curate_pipeline,
@@ -4174,6 +4221,7 @@ def oracle_sql() -> dict[str, str]:
         "length_quantiles": _LENGTH_QUANTILES_SQL,
         "dsir_weights": _DSIR_WEIGHTS_SQL,
         "budget_apportion": _BUDGET_APPORTION_SQL,
+        "mirror_hosts": _MIRROR_HOSTS_SQL,
         "host_cap_sample": _HOST_CAP_SQL,
         "robots_parse": _ROBOTS_PARSE_SQL,
         "curate_pipeline": _curate_sql(),

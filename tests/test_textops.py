@@ -1139,3 +1139,29 @@ def test_apportion_budget_exact_sum_and_bounds(spark):
             for r in apportion_budget(dims, budget, distributed=False)
             .collect()}
     assert out == out2
+
+
+def test_mirror_pairs_flags_copied_hosts(spark):
+    """Two hosts sharing a long copied passage pair up; unrelated
+    hosts don't; boilerplate grams on every host are df-capped away."""
+    from yacy_grid_crawler_spark.operators.dedup_text import mirror_pairs
+
+    passage = ("the quick brown fox jumps over the lazy dog and then "
+               "runs far away into the deep dark forest tonight")
+    boiler = "all rights reserved contact us terms of service apply here now"
+    rows = [
+        ("m1", passage + " " + boiler),
+        ("m2", passage + " extra tail words here " + boiler),
+        ("x1", "completely different text about cooking pasta with "
+               "tomato sauce and fresh basil leaves in summer " + boiler),
+        ("x2", "yet another unrelated document describing mountain "
+               "hiking trails and alpine weather patterns today " + boiler),
+    ]
+    docs = spark.createDataFrame(rows, "host string, text string")
+    out = {(r["host_a"], r["host_b"]): r
+           for r in mirror_pairs(docs, max_gram_hosts=2, min_shared=3)
+           .collect()}
+    assert ("m1", "m2") in out
+    pair = out[("m1", "m2")]
+    assert pair["shared"] >= 3 and pair["containment_bp"] > 0
+    assert all({a, b} == {"m1", "m2"} for a, b in out)  # no other pairs

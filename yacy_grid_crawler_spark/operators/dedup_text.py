@@ -851,3 +851,97 @@ def cut_dup_spans(docs: DataFrame, k: int = 5, min_count: int = 2) -> DataFrame:
             F.md5(clean).alias("clean_md5"),
         )
     )
+
+
+def mirror_pairs(
+    docs: DataFrame,
+    host_col: str = "host",
+    gram: int = 8,
+    max_gram_hosts: int = 5,
+    min_shared: int = 5,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Mirror-host detection: host pairs serving substantially the
+    same content, via shared LONG word shingles. Mirrors (and scraped
+    copies) are the crawl-side dedup problem the per-document
+    operators above can't see — the duplication is between SITES, and
+    the frontier should stop crawling the copy, not dedup it one page
+    at a time afterwards.
+
+    Long grams (default 8 words) are the discriminator: short
+    shingles are shared by every host speaking the language, 8-grams
+    only by copied text. The df-cap (`max_gram_hosts`) drops grams
+    present on more hosts than that — boilerplate/licence blocks —
+    which is ALSO the candidate-pair bound: a gram on ≤K hosts
+    contributes ≤K² pair rows, so the self-join is linear in the gram
+    table, never quadratic in hosts (the same economics as the
+    ngram-Jaccard inverted index above).
+
+    Output: (host_a, host_b, shared, n_a, n_b, containment_bp) where
+    containment_bp = 10000·shared DIV min(n_a, n_b) — integer basis
+    points of the smaller host's (capped) gram set found on the other.
+
+    Scale shape: one distinct-(host, gram) aggregate; the cap is a
+    gram-keyed count + semi-join; the pair self-join shuffles on the
+    gram key (AQE skew-join covers residual hot grams ≤ cap); sizes
+    join back on the host dim (broadcast-scale)."""
+    hg = (
+        with_words(docs)
+        .select(
+            F.col(host_col).alias("host"),
+            F.explode(F.array_distinct(shingles_expr(gram))).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+        .persist()
+    )
+    if cache_registry is not None:
+        cache_registry.append(hg)
+    rare = (
+        hg.groupBy("shingle")
+        .agg(F.count("*").alias("_nh"))
+        .filter(F.col("_nh") <= int(max_gram_hosts))
+        .select("shingle")
+    )
+    hgr = hg.join(rare, "shingle", "left_semi").persist()
+    if cache_registry is not None:
+        cache_registry.append(hgr)
+    sizes = hgr.groupBy("host").agg(F.count("*").alias("n_grams"))
+    a = hgr.alias("a")
+    b = hgr.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.host") < F.col("b.host"),
+            ],
+        )
+        .groupBy(
+            F.col("a.host").alias("host_a"),
+            F.col("b.host").alias("host_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= int(min_shared))
+    )
+    sa = sizes.select(
+        F.col("host").alias("host_a"), F.col("n_grams").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("host").alias("host_b"), F.col("n_grams").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "host_a")
+        .join(F.broadcast(sb), "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            "shared",
+            "n_a",
+            "n_b",
+            F.expr("(10000 * shared) DIV least(n_a, n_b)").alias(
+                "containment_bp"
+            ),
+        )
+    )
