@@ -3646,6 +3646,108 @@ _EVENTS_HOURLY_SQL = """
 """
 
 
+def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user
+    counts at a stage only with an event AT OR AFTER their previous
+    stage's first event (the strict-ordering semantics dashboards
+    mean by "funnel", not three independent counts). Three user-keyed
+    min aggregates chained by join — each stage is one shuffle on
+    user_id; integer basis-point conversion, one-row output."""
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase")))
+        .select(
+            "n_view", "n_click", "n_purchase",
+            F.expr(
+                "CASE WHEN n_view = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE (10000 * n_click) DIV n_view END"
+            ).alias("view_click_bp"),
+            F.expr(
+                "CASE WHEN n_click = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE (10000 * n_purchase) DIV n_click END"
+            ).alias("click_purchase_bp"),
+        )
+    )
+
+
+_EVENTS_FUNNEL_SQL = """
+  WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+             WHERE event_type = 'view' GROUP BY 1),
+  c AS (SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts >= v.t1 GROUP BY 1),
+  p AS (SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= c.t2 GROUP BY 1)
+  SELECT nv AS n_view, nc AS n_click, np AS n_purchase,
+         CAST(CASE WHEN nv = 0 THEN 0
+                   ELSE (10000 * nc) // nv END AS BIGINT) AS view_click_bp,
+         CAST(CASE WHEN nc = 0 THEN 0
+                   ELSE (10000 * np) // nc END AS BIGINT)
+           AS click_purchase_bp
+  FROM (SELECT (SELECT count(*) FROM v) AS nv,
+               (SELECT count(*) FROM c) AS nc,
+               (SELECT count(*) FROM p) AS np)
+"""
+
+COHORT_EPOCH = "2024-01-01"  # fixed day-index origin for the gate data
+
+
+def _q_events_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity day,
+    counted on each later active day offset. One distinct
+    (user, day) reduce, one user-keyed min, one matrix aggregate —
+    the standard retention pipeline, all map-side-combining."""
+    ev = _events(spark, sf_dir)
+    d = ev.select(
+        "user_id",
+        F.datediff(
+            F.to_date("ts"), F.lit(COHORT_EPOCH).cast("date")
+        ).alias("day"),
+    ).distinct()
+    first = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        d.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+_EVENTS_COHORTS_SQL = f"""
+  WITH d AS (
+    SELECT DISTINCT user_id,
+           CAST(date_diff('day', DATE '{COHORT_EPOCH}', CAST(ts AS DATE))
+                AS INTEGER) AS day
+    FROM events
+  ),
+  f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+  SELECT cohort_day, day - cohort_day AS day_offset,
+         count(*) AS n_users
+  FROM d JOIN f USING (user_id) GROUP BY 1, 2
+"""
+
+
 def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 users by total value per event type — window top-k."""
     from pyspark.sql import Window
@@ -4136,6 +4238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_build": _q_warc_build,
         "warc_roundtrip": _q_warc_roundtrip,
         "events_sessionize": _q_events_sessionize,
+        "events_funnel": _q_events_funnel,
+        "events_cohorts": _q_events_cohorts,
         "events_asof": _q_events_asof,
         "events_range_attrib": _q_events_range_attrib,
         "media_features": _q_media_features,
@@ -4232,6 +4336,8 @@ def oracle_sql() -> dict[str, str]:
         "warc_build": _WARC_BUILD_SQL,
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
+        "events_funnel": _EVENTS_FUNNEL_SQL,
+        "events_cohorts": _EVENTS_COHORTS_SQL,
         "events_asof": _EVENTS_ASOF_SQL,
         "events_range_attrib": _EVENTS_RANGE_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,
