@@ -2268,6 +2268,44 @@ _LM_SCORE_SQL = """
 """
 
 
+def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity terciles per language —
+    rank-based (integer-exact) on the lm_score output."""
+    from yacy_grid_crawler_spark.operators.textstats import ccnet_buckets
+
+    return ccnet_buckets(_docs(spark, sf_dir), cache_registry=_QUERY_CACHES)
+
+
+_CCNET_BUCKETS_SQL = """
+  WITH words AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+    FROM documents
+  ),
+  freqs AS (SELECT tok, count(*) AS cnt FROM words GROUP BY tok),
+  tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+          FROM freqs),
+  scored AS (
+    SELECT w.doc_id,
+           round(avg(-ln((f.cnt + 1.0) / (t.n + t.v))), 4) AS avg_neg_logprob
+    FROM words w JOIN freqs f USING (tok) CROSS JOIN tot t
+    GROUP BY w.doc_id
+  ),
+  ranked AS (
+    SELECT s.doc_id, d.lang, s.avg_neg_logprob,
+           row_number() OVER (
+             PARTITION BY d.lang
+             ORDER BY s.avg_neg_logprob, s.doc_id
+           ) - 1 AS rk,
+           count(*) OVER (PARTITION BY d.lang) AS n
+    FROM scored s JOIN documents d USING (doc_id)
+  )
+  SELECT doc_id, lang, avg_neg_logprob,
+         CASE (3 * rk) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM ranked
+"""
+
+
 def _q_inlink_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-target-host inlink aggregation over the synthetic link
     graph (crawl-priority signal: distinct referring hosts vs raw
@@ -4228,6 +4266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "budget_apportion": _q_budget_apportion,
         "mirror_hosts": _q_mirror_hosts,
+        "ccnet_buckets": _q_ccnet_buckets,
         "host_cap_sample": _q_host_cap_sample,
         "robots_parse": _q_robots_parse,
         "curate_pipeline": _q_curate_pipeline,
@@ -4326,6 +4365,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _DSIR_WEIGHTS_SQL,
         "budget_apportion": _BUDGET_APPORTION_SQL,
         "mirror_hosts": _MIRROR_HOSTS_SQL,
+        "ccnet_buckets": _CCNET_BUCKETS_SQL,
         "host_cap_sample": _HOST_CAP_SQL,
         "robots_parse": _ROBOTS_PARSE_SQL,
         "curate_pipeline": _curate_sql(),

@@ -1165,3 +1165,26 @@ def test_mirror_pairs_flags_copied_hosts(spark):
     pair = out[("m1", "m2")]
     assert pair["shared"] >= 3 and pair["containment_bp"] > 0
     assert all({a, b} == {"m1", "m2"} for a, b in out)  # no other pairs
+
+
+def test_ccnet_buckets_terciles_per_lang(spark):
+    """Each language splits ~1/3 per bucket; head holds the lowest
+    perplexity; distributed rank equals the window path."""
+    from yacy_grid_crawler_spark.operators.textstats import ccnet_buckets
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(9):
+        # vary fluency: doc 0 is pure common words, doc 8 is rare mix
+        # letter-only rare tokens ([a-z]+ tokenizer drops digits),
+        # unique per (i, j) so each is a corpus singleton
+        rare = " ".join("zq" + "x" * i + "w" + "y" * j for j in range(i))
+        rows.append((f"d{i}", "en", (common + " " + rare).strip()))
+    docs = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+    out = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(docs).collect()}
+    from collections import Counter
+    assert Counter(out.values()) == {"head": 3, "middle": 3, "tail": 3}
+    assert out["d0"] == "head" and out["d8"] == "tail"
+    out2 = {r["doc_id"]: r["bucket"]
+            for r in ccnet_buckets(docs, distributed=False).collect()}
+    assert out == out2

@@ -14,7 +14,7 @@ table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # marker stopwords per language for the n-gram/stopword heuristic.
@@ -902,5 +902,59 @@ def dsir_weights(
         .agg(
             F.count("*").alias("n_feats"),
             F.round(F.sum("_lr"), 4).alias("log_weight"),
+        )
+    )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    distributed: bool = True,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2020): split each
+    language's documents into head / middle / tail terciles of the
+    LM-quality score, so downstream mixing can oversample the head
+    (the published CommonCrawl curation recipe). RANK-based terciles,
+    not threshold-based: bucket = 3·rank DIV n within (lang, score
+    order, doc_id tie-break) — pure integers on top of the 4dp scores,
+    so engine and oracle agree exactly even at tercile boundaries
+    where an interpolated float threshold could flip a document.
+
+    Output: (doc_id, lang, avg_neg_logprob, bucket) with bucket in
+    head|middle|tail (head = lowest perplexity = most fluent).
+
+    Scale shape: lm_score's aggregates, then the shared two-phase
+    distributed rank grouped by lang (no per-lang global window), a
+    broadcast-scale per-lang size join, and a codegen bucket map."""
+    from .batching import global_positions
+
+    scored = lm_score(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "lang", "avg_neg_logprob")
+    if distributed:
+        ranked = global_positions(
+            scored,
+            group_cols=("lang",),
+            order_cols=("avg_neg_logprob", "doc_id"),
+            out="_rk",
+            cache_registry=cache_registry,
+        )
+    else:
+        win = Window.partitionBy("lang").orderBy(
+            F.col("avg_neg_logprob"), F.col("doc_id")
+        )
+        ranked = scored.withColumn("_rk", F.row_number().over(win) - 1)
+    sizes = scored.groupBy("lang").agg(F.count("*").alias("_n"))
+    b = F.expr("(3 * _rk) DIV _n")
+    return (
+        ranked.join(F.broadcast(sizes), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_neg_logprob",
+            F.when(b == 0, "head")
+            .when(b == 1, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
         )
     )
