@@ -2560,6 +2560,37 @@ _MIRROR_HOSTS_SQL = f"""
 """
 
 
+RESAMPLE_K = 64
+RESAMPLE_SEED = "epoch0"
+
+
+def _q_weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel top-k weighted sampling without replacement (the DSIR
+    resampling execution step), weights = content length."""
+    from yacy_grid_crawler_spark.operators.sampling import weighted_resample
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("long").alias("weight")
+    )
+    return weighted_resample(docs, RESAMPLE_K, seed=RESAMPLE_SEED)
+
+
+_WEIGHTED_RESAMPLE_SQL = f"""
+  WITH s AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           round(
+             ln(CAST(n_chars AS DOUBLE))
+             - ln(-ln(
+                 ((('0x' || substr(md5('{RESAMPLE_SEED}|' || doc_id), 1, 8))
+                   ::BIGINT) + 0.5) / 4294967296.0)),
+             4) AS score
+    FROM documents WHERE n_chars > 0
+  )
+  SELECT doc_id, weight, score FROM s
+  ORDER BY score DESC, doc_id LIMIT {RESAMPLE_K}
+"""
+
+
 CRAWL_BUDGET = 777  # deliberately not a multiple of anything: remainders bind
 
 
@@ -4267,6 +4298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_apportion": _q_budget_apportion,
         "mirror_hosts": _q_mirror_hosts,
         "ccnet_buckets": _q_ccnet_buckets,
+        "weighted_resample": _q_weighted_resample,
         "host_cap_sample": _q_host_cap_sample,
         "robots_parse": _q_robots_parse,
         "curate_pipeline": _q_curate_pipeline,
@@ -4366,6 +4398,7 @@ def oracle_sql() -> dict[str, str]:
         "budget_apportion": _BUDGET_APPORTION_SQL,
         "mirror_hosts": _MIRROR_HOSTS_SQL,
         "ccnet_buckets": _CCNET_BUCKETS_SQL,
+        "weighted_resample": _WEIGHTED_RESAMPLE_SQL,
         "host_cap_sample": _HOST_CAP_SQL,
         "robots_parse": _ROBOTS_PARSE_SQL,
         "curate_pipeline": _curate_sql(),

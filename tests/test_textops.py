@@ -1188,3 +1188,23 @@ def test_ccnet_buckets_terciles_per_lang(spark):
     out2 = {r["doc_id"]: r["bucket"]
             for r in ccnet_buckets(docs, distributed=False).collect()}
     assert out == out2
+
+
+def test_weighted_resample_gumbel_topk(spark):
+    """Deterministic across runs; a new seed reshuffles; heavier
+    weights win more slots on average; non-positive weights excluded."""
+    from yacy_grid_crawler_spark.operators.sampling import weighted_resample
+
+    rows = ([(f"h{i}", 1000) for i in range(50)]
+            + [(f"l{i}", 1) for i in range(50)]
+            + [("z", 0), ("n", -5)])
+    docs = spark.createDataFrame(rows, "doc_id string, weight long")
+    got = weighted_resample(docs, 20, seed="s1").collect()
+    ids = [r["doc_id"] for r in got]
+    assert len(ids) == 20 and "z" not in ids and "n" not in ids
+    # ln(1000) - ln(1) ≈ 6.9 dominates the Gumbel spread: heavy ids win
+    assert sum(1 for i in ids if i.startswith("h")) >= 15
+    again = [r["doc_id"] for r in weighted_resample(docs, 20, seed="s1").collect()]
+    assert ids == again
+    other = [r["doc_id"] for r in weighted_resample(docs, 20, seed="s2").collect()]
+    assert ids != other

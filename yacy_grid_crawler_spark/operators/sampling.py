@@ -486,3 +486,56 @@ def apportion_budget(
         )
         .unionByName(zero)
     )
+
+
+GUMBEL_DENOM = 4294967296.0  # 2^32: md5-prefix → uniform (0,1)
+
+
+def weighted_resample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str = "weight",
+    id_col: str = "doc_id",
+    seed: str = "epoch0",
+) -> DataFrame:
+    """Gumbel top-k weighted sampling WITHOUT replacement — the
+    execution step of importance resampling (pair it with
+    `textstats.dsir_weights`: exp(log_weight) as the weight draws the
+    DSIR-shifted corpus). The Gumbel-max trick makes one global top-k
+    equivalent to sequential weighted draws:
+
+        u(id)  = (int(md5(seed|id)[:8]) + 0.5) / 2^32   deterministic
+        score  = ln(w) + (-ln(-ln u))                    Gumbel noise
+        sample = top-k by score
+
+    Determinism replaces RNG state, as everywhere in this module: the
+    same (seed, id) yields the same draw on any engine/cluster/scale,
+    and a new epoch is a new seed string — no reshuffle, no state.
+    Scores are rounded to 4dp BEFORE ranking (ids break ties), so the
+    selected set is reproducible bit-for-bit cross-engine.
+
+    Scale shape: pure codegen map + one TakeOrdered top-k (per-
+    partition heap, driver merges k rows per partition) — no global
+    sort, no shuffle of the corpus. Non-positive weights are excluded
+    (ln undefined), matching every weighted sampler's domain."""
+    w = F.col(weight_col).cast("double")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(str(seed)), F.lit("|"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(GUMBEL_DENOM)
+    score = F.round(F.log(w) - F.log(-F.log(u)), 4)
+    return (
+        docs.filter(w > 0)
+        .select(F.col(id_col), F.col(weight_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(int(k))
+    )
