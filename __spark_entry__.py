@@ -1999,8 +1999,8 @@ def _kmeans_sql(k: int, iters: int, d: int) -> str:
     for t in range(iters + 1):
         parts.append(
             f"""a{t} AS (
-    SELECT vec_id, q, cent_id AS cluster_id FROM (
-      SELECT v.vec_id, v.q, c.cent_id,
+    SELECT vec_id, q, cent_id AS cluster_id, d2 FROM (
+      SELECT v.vec_id, v.q, c.cent_id, {dist} AS d2,
              row_number() OVER (PARTITION BY v.vec_id
                ORDER BY {dist} ASC, c.cent_id ASC) AS rn
       FROM q v CROSS JOIN c{t} c
@@ -2028,6 +2028,45 @@ def _kmeans_sql(k: int, iters: int, d: int) -> str:
 
 
 _KMEANS_SQL = _kmeans_sql(KMEANS_K, KMEANS_ITERS, KMEANS_DIM)
+
+OUTLIERS_TOP = 5
+
+
+def _cluster_outliers_sql(k: int, iters: int, d: int, top: int) -> str:
+    """Same unrolled Lloyd CTEs; final select ranks each cluster's
+    members by integer squared-L2 distance to their centroid and
+    keeps the `top` furthest (ties to the lower vec_id)."""
+    base = _kmeans_sql(k, iters, d)
+    head, _, _ = base.rpartition("SELECT vec_id, cluster_id FROM")
+    return f"""{head}
+  SELECT cluster_id, vec_id, CAST(d2 AS BIGINT) AS dist FROM (
+    SELECT cluster_id, vec_id, d2,
+           row_number() OVER (PARTITION BY cluster_id
+             ORDER BY d2 DESC, vec_id ASC) AS rnk
+    FROM a{iters}
+  ) WHERE rnk <= {top}
+"""
+
+
+_CLUSTER_OUTLIERS_SQL = _cluster_outliers_sql(
+    KMEANS_K, KMEANS_ITERS, KMEANS_DIM, OUTLIERS_TOP
+)
+
+
+def _q_cluster_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster furthest-from-centroid outliers (integer L2) —
+    prototype-distance junk/novelty mining on the embeddings table."""
+    from yacy_grid_crawler_spark.operators.clustering import (
+        cluster_outliers,
+    )
+
+    return cluster_outliers(
+        _emb(spark, sf_dir),
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        top=OUTLIERS_TOP,
+        cache_registry=_QUERY_CACHES,
+    )
 
 
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4284,6 +4323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": _q_pack_shards,
         "pack_sequences": _q_pack_sequences,
         "kmeans_assign": _q_kmeans_assign,
+        "cluster_outliers": _q_cluster_outliers,
         "chunk_documents": _q_chunk_documents,
         "scrub_blocks": _q_scrub_blocks,
         "normalize_text": _q_normalize_text,
@@ -4384,6 +4424,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_shards": _PACK_SHARDS_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "kmeans_assign": _KMEANS_SQL,
+        "cluster_outliers": _CLUSTER_OUTLIERS_SQL,
         "chunk_documents": _CHUNK_SQL,
         "scrub_blocks": _SCRUB_BLOCKS_SQL,
         "normalize_text": _NORMALIZE_SQL,

@@ -234,3 +234,23 @@ def test_semantic_dedup_keeps_one_per_near_dup_group(spark):
     # near-dups must share a cluster for the keeper to see them
     assert out[0]["cluster_id"] == out[3]["cluster_id"]
     assert out[1]["cluster_id"] == out[4]["cluster_id"]
+
+
+def test_cluster_outliers_furthest_per_cluster(spark):
+    """Two tight clusters + one planted far point per cluster: the
+    planted points rank first; output is top-per-cluster with integer
+    distances."""
+    from yacy_grid_crawler_spark.operators.clustering import cluster_outliers
+
+    rows = []
+    for i in range(6):
+        rows.append((i, [0.0 + i * 0.001, 0.0]))        # cluster around 0
+    for i in range(6):
+        rows.append((10 + i, [1.0 + i * 0.001, 1.0]))   # cluster around 1
+    rows.append((99, [0.0, 0.4]))    # far from cluster-0 core
+    rows.append((98, [1.0, 0.6]))    # far from cluster-1 core
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cluster_outliers(vecs, k=2, iters=2, top=1).collect()
+    assert len(out) == 2
+    assert {r["vec_id"] for r in out} == {98, 99}
+    assert all(isinstance(r["dist"], int) and r["dist"] > 0 for r in out)

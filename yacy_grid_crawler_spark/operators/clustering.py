@@ -74,7 +74,10 @@ def _assign(
 
     best = F.array_min(F.transform(F.col("cents"), _cand))
     return qdf.join(F.broadcast(cent_df)).select(
-        id_col, "_q", best["j"].alias("cluster_id")
+        id_col,
+        "_q",
+        best["j"].alias("cluster_id"),
+        best["d"].alias("dist"),
     )
 
 
@@ -92,7 +95,16 @@ def kmeans_assignments(
     qdf = quantized(vectors, emb_col).select(id_col, "_q").persist()
     if cache_registry is not None:
         cache_registry.append(qdf)
+    centroids = _fit_centroids(qdf, k, iters, id_col)
+    return _assign(qdf, centroids, id_col).select(id_col, "cluster_id")
 
+
+def _fit_centroids(
+    qdf: DataFrame, k: int, iters: int, id_col: str
+) -> list[tuple[int, list[int]]]:
+    """Run `iters` Lloyd rounds over the quantized vectors and return
+    the fitted centroid list (see module docstring for the bounded
+    per-round driver traffic)."""
     seeds = qdf.orderBy(id_col).limit(k).collect()
     centroids = [(j, list(r["_q"])) for j, r in enumerate(seeds)]
     d = len(centroids[0][1])
@@ -117,7 +129,49 @@ def kmeans_assignments(
             ] = int(r["_s"]) // int(r["_n"])
         centroids = sorted(by_cluster.items())
 
-    return _assign(qdf, centroids, id_col).select(id_col, "cluster_id")
+    return centroids
+
+
+def cluster_outliers(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    top: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Prototype-distance outlier mining: the `top` vectors FURTHEST
+    from their own cluster centroid, per cluster — the standard
+    triage for junk/novel/mislabeled embeddings (SemDeDup keeps the
+    density cores; this surfaces the opposite tail). Entirely
+    integer: quantized dims make the squared-L2 distance a bigint, so
+    the per-cluster ranking has no float boundary anywhere.
+
+    Output: (cluster_id, id, dist) with dist the integer squared L2
+    to the assigned centroid.
+
+    Scale shape: the Lloyd fit + one final broadcast assignment
+    (big side never shuffles), then a per-cluster top-k window —
+    cluster count is k, and rank-k windows over k partitions are the
+    same geometry as `topk_per_group`; if a single cluster dominates
+    at extreme scale the two-phase rank (`batching.global_positions`)
+    drops in, same as everywhere else in this repo."""
+    from pyspark.sql import Window
+
+    qdf = quantized(vectors, emb_col).select(id_col, "_q").persist()
+    if cache_registry is not None:
+        cache_registry.append(qdf)
+    centroids = _fit_centroids(qdf, k, iters, id_col)
+    assigned = _assign(qdf, centroids, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("dist"), F.col(id_col)
+    )
+    return (
+        assigned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(top))
+        .select("cluster_id", id_col, "dist")
+    )
 
 
 def semantic_dedup(
