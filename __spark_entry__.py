@@ -1029,6 +1029,22 @@ _LANG_ID_SQL = """
 """
 
 
+def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix (the corpus
+    metadata audit)."""
+    from yacy_grid_crawler_spark.operators.textstats import lang_confusion
+
+    return lang_confusion(_docs(spark, sf_dir))
+
+
+_LANG_CONFUSION_SQL = f"""
+  WITH pred AS ({_LANG_ID_SQL})
+  SELECT d.lang, p.pred_lang, count(*) AS n
+  FROM pred p JOIN documents d USING (doc_id)
+  GROUP BY 1, 2
+"""
+
+
 def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yacy_grid_crawler_spark.operators.textstats import quality_score
 
@@ -4293,6 +4309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq8_topk": _q_ann_sq8_topk,
         "minhash_jaccard_est": _q_minhash_jaccard_est,
         "lang_id": _q_lang_id,
+        "lang_confusion": _q_lang_confusion,
         "quality_score": _q_quality_score,
         "token_count": _q_token_count,
         "gopher_rules": _q_gopher_rules,
@@ -4394,6 +4411,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": _DEDUP_EMBEDDING_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "lang_id": _LANG_ID_SQL,
+        "lang_confusion": _LANG_CONFUSION_SQL,
         "quality_score": _QUALITY_SQL,
         "token_count": _TOKEN_SQL,
         "gopher_rules": _GOPHER_SQL,

@@ -958,3 +958,25 @@ def ccnet_buckets(
             .alias("bucket"),
         )
     )
+
+
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """Language-metadata audit: confusion matrix of the DECLARED lang
+    column vs the detector's verdict — the standard first check on any
+    multilingual corpus (mislabeled lang is the top cause of bad
+    per-language curation thresholds downstream). Output
+    (lang, pred_lang, n).
+
+    Scale shape: lang_id is a zero-shuffle codegen map, so the whole
+    audit is ONE matrix aggregate (map-side combining; ≤ langs² rows
+    out) riding a doc_id-keyed join that AQE broadcasts at dim scale
+    — at corpus scale prefer fusing: run lang_id's expressions inline
+    on the scan carrying `lang` and skip the join entirely (the
+    composition here keeps the detector single-sourced)."""
+    return (
+        lang_id(docs)
+        .select("doc_id", "pred_lang")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
