@@ -1029,6 +1029,49 @@ _LANG_ID_SQL = """
 """
 
 
+def _q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile-rank quality calibration (rank-based,
+    integer-exact basis points)."""
+    from yacy_grid_crawler_spark.operators.textstats import (
+        quality_percentiles,
+    )
+
+    return quality_percentiles(
+        _docs(spark, sf_dir), cache_registry=_QUERY_CACHES
+    )
+
+
+_QUALITY_PERCENTILES_SQL = """
+  WITH feats AS (
+    SELECT doc_id, source,
+           len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+           length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+           length(text) AS n_chars,
+           len([w for w in regexp_extract_all(lower(text), '[a-z]+')
+                if w IN ('the','a','of','and','to','in','is')]) AS n_stop
+    FROM documents
+  ),
+  scored AS (
+    SELECT doc_id, source,
+           round((n_stop / greatest(n_words, 1)) * 2
+                 + least(n_words / 100.0, 1.0)
+                 - n_punct / greatest(n_chars, 1), 4) AS quality
+    FROM feats
+  ),
+  ranked AS (
+    SELECT doc_id, source, quality,
+           row_number() OVER (PARTITION BY source
+             ORDER BY quality, doc_id) - 1 AS rk,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM scored
+  )
+  SELECT doc_id, source, quality,
+         CAST(CASE WHEN n <= 1 THEN 0
+                   ELSE (10000 * rk) // (n - 1) END AS BIGINT) AS pct_bp
+  FROM ranked
+"""
+
+
 def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared-vs-detected language confusion matrix (the corpus
     metadata audit)."""
@@ -4310,6 +4353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_jaccard_est": _q_minhash_jaccard_est,
         "lang_id": _q_lang_id,
         "lang_confusion": _q_lang_confusion,
+        "quality_percentiles": _q_quality_percentiles,
         "quality_score": _q_quality_score,
         "token_count": _q_token_count,
         "gopher_rules": _q_gopher_rules,
@@ -4412,6 +4456,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_SQL,
         "lang_id": _LANG_ID_SQL,
         "lang_confusion": _LANG_CONFUSION_SQL,
+        "quality_percentiles": _QUALITY_PERCENTILES_SQL,
         "quality_score": _QUALITY_SQL,
         "token_count": _TOKEN_SQL,
         "gopher_rules": _GOPHER_SQL,

@@ -1208,3 +1208,25 @@ def test_weighted_resample_gumbel_topk(spark):
     assert ids == again
     other = [r["doc_id"] for r in weighted_resample(docs, 20, seed="s2").collect()]
     assert ids != other
+
+
+def test_quality_percentiles_rank_calibration(spark):
+    """pct_bp spans [0, 10000] within each source regardless of raw
+    score scale; singleton sources get 0; distributed == window."""
+    from yacy_grid_crawler_spark.operators.textstats import (
+        quality_percentiles,
+    )
+
+    good = "the story of a small town and the people in it is told here"
+    rows = ([(f"a{i}", "srcA", good + " word" * i) for i in range(5)]
+            + [(f"b{i}", "srcB", ("x" * 20 + " ") * (i + 1)) for i in range(3)]
+            + [("solo", "srcC", good)])
+    docs = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    out = {r["doc_id"]: r for r in quality_percentiles(docs).collect()}
+    for src, n in (("srcA", 5), ("srcB", 3)):
+        bps = sorted(r["pct_bp"] for r in out.values() if r["source"] == src)
+        assert bps[0] == 0 and bps[-1] == 10000 and len(bps) == n
+    assert out["solo"]["pct_bp"] == 0
+    out2 = {r["doc_id"]: r["pct_bp"]
+            for r in quality_percentiles(docs, distributed=False).collect()}
+    assert out2 == {k: v["pct_bp"] for k, v in out.items()}

@@ -980,3 +980,56 @@ def lang_confusion(docs: DataFrame) -> DataFrame:
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").alias("n"))
     )
+
+
+def quality_percentiles(
+    docs: DataFrame,
+    distributed: bool = True,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Per-source percentile-rank calibration of the quality score —
+    the cross-source comparability fix: raw quality scores are not
+    comparable between sources (a mid-tier wiki doc outscores a top
+    forum doc on raw features), so mixture/filter policies operate on
+    the WITHIN-SOURCE percentile instead. Rank-based and integer
+    (pct_bp = 10000·rank DIV (n−1), rank ties broken by doc_id), so
+    the calibration is engine-exact — the same boundary argument as
+    `ccnet_buckets`.
+
+    Output: (doc_id, source, quality, pct_bp) with pct_bp in
+    [0, 10000] (single-doc sources get 0 by the n−1 = 0 guard).
+
+    Scale shape: quality_score is a zero-shuffle map; the rank is the
+    shared two-phase distributed form grouped by source; sizes join
+    back at dim scale."""
+    from .batching import global_positions
+
+    scored = quality_score(docs, keep=("source",)).select(
+        "doc_id", "source", "quality"
+    )
+    if distributed:
+        ranked = global_positions(
+            scored,
+            group_cols=("source",),
+            order_cols=("quality", "doc_id"),
+            out="_rk",
+            cache_registry=cache_registry,
+        )
+    else:
+        win = Window.partitionBy("source").orderBy(
+            F.col("quality"), F.col("doc_id")
+        )
+        ranked = scored.withColumn("_rk", F.row_number().over(win) - 1)
+    sizes = scored.groupBy("source").agg(F.count("*").alias("_n"))
+    return (
+        ranked.join(F.broadcast(sizes), "source")
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            F.expr(
+                "CASE WHEN _n <= 1 THEN CAST(0 AS BIGINT)"
+                " ELSE (10000 * _rk) DIV (_n - 1) END"
+            ).alias("pct_bp"),
+        )
+    )
