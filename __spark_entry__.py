@@ -1828,7 +1828,11 @@ def _q_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("qtext"),
         )
     )
-    return batch_search(docs, queries, k=5, df_cap=200)
+    # df_cap 390: above the probe terms' ~370-385 df at sf0.01 (the
+    # round-2 cap of 200 made BOTH engines return zero rows — a
+    # trivially-green gate), below 'scan'/'agg'/'row' (393-398) so the
+    # stopword-exclusion economics still bind on real terms
+    return batch_search(docs, queries, k=5, df_cap=390)
 
 
 _BATCH_SEARCH_SQL = """
@@ -1838,7 +1842,7 @@ _BATCH_SEARCH_SQL = """
   ),
   tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
   dfreq AS (
-    SELECT term, count(*) AS df FROM tf GROUP BY term HAVING count(*) <= 200
+    SELECT term, count(*) AS df FROM tf GROUP BY term HAVING count(*) <= 390
   ),
   n AS (SELECT count(*) AS n_docs FROM documents),
   q AS (
@@ -1866,6 +1870,117 @@ _BATCH_SEARCH_SQL = """
     SELECT *, row_number() OVER (
       PARTITION BY query_id ORDER BY score DESC, doc_id
     ) AS rnk FROM scored
+  ) WHERE rnk <= 5
+"""
+
+
+def _q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: RRF fusion of the lexical tf·idf ranking
+    (batch_search) and the vector cosine ranking (brute-force top-k,
+    rounded-rank mode) over the SAME probe ids (doc_id ≡ vec_id row
+    space, probes = id % 97 == 0)."""
+    from yacy_grid_crawler_spark.operators.similarity import (
+        brute_force_topk, rrf_fuse,
+    )
+    from yacy_grid_crawler_spark.operators.textstats import batch_search
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    queries = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(
+                    F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"),
+                    1, 4,
+                ),
+                " ",
+            ).alias("qtext"),
+        )
+    )
+    lex = batch_search(docs, queries, k=5, df_cap=390).select(
+        "query_id", "doc_id", F.col("rnk").alias("rank")
+    )
+    vec = brute_force_topk(
+        _emb(spark, sf_dir), query_mod=97, rank_rounded=True
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, vec], k=5)
+
+
+_HYBRID_SEARCH_SQL = """
+  WITH words AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+    FROM documents
+  ),
+  tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+  dfreq AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term HAVING count(*) <= 390
+  ),
+  n AS (SELECT count(*) AS n_docs FROM documents),
+  q AS (
+    SELECT doc_id AS query_id,
+           array_to_string(regexp_extract_all(lower(text), '[a-z]+')[1:4], ' ')
+             AS qtext
+    FROM documents WHERE doc_id % 97 = 0
+  ),
+  qterms AS (
+    SELECT DISTINCT query_id,
+           unnest(regexp_extract_all(lower(qtext), '[a-z]+')) AS term
+    FROM q
+  ),
+  lscored AS (
+    SELECT qt.query_id, t.doc_id,
+           sum(t.tf * (1000000 * n.n_docs // d.df)) AS score
+    FROM tf t JOIN qterms qt USING (term)
+              JOIN dfreq d USING (term) CROSS JOIN n
+    GROUP BY qt.query_id, t.doc_id
+  ),
+  lex AS (
+    SELECT query_id, doc_id, rnk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id
+      ) AS rnk FROM lscored
+    ) WHERE rnk <= 5
+  ),
+  vec AS (
+    SELECT query_id, neighbor_id AS doc_id, rnk FROM (
+      SELECT qe.vec_id AS query_id, c.vec_id AS neighbor_id,
+             -- mirror the engine's exact float expression (dot /
+             -- (norm_c * norm_q), sequential sums) so the 4dp-rounded
+             -- rank key is bit-identical; list_cosine_similarity's
+             -- internal op order differs at 1-ulp and flips 4dp
+             -- boundaries
+             row_number() OVER (
+               PARTITION BY qe.vec_id
+               ORDER BY round(
+                 list_dot_product(c.embedding::double[],
+                                  qe.embedding::double[])
+                 / (sqrt(list_dot_product(c.embedding::double[],
+                                          c.embedding::double[]))
+                    * sqrt(list_dot_product(qe.embedding::double[],
+                                            qe.embedding::double[]))),
+                 4) DESC,
+                 c.vec_id
+             ) AS rnk
+      FROM embeddings qe JOIN embeddings c ON c.vec_id <> qe.vec_id
+      WHERE qe.vec_id % 97 = 0
+    ) WHERE rnk <= 5
+  ),
+  contrib AS (
+    SELECT query_id, doc_id,
+           CAST(1000000 // (60 + rnk) AS BIGINT) AS c FROM lex
+    UNION ALL
+    SELECT query_id, doc_id,
+           CAST(1000000 // (60 + rnk) AS BIGINT) AS c FROM vec
+  ),
+  fused AS (
+    SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf
+    FROM contrib GROUP BY 1, 2
+  )
+  SELECT query_id, doc_id, rrf, CAST(rnk AS INTEGER) AS rnk FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY rrf DESC, doc_id
+    ) AS rnk FROM fused
   ) WHERE rnk <= 5
 """
 
@@ -4354,6 +4469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "lang_confusion": _q_lang_confusion,
         "quality_percentiles": _q_quality_percentiles,
+        "hybrid_search": _q_hybrid_search,
         "quality_score": _q_quality_score,
         "token_count": _q_token_count,
         "gopher_rules": _q_gopher_rules,
@@ -4457,6 +4573,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANG_ID_SQL,
         "lang_confusion": _LANG_CONFUSION_SQL,
         "quality_percentiles": _QUALITY_PERCENTILES_SQL,
+        "hybrid_search": _HYBRID_SEARCH_SQL,
         "quality_score": _QUALITY_SQL,
         "token_count": _TOKEN_SQL,
         "gopher_rules": _GOPHER_SQL,

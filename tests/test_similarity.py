@@ -254,3 +254,24 @@ def test_cluster_outliers_furthest_per_cluster(spark):
     assert len(out) == 2
     assert {r["vec_id"] for r in out} == {98, 99}
     assert all(isinstance(r["dist"], int) and r["dist"] > 0 for r in out)
+
+
+def test_rrf_fuse_rewards_cross_list_agreement(spark):
+    """A doc ranked mid-list in BOTH systems outranks docs that top
+    one list but miss the other (the hybrid-retrieval point)."""
+    from yacy_grid_crawler_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 100, 1), (1, 200, 2), (1, 300, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    vec = spark.createDataFrame(
+        [(1, 900, 1), (1, 200, 2), (1, 800, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    out = {r["doc_id"]: (r["rrf"], r["rnk"])
+           for r in rrf_fuse([lex, vec], k=4).collect()}
+    assert out[200][1] == 1                   # in both lists at rank 2
+    assert out[200][0] == 2 * (1000000 // 62)
+    assert out[100][0] == out[900][0] == 1000000 // 61
+    assert out[100][1] == 2 and out[900][1] == 3  # tie broken by doc_id

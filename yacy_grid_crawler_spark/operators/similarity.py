@@ -37,12 +37,19 @@ def with_norm(df: DataFrame, col: str = "embedding") -> DataFrame:
 
 
 def brute_force_topk(
-    vectors: DataFrame, top_k: int = TOP_K, query_mod: int = QUERY_MOD
+    vectors: DataFrame, top_k: int = TOP_K, query_mod: int = QUERY_MOD,
+    rank_rounded: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k: queries = vec_id % query_mod == 0 (a
     deterministic subset), candidates = all other vectors.
     Output (query_id, rank, neighbor_id, cos_sim rounded 4dp),
     rank by (sim desc, neighbor_id) for a total order.
+
+    `rank_rounded=True` ranks by the 4dp-ROUNDED similarity instead of
+    the raw double — choose it when the rank value itself feeds a
+    downstream computation (e.g. RRF fusion) that must be engine-exact;
+    raw ranking keeps maximal resolution when only the neighbor SET
+    matters.
 
     Scale note: the cross join is Q×N — the baseline only. The
     broadcast of the (small) query side keeps it shuffle-free; for
@@ -66,8 +73,11 @@ def brute_force_topk(
         "cos_sim",
         _dot(F.col("_emb"), F.col("_qemb")) / (F.col("_norm") * F.col("_qnorm")),
     )
+    rank_key = (
+        F.round("cos_sim", 4) if rank_rounded else F.col("cos_sim")
+    )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id")
+        rank_key.desc(), F.col("vec_id")
     )
     return (
         sims.withColumn("rank", F.row_number().over(w))
@@ -329,8 +339,11 @@ def lsh_bucket_topk(
         "cos_sim",
         _dot(F.col("_emb"), F.col("_qemb")) / (F.col("_norm") * F.col("_qnorm")),
     )
+    rank_key = (
+        F.round("cos_sim", 4) if rank_rounded else F.col("cos_sim")
+    )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id")
+        rank_key.desc(), F.col("vec_id")
     )
     return (
         sims.withColumn("rank", F.row_number().over(w))
@@ -440,4 +453,57 @@ def sq8_topk(
             F.col("vec_id").alias("neighbor_id"),
             F.round("qcos", 4).alias("qcos"),
         )
+    )
+
+
+RRF_K = 60  # Cormack et al. 2009's constant
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], k: int = 5, rrf_k: int = RRF_K
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    hybrid-retrieval combiner: each input ranking contributes
+    1/(rrf_k + rank) per (query, doc), summed across rankings; no
+    score calibration between systems needed, which is exactly why it
+    wins for lexical+vector hybrids. Integer-scaled
+    (1000000 DIV (rrf_k + rank)) so the fused score is engine-exact —
+    provided the INPUT ranks are themselves deterministic (rank on
+    rounded scores with id tie-breaks; see
+    `brute_force_topk(rank_rounded=True)`).
+
+    Inputs: DataFrames with columns (query_id, doc_id, rank).
+    Output: (query_id, doc_id, rrf, rnk) — top-k per query by
+    (rrf desc, doc_id).
+
+    Scale shape: a union of already-top-k'd rankings is ≤ Σk rows per
+    query — one map-side-combining sum keyed (query_id, doc_id), then
+    a per-query top-k window over ≤ Σk rows per group (bounded by
+    construction, no skew possible)."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    parts = [
+        r.select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                f"CAST(1000000 AS BIGINT) DIV ({int(rrf_k)} + rank)"
+            ).alias("_c"),
+        )
+        for r in rankings
+    ]
+    fused = (
+        reduce(lambda a, b: a.unionByName(b), parts)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("_c").alias("rrf"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(k))
+        .select("query_id", "doc_id", "rrf", F.col("rnk").cast("int").alias("rnk"))
     )
