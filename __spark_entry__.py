@@ -1985,6 +1985,73 @@ _HYBRID_SEARCH_SQL = """
 """
 
 
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 probe retrieval (length-normalized lexical ranking) over
+    the same %97 probe slice as batch_search — integer-exact."""
+    from yacy_grid_crawler_spark.operators.textstats import bm25_search
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    queries = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(
+                    F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"),
+                    1, 4,
+                ),
+                " ",
+            ).alias("qtext"),
+        )
+    )
+    return bm25_search(docs, queries, k=5, df_cap=390)
+
+
+_BM25_TOPK_SQL = """
+  WITH words AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+    FROM documents
+  ),
+  tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+  dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+  dfreq AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term HAVING count(*) <= 390
+  ),
+  tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS n
+          FROM dl),
+  q AS (
+    SELECT doc_id AS query_id,
+           array_to_string(regexp_extract_all(lower(text), '[a-z]+')[1:4], ' ')
+             AS qtext
+    FROM documents WHERE doc_id % 97 = 0
+  ),
+  qterms AS (
+    SELECT DISTINCT query_id,
+           unnest(regexp_extract_all(lower(qtext), '[a-z]+')) AS term
+    FROM q
+  ),
+  scored AS (
+    SELECT qt.query_id, f.doc_id,
+           CAST(sum(((1000000 * tot.n // d.df) * (22 * tot.t * f.tf))
+                    // (10 * tot.t * f.tf + 3 * tot.t + 9 * l.dl * tot.n))
+                AS BIGINT) AS score,
+           count(*) AS n_terms_matched
+    FROM tf f JOIN qterms qt USING (term)
+              JOIN dfreq d USING (term)
+              JOIN dl l ON l.doc_id = f.doc_id
+              CROSS JOIN tot
+    GROUP BY qt.query_id, f.doc_id
+  )
+  SELECT query_id, doc_id, score, n_terms_matched,
+         CAST(rnk AS INTEGER) AS rnk
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id
+    ) AS rnk FROM scored
+  ) WHERE rnk <= 5
+"""
+
+
 _INVINDEX_SQL = """
   WITH words AS (
     SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
@@ -4470,6 +4537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": _q_lang_confusion,
         "quality_percentiles": _q_quality_percentiles,
         "hybrid_search": _q_hybrid_search,
+        "bm25_topk": _q_bm25_topk,
         "quality_score": _q_quality_score,
         "token_count": _q_token_count,
         "gopher_rules": _q_gopher_rules,
@@ -4574,6 +4642,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion": _LANG_CONFUSION_SQL,
         "quality_percentiles": _QUALITY_PERCENTILES_SQL,
         "hybrid_search": _HYBRID_SEARCH_SQL,
+        "bm25_topk": _BM25_TOPK_SQL,
         "quality_score": _QUALITY_SQL,
         "token_count": _TOKEN_SQL,
         "gopher_rules": _GOPHER_SQL,

@@ -435,3 +435,81 @@ def test_range_join_is_bucketized_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the bucket key participates in the equi-join keys
     assert "_bucket" in plan
+
+
+def test_hits_and_host_graph_no_cartesian(spark):
+    """HITS rounds are equi-join + hash agg; the host rollup is one
+    hash aggregate — neither may degrade to a cartesian."""
+    from yacy_grid_crawler_spark.operators.graph import (
+        hits_scores, host_link_graph,
+    )
+
+    docs = spark.range(200).withColumnRenamed("id", "doc_id")
+    plan = _plan(hits_scores(docs, iters=1))
+    assert "CartesianProduct" not in plan
+    links = spark.range(200).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 10).cast("string"),
+                 F.lit(".ex/a")).alias("src_url"),
+        F.concat(F.lit("http://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".ex/b")).alias("dst_url"),
+    )
+    plan2 = _plan(host_link_graph(links))
+    assert "CartesianProduct" not in plan2
+    assert "HashAggregate" in plan2
+
+
+def test_weighted_resample_is_takeordered_pure_jvm(spark):
+    """Gumbel top-k must compile to TakeOrderedAndProject (per-
+    partition heap), not a global sort, with zero Python surfaces."""
+    from yacy_grid_crawler_spark.operators.sampling import weighted_resample
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("weight")
+    )
+    plan = _plan(weighted_resample(docs, 10))
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dsir_weights_stays_jvm_side(spark):
+    """Feature hashing + conditional-count model build + LLR scoring:
+    all codegen, no Python, no cartesian (the 1-row totals broadcast
+    is a BroadcastNestedLoopJoin, which is the intended shape)."""
+    from yacy_grid_crawler_spark.operators.textstats import dsir_weights
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(dsir_weights(docs, "src7"))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mirror_pairs_is_equi_join(spark):
+    """The host-pair self-join must shuffle on the shingle key — an
+    equi-join, never a cartesian/nested-loop over hosts."""
+    from yacy_grid_crawler_spark.operators.dedup_text import mirror_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        (F.col("doc_id") % 20).cast("string").alias("host"), "text"
+    )
+    caches = []
+    plan = _plan(mirror_pairs(docs, cache_registry=caches))
+    assert "CartesianProduct" not in plan
+    for c in caches:
+        c.unpersist()
+
+
+def test_bm25_no_cartesian_jvm_only(spark):
+    """BM25 keeps batch_search's join geometry: df-capped equi-joins
+    plus the 1-row totals broadcast; no Python, no cartesian."""
+    from yacy_grid_crawler_spark.operators.textstats import bm25_search
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    queries = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 30).alias("qtext"),
+    )
+    plan = _plan(bm25_search(docs, queries, k=5, df_cap=390))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

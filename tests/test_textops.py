@@ -1230,3 +1230,29 @@ def test_quality_percentiles_rank_calibration(spark):
     out2 = {r["doc_id"]: r["pct_bp"]
             for r in quality_percentiles(docs, distributed=False).collect()}
     assert out2 == {k: v["pct_bp"] for k, v in out.items()}
+
+
+def test_bm25_length_normalization_beats_raw_tf(spark):
+    """Equal tf: the SHORTER doc scores higher (batch_search's raw
+    tf·idf can't make that distinction); higher tf still wins at
+    equal length; rank output is deterministic."""
+    from yacy_grid_crawler_spark.operators.textstats import bm25_search
+
+    filler = " ".join(f"pad{'x' * (i % 7)}q" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra fact here"),                      # short, tf=1
+            (2, "zebra fact here " + filler),            # long, tf=1
+            (3, "zebra zebra zebra notes " + filler),    # long, tf=3
+            (4, "nothing relevant at all " + filler),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(100, "zebra")], "query_id long, qtext string"
+    )
+    out = {r["doc_id"]: r for r in bm25_search(docs, queries, k=4).collect()}
+    assert 4 not in out                       # no matching term
+    assert out[1]["score"] > out[2]["score"]  # same tf, shorter wins
+    assert out[3]["score"] > out[2]["score"]  # higher tf, same length
+    assert out[1]["rnk"] == 1

@@ -1033,3 +1033,79 @@ def quality_percentiles(
             ).alias("pct_bp"),
         )
     )
+
+
+def bm25_search(
+    docs: DataFrame, queries: DataFrame, k: int = 5, df_cap: int = 1000
+) -> DataFrame:
+    """BM25 batch retrieval (Robertson & Zaragoza 2009) — the
+    length-normalized upgrade of `batch_search`: long documents stop
+    winning on raw term counts. k1 = 1.2, b = 0.75 (the standard
+    defaults), made INTEGER-EXACT by clearing denominators:
+
+        avgdl = T / N   (T total tokens, N docs with tokens)
+        tfnorm = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+               = 22·T·tf / (10·T·tf + 3·T + 9·dl·N)   (×10T, exact)
+        score  = Σ_terms idf_ppm(term) · tfnorm   with
+        idf_ppm = 1000000·N DIV df   (the repo's tf·idf convention)
+
+    computed as `(idf_ppm · 22·T·tf) DIV (10·T·tf + 3·T + 9·dl·N)`
+    per term — bigint-safe to ~10^6-doc gate corpora (the product is
+    bounded by 1e6·N·22·T·tf_max; at true corpus scale swap the ppm
+    scale down one decade, same contract as tfidf_topk).
+
+    Output: (query_id, doc_id, score, n_terms_matched, rnk ≤ k).
+
+    Scale shape: identical join geometry to `batch_search` (corpus tf
+    aggregate + broadcast-scale probe side + df-capped postings), one
+    extra doc-length dim joined on doc_id; the df-cap bounds fan-out
+    the same way."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        "doc_id", F.explode(_words()).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= int(df_cap))
+    )
+    totals = dl.agg(
+        F.sum("dl").alias("_t"), F.count("*").alias("_n")
+    )
+    qterms = queries.select(
+        "query_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"regexp_extract_all(lower(qtext), '{WORD_RE}', 0)")
+            )
+        ).alias("term"),
+    ).distinct()
+    term_score = F.expr(
+        "((1000000 * _n DIV df) * (22 * _t * tf))"
+        " DIV (10 * _t * tf + 3 * _t + 9 * dl * _n)"
+    )
+    scored = (
+        tf.join(qterms, "term")
+        .join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(term_score).alias("score"),
+            F.count("*").alias("n_terms_matched"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(k))
+        .select(
+            "query_id", "doc_id", "score", "n_terms_matched",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
