@@ -315,11 +315,14 @@ def lsh_bucket_topk(
     top_k: int = TOP_K,
     query_mod: int = QUERY_MOD,
     n_planes: int = 8,
+    rank_rounded: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates restricted to the query's
     hyperplane-LSH bucket — the scale path (equi-join on bucket key,
     AQE-balanced, no cross join). Recall < 1 by construction; the
-    exactness oracle is brute_force_topk."""
+    exactness oracle is brute_force_topk. `rank_rounded` as in
+    brute_force_topk: rank by the 4dp-rounded similarity when the rank
+    feeds an engine-exact downstream (e.g. RRF)."""
     from pyspark.sql import Window
 
     v = hyperplane_signs(vectors, n_planes)
