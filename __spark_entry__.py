@@ -4407,6 +4407,35 @@ _ANN_LSH_SQL = f"""
   ) WHERE rank <= 5
 """
 
+
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH ANN path against the brute-force exact
+    baseline — the evaluation harness every approximate index is
+    accepted by, as a first-class oracle-gated query (integer-bp
+    recall so the value hash is engine-exact)."""
+    from yacy_grid_crawler_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucket_topk,
+        topk_recall,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return topk_recall(lsh_bucket_topk(emb), brute_force_topk(emb))
+
+
+_ANN_RECALL_SQL = f"""
+  WITH e AS (SELECT query_id, neighbor_id FROM ({_ANN_SQL})),
+       a AS (SELECT DISTINCT query_id, neighbor_id FROM ({_ANN_LSH_SQL}))
+  SELECT e.query_id,
+         CAST(count(*) AS BIGINT) AS n_exact,
+         CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+         CAST((10000 * count(a.neighbor_id)) // count(*) AS BIGINT)
+           AS recall_bp
+  FROM e LEFT JOIN a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+"""
+
 _DEDUP_EMBEDDING_LSH_SQL = f"""
   WITH {_lsh_bucket_cte(4)}
   SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
@@ -4530,6 +4559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_recall": _q_ann_recall,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_sq8_topk": _q_ann_sq8_topk,
         "minhash_jaccard_est": _q_minhash_jaccard_est,
@@ -4704,6 +4734,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": _EVENTS_ASOF_SQL,
         "events_range_attrib": _EVENTS_RANGE_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,
+        "ann_recall": _ANN_RECALL_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
         "ann_sq8_topk": _ANN_SQ8_SQL,
         "minhash_jaccard_est": _MINHASH_JEST_SQL,

@@ -275,3 +275,26 @@ def test_rrf_fuse_rewards_cross_list_agreement(spark):
     assert out[200][0] == 2 * (1000000 // 62)
     assert out[100][0] == out[900][0] == 1000000 // 61
     assert out[100][1] == 2 and out[900][1] == 3  # tie broken by doc_id
+
+
+def test_topk_recall_counts_missed_queries(spark):
+    """Exact-vs-exact recall is 10000 bp for every query; a query the
+    approximate side missed entirely still appears with n_hit 0; a
+    partial hit computes the integer-bp ratio exactly."""
+    from yacy_grid_crawler_spark.operators.similarity import topk_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (3, 30)],
+        "query_id long, neighbor_id long",
+    )
+    self_recall = {r["query_id"]: r for r in topk_recall(exact, exact).collect()}
+    assert all(r["recall_bp"] == 10000 for r in self_recall.values())
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (1, 12)],  # 2/3 for q1; q2, q3 missed
+        "query_id long, neighbor_id long",
+    )
+    out = {r["query_id"]: r for r in topk_recall(approx, exact).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["n_exact"], out[1]["n_hit"], out[1]["recall_bp"]) == (3, 2, 6666)
+    assert out[2]["n_hit"] == 0 and out[2]["recall_bp"] == 0
+    assert out[3]["n_hit"] == 0

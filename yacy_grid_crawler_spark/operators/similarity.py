@@ -510,3 +510,40 @@ def rrf_fuse(
         .filter(F.col("rnk") <= int(k))
         .select("query_id", "doc_id", "rrf", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def topk_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one —
+    the acceptance metric every ANN deployment (LSH, IVF, SQ8) is
+    tuned by. Per query: (query_id, n_exact, n_hit, recall_bp) with
+    recall_bp = (10000 * n_hit) DIV n_exact, integer-exact so the
+    cross-engine hash compare is bit-stable.
+
+    Inputs are any two frames with (query_id, neighbor_id) columns
+    (extra columns ignored). Queries the approximate side missed
+    ENTIRELY still appear with n_hit 0 — a recall audit that silently
+    drops empty-result queries overstates recall, so the exact side
+    drives a left join.
+
+    Scale shape: both inputs are already top-k'd (≤k rows per query),
+    so every join group and aggregate group is bounded by k — one
+    equi-join on (query_id, neighbor_id) plus one query_id aggregate;
+    no skew possible by construction."""
+    ex = exact.select("query_id", "neighbor_id")
+    ap = approx.select("query_id", "neighbor_id").distinct().withColumn(
+        "_hit", F.lit(1)
+    )
+    return (
+        ex.join(ap, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            "n_hit",
+            F.expr("(10000 * n_hit) DIV n_exact").alias("recall_bp"),
+        )
+    )
