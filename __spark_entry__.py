@@ -4449,6 +4449,34 @@ _DEDUP_EMBEDDING_LSH_SQL = f"""
           ae.embedding::double[], be.embedding::double[]), 4) >= 0.4
 """
 
+
+def _q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level recall of the LSH-blocked near-dup pass against the
+    exact all-pairs baseline — the blocked-dedup acceptance metric as
+    a one-row oracle-gated query."""
+    from yacy_grid_crawler_spark.operators.similarity import (
+        embedding_near_dup_exact,
+        embedding_near_dup_lsh,
+        pair_recall,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return pair_recall(
+        embedding_near_dup_lsh(emb), embedding_near_dup_exact(emb)
+    )
+
+
+_DEDUP_RECALL_SQL = f"""
+  WITH e AS (SELECT doc_a, doc_b FROM ({_DEDUP_EMBEDDING_SQL})),
+       a AS (SELECT DISTINCT doc_a, doc_b FROM ({_DEDUP_EMBEDDING_LSH_SQL}))
+  SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+         CAST(count(a.doc_a) AS BIGINT) AS n_hit,
+         CAST(CASE WHEN count(*) = 0 THEN 10000
+              ELSE (10000 * count(a.doc_a)) // count(*) END AS BIGINT)
+           AS recall_bp
+  FROM e LEFT JOIN a ON a.doc_a = e.doc_a AND a.doc_b = e.doc_b
+"""
+
 _ANN_IVF_SQL = """
   WITH cent AS (
     SELECT vec_id AS cent_id, embedding
@@ -4557,6 +4585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "dedup_recall": _q_dedup_recall,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_recall": _q_ann_recall,
@@ -4739,6 +4768,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_sq8_topk": _ANN_SQ8_SQL,
         "minhash_jaccard_est": _MINHASH_JEST_SQL,
         "dedup_embedding_lsh": _DEDUP_EMBEDDING_LSH_SQL,
+        "dedup_recall": _DEDUP_RECALL_SQL,
         # media oracles: the synthetic media table is a deterministic
         # projection of `documents` and the no-decoder fallback is
         # closed-form, so all three are SQL-expressible here

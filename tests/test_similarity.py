@@ -298,3 +298,24 @@ def test_topk_recall_counts_missed_queries(spark):
     assert (out[1]["n_exact"], out[1]["n_hit"], out[1]["recall_bp"]) == (3, 2, 6666)
     assert out[2]["n_hit"] == 0 and out[2]["recall_bp"] == 0
     assert out[3]["n_hit"] == 0
+
+
+def test_pair_recall_summary_row(spark):
+    """Exact-vs-exact pair recall is 10000; missed pairs lower the bp
+    ratio exactly; duplicate approx emissions don't inflate hits; an
+    empty exact set reads 10000 (nothing to miss)."""
+    from yacy_grid_crawler_spark.operators.similarity import pair_recall
+
+    exact = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    [full] = pair_recall(exact, exact).collect()
+    assert (full["n_exact_pairs"], full["n_hit"], full["recall_bp"]) == (4, 4, 10000)
+    approx = spark.createDataFrame(
+        [(1, 2), (1, 2), (4, 5), (7, 8)], "doc_a long, doc_b long"
+    )
+    [out] = pair_recall(approx, exact).collect()
+    assert (out["n_exact_pairs"], out["n_hit"], out["recall_bp"]) == (4, 2, 5000)
+    empty = exact.filter("doc_a < 0")
+    [z] = pair_recall(approx, empty).collect()
+    assert (z["n_exact_pairs"], z["n_hit"], z["recall_bp"]) == (0, 0, 10000)

@@ -547,3 +547,40 @@ def topk_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
             F.expr("(10000 * n_hit) DIV n_exact").alias("recall_bp"),
         )
     )
+
+
+def pair_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Pair-level recall of an approximate near-duplicate pass against
+    the exact baseline — the acceptance metric for blocked dedup
+    (LSH/IVF blocking trades recall for feasibility; this measures the
+    trade). ONE summary row: (n_exact_pairs, n_hit, recall_bp), with
+    recall_bp integer-exact and 10000 on an empty exact set (nothing
+    to miss).
+
+    Inputs are any two frames with (doc_a, doc_b) pair columns (extra
+    columns ignored; pairs assumed canonicalized doc_a < doc_b, as all
+    the dedup operators emit).
+
+    Scale shape: one equi-join on the pair key + one global aggregate
+    (map-side combined to a single row); the approx side is
+    distinct-ed first so duplicate candidate emissions can't inflate
+    hits."""
+    ex = exact.select("doc_a", "doc_b")
+    ap = approx.select("doc_a", "doc_b").distinct().withColumn(
+        "_hit", F.lit(1)
+    )
+    return (
+        ex.join(ap, ["doc_a", "doc_b"], "left")
+        .agg(
+            F.count("*").cast("long").alias("n_exact_pairs"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .select(
+            "n_exact_pairs",
+            "n_hit",
+            F.expr(
+                "CASE WHEN n_exact_pairs = 0 THEN CAST(10000 AS BIGINT)"
+                " ELSE (10000 * n_hit) DIV n_exact_pairs END"
+            ).alias("recall_bp"),
+        )
+    )
