@@ -1094,6 +1094,72 @@ def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_docs(spark, sf_dir))
 
 
+def _q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: best-quality-first prefix cut at
+    one third of the corpus's whitespace tokens. Priority is packed
+    integer-exact into one order key ((30000 − q_bp)·10¹² + doc_id —
+    q_bp ∈ [−10000, 30000] by the score's construction); the budget is
+    a one-off driver-side metadata read (a constant in production)."""
+    from yacy_grid_crawler_spark.operators.sampling import budget_select
+    from yacy_grid_crawler_spark.operators.textstats import quality_score
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_tokens", F.size(F.expr("regexp_extract_all(text, '[^ ]+', 0)"))
+    )
+    pool = (
+        quality_score(docs, keep=("n_tokens",))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("CAST(round(quality * 10000) AS BIGINT)").alias("q_bp"),
+        )
+        .withColumn("_ord", F.expr("(30000 - q_bp) * 1000000000000 + doc_id"))
+    )
+    budget = (
+        pool.filter("n_tokens > 0").agg(F.sum("n_tokens")).first()[0] // 3
+    )
+    return budget_select(pool, int(budget)).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "q_bp",
+        "cum_tokens",
+    )
+
+
+_BUDGET_SELECT_SQL = """
+  WITH feats AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[^ ]+')) AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+           length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+           length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+           length(text) AS n_chars,
+           len([w for w in regexp_extract_all(lower(text), '[a-z]+')
+                if w IN ('the','a','of','and','to','in','is')]) AS n_stop
+    FROM documents
+  ),
+  pool AS (
+    SELECT doc_id, n_tokens,
+           CAST(round(round((n_stop / greatest(n_words, 1)) * 2
+                 + least(n_words / 100.0, 1.0)
+                 - n_punct / greatest(n_chars, 1), 4) * 10000) AS BIGINT)
+             AS q_bp
+    FROM feats WHERE n_tokens > 0
+  ),
+  tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 3 AS budget FROM pool),
+  c AS (
+    SELECT doc_id, n_tokens, q_bp,
+           sum(n_tokens) OVER (
+             ORDER BY (30000 - q_bp) * 1000000000000 + doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum
+    FROM pool
+  )
+  SELECT c.doc_id, CAST(c.n_tokens AS BIGINT) AS n_tokens, c.q_bp,
+         CAST(c.cum AS BIGINT) AS cum_tokens
+  FROM c, tot WHERE c.cum <= tot.budget
+"""
+
+
 _QUALITY_SQL = """
   WITH feats AS (
     SELECT doc_id,
@@ -4598,6 +4664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": _q_hybrid_search,
         "bm25_topk": _q_bm25_topk,
         "quality_score": _q_quality_score,
+        "budget_select": _q_budget_select,
         "token_count": _q_token_count,
         "gopher_rules": _q_gopher_rules,
         "c4_clean": _q_c4_clean,
@@ -4703,6 +4770,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search": _HYBRID_SEARCH_SQL,
         "bm25_topk": _BM25_TOPK_SQL,
         "quality_score": _QUALITY_SQL,
+        "budget_select": _BUDGET_SELECT_SQL,
         "token_count": _TOKEN_SQL,
         "gopher_rules": _GOPHER_SQL,
         "c4_clean": _C4_SQL,

@@ -1256,3 +1256,29 @@ def test_bm25_length_normalization_beats_raw_tf(spark):
     assert out[1]["score"] > out[2]["score"]  # same tf, shorter wins
     assert out[3]["score"] > out[2]["score"]  # higher tf, same length
     assert out[1]["rnk"] == 1
+
+
+def test_budget_select_prefix_cut(spark):
+    """Docs are taken in order-key order until the NEXT doc would
+    overflow the budget; zero-token docs never count; the distributed
+    two-phase prefix sum equals the single-window form."""
+    from yacy_grid_crawler_spark.operators.sampling import budget_select
+
+    docs = spark.createDataFrame(
+        [(1, 40, 10), (2, 40, 20), (3, 40, 30), (4, 0, 5), (5, 40, 40)],
+        "doc_id long, n_tokens long, _ord long",
+    )
+    caches = []
+    out = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in budget_select(docs, 100, cache_registry=caches).collect()
+    }
+    # order by _ord: 4 (0 tok, dropped), 1, 2, 3 (would hit 120 > 100)
+    assert out == {1: 40, 2: 80}
+    out2 = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in budget_select(docs, 100, distributed=False).collect()
+    }
+    assert out2 == out
+    for c in caches:
+        c.unpersist()

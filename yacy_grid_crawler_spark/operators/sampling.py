@@ -539,3 +539,40 @@ def weighted_resample(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(int(k))
     )
+
+
+def budget_select(
+    docs: DataFrame,
+    budget_tokens: int,
+    token_col: str = "n_tokens",
+    order_col: str = "_ord",
+    distributed: bool = True,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Greedy token-budget corpus selection — the data-mixing
+    primitive: take documents in `order_col` order (ascending = best
+    first; pack quality into the key, e.g. (max_bp − q_bp)·2⁴⁰ +
+    doc_id) while the running token total stays within
+    `budget_tokens` (prefix cut — the document that would overflow
+    the budget, and everything after it, is dropped). Zero-token docs
+    are excluded from both the selection and the budget.
+
+    Output: every input column + `cum_tokens` (the running total
+    through this doc) for the kept rows.
+
+    Scale shape: reuses the two-phase distributed prefix sum
+    (`_token_prefix_sum` — range shuffle on the order key, windows
+    only over the P-row partition-offsets table), then one codegen
+    filter; no global window, no driver collect. At 100 TB the budget
+    is a constant (the training-run token target), so the whole
+    operator is one range shuffle."""
+    pool = docs.filter(F.col(token_col) > 0)
+    pref = _token_prefix_sum(
+        pool, token_col, order_col, distributed, cache_registry
+    )
+    return pref.filter(
+        F.col("_start") + F.col(token_col) <= int(budget_tokens)
+    ).select(
+        *docs.columns,
+        (F.col("_start") + F.col(token_col)).cast("long").alias("cum_tokens"),
+    )
