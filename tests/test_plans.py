@@ -513,3 +513,26 @@ def test_bm25_no_cartesian_jvm_only(spark):
     plan = _plan(bm25_search(docs, queries, k=5, df_cap=390))
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_budget_select_no_single_partition_window(spark):
+    """The distributed prefix sum behind budget_select must keep its
+    two-phase shape: the only SinglePartition window is over the
+    P-row partition-offsets table (tiny by construction), never over
+    the data; and the whole plan stays JVM-side."""
+    from yacy_grid_crawler_spark.operators.sampling import budget_select
+
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97 + 1).alias("n_tokens"),
+        F.col("id").alias("_ord"),
+    )
+    caches = []
+    plan = _plan(budget_select(docs, 10_000, cache_registry=caches))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # a SinglePartition exchange may appear only feeding the
+    # partition-offsets aggregate (input = one row per partition);
+    # the data path itself must be range-partitioned
+    assert "rangepartitioning" in plan.lower()
+    for c in caches:
+        c.unpersist()

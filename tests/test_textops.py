@@ -1282,3 +1282,45 @@ def test_budget_select_prefix_cut(spark):
     assert out2 == out
     for c in caches:
         c.unpersist()
+
+
+def test_budget_select_matches_python_spec(spark):
+    """Seeded randomized equivalence vs a pure-Python greedy spec:
+    both distributed and window forms, several corpus shapes
+    (empty, all-zero-token, budget larger than corpus, tight)."""
+    import random
+
+    from yacy_grid_crawler_spark.operators.sampling import budget_select
+
+    rng = random.Random(1234)
+    for case in range(5):
+        n = rng.choice([0, 3, 17, 40])
+        ords = rng.sample(range(10**6), n)  # unique: ties in _ord
+        # would make cumulative attribution order-nondeterministic
+        rows = [
+            (i, rng.choice([0, 1, 5, 13, 50]), ords[i]) for i in range(n)
+        ]
+        budget = rng.choice([0, 10, 100, 10**6])
+        # pure-Python spec: order ascending, skip zero-token, prefix cut
+        cum, spec = 0, {}
+        for doc_id, tok, _o in sorted(rows, key=lambda t: (t[2], t[0])):
+            if tok <= 0:
+                continue
+            if cum + tok > budget:
+                break
+            cum += tok
+            spec[doc_id] = cum
+        docs = spark.createDataFrame(
+            rows, "doc_id long, n_tokens long, _ord long"
+        )
+        caches = []
+        for dist in (True, False):
+            got = {
+                r["doc_id"]: r["cum_tokens"]
+                for r in budget_select(
+                    docs, budget, distributed=dist, cache_registry=caches
+                ).collect()
+            }
+            assert got == spec, (case, dist, rows, budget)
+        for c in caches:
+            c.unpersist()
