@@ -1414,6 +1414,60 @@ _PII_SQL = """
 """
 
 
+def _q_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage audit. The synthetic corpus is clean ASCII, so
+    the query plants DETERMINISTIC damage into every 7th document
+    (mojibake digraphs + a U+FFFD replacement char + a C0 control,
+    identically in the SQL oracle) — the three counting kernels are
+    exercised on real nonzero counts."""
+    from yacy_grid_crawler_spark.operators.textstats import encoding_audit
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" cafÃ© â€™ bad�byte \x01end"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return encoding_audit(planted)
+
+
+def _encoding_sql() -> str:
+    from yacy_grid_crawler_spark.operators.textstats import (
+        CTRL_RE,
+        MOJIBAKE_RE,
+    )
+
+    return f"""
+  WITH planted AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN
+             text || ' cafÃ© â€™ bad' || chr(65533) || 'byte ' || chr(1)
+                  || 'end'
+           ELSE text END AS text
+    FROM documents
+  )
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '�')) AS BIGINT)
+           AS n_replacement,
+         CAST(len(regexp_extract_all(text, '{MOJIBAKE_RE}')) AS BIGINT)
+           AS n_mojibake,
+         CAST(len(regexp_extract_all(text, '{CTRL_RE}')) AS BIGINT)
+           AS n_ctrl,
+         (len(regexp_extract_all(text, '�'))
+          + len(regexp_extract_all(text, '{MOJIBAKE_RE}'))
+          + len(regexp_extract_all(text, '{CTRL_RE}'))) = 0 AS enc_ok
+  FROM planted
+"""
+
+
+_ENCODING_SQL = _encoding_sql()
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality: dup-word fraction + modal
     bigram fraction + flag."""
@@ -4665,6 +4719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "quality_score": _q_quality_score,
         "budget_select": _q_budget_select,
+        "encoding_audit": _q_encoding_audit,
         "token_count": _q_token_count,
         "gopher_rules": _q_gopher_rules,
         "c4_clean": _q_c4_clean,
@@ -4771,6 +4826,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _BM25_TOPK_SQL,
         "quality_score": _QUALITY_SQL,
         "budget_select": _BUDGET_SELECT_SQL,
+        "encoding_audit": _ENCODING_SQL,
         "token_count": _TOKEN_SQL,
         "gopher_rules": _GOPHER_SQL,
         "c4_clean": _C4_SQL,

@@ -1324,3 +1324,24 @@ def test_budget_select_matches_python_spec(spark):
             assert got == spec, (case, dist, rows, budget)
         for c in caches:
             c.unpersist()
+
+
+def test_encoding_audit_counts_and_verdict(spark):
+    """Clean ASCII (incl. tab/newline) is enc_ok; mojibake digraphs,
+    U+FFFD, and C0 controls are counted per class."""
+    from yacy_grid_crawler_spark.operators.textstats import encoding_audit
+
+    docs = spark.createDataFrame(
+        [
+            (1, "plain text with\ttab and\nnewline"),
+            (2, "re-decoded cafÃ© and â€™quoteâ€™"),
+            (3, "lost byte � here � twice"),
+            (4, "binary\x01noise\x1fhere"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in encoding_audit(docs).collect()}
+    assert out[1]["enc_ok"] and out[1]["n_ctrl"] == 0
+    assert out[2]["n_mojibake"] == 3 and not out[2]["enc_ok"]
+    assert out[3]["n_replacement"] == 2 and not out[3]["enc_ok"]
+    assert out[4]["n_ctrl"] == 2 and not out[4]["enc_ok"]

@@ -1109,3 +1109,37 @@ def bm25_search(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# Mojibake signature digraphs: UTF-8 bytes of common Latin-1/cp1252
+# characters re-decoded as Latin-1 ('é' → 'Ã©', ''' → 'â€™', …).
+MOJIBAKE_RE = "Ã©|Ã¨|Ã¤|Ã¶|Ã¼|Ã±|â€™|â€œ"
+# C0 controls that never belong in text (NUL excluded — parquet/SQL
+# string literals handle it inconsistently; tab/newline/CR are legal)
+CTRL_RE = "[" + "".join(
+    chr(c) for c in list(range(1, 9)) + [11, 12] + list(range(14, 32))
+) + "]"
+
+
+def encoding_audit(docs: DataFrame) -> DataFrame:
+    """Encoding-damage audit — the mojibake sweep a web-scale curation
+    run does before any text op: UTF-8 re-decoded as Latin-1/cp1252
+    leaves signature digraphs (MOJIBAKE_RE), failed decodes leave
+    U+FFFD replacement chars, and binary-in-text leaves C0 controls.
+    Per doc: counts of each class + an `enc_ok` verdict.
+
+    Scale shape: pure narrow codegen map (three regexp_count
+    expressions), no shuffle, no Python; the patterns are literals
+    shared verbatim with the DuckDB oracle (plain literal alternation
+    + an explicit char class — identical in java.util.regex and
+    RE2)."""
+    n_rep = F.regexp_count(F.col("text"), F.lit("�"))
+    n_moj = F.regexp_count(F.col("text"), F.lit(MOJIBAKE_RE))
+    n_ctl = F.regexp_count(F.col("text"), F.lit(CTRL_RE))
+    return docs.select(
+        "doc_id",
+        n_rep.cast("long").alias("n_replacement"),
+        n_moj.cast("long").alias("n_mojibake"),
+        n_ctl.cast("long").alias("n_ctrl"),
+        ((n_rep + n_moj + n_ctl) == 0).alias("enc_ok"),
+    )
