@@ -570,6 +570,75 @@ def _span_tables(spark: SparkSession, sf_dir: str):
     return a, b
 
 
+def _q_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption pairing over a synthesized interleaved spans table:
+    every 3rd doc LEADS with media (its first media span has no
+    preceding text → the ('', -1) sentinel path is exercised), the
+    rest interleave text-media-text-media. Text spans carry real
+    document text slices so captions are non-trivial."""
+    from yacy_grid_crawler_spark.operators.extract import caption_pairs
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    t0 = F.substring("text", 1, 40)
+    t1 = F.substring("text", 41, 40)
+    rid = F.col("doc_id").cast("string")
+
+    def txt(content, off):
+        return F.struct(
+            F.lit("text").alias("kind"), content.alias("text"),
+            F.lit("").alias("media_ref"), F.lit(off).alias("offset"),
+        )
+
+    def med(n, off):
+        return F.struct(
+            F.lit("media").alias("kind"), F.lit("").alias("text"),
+            F.concat(F.lit("img://"), rid, F.lit(f"/{n}")).alias("media_ref"),
+            F.lit(off).alias("offset"),
+        )
+
+    spans = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.array(med(0, 0), txt(t0, 1), med(1, 2), txt(t1, 3)),
+    ).otherwise(F.array(txt(t0, 0), med(0, 1), txt(t1, 2), med(1, 3)))
+    return caption_pairs(d.select("doc_id", spans.alias("spans")))
+
+
+_CAPTION_PAIRS_SQL = """
+  WITH flat AS (
+    SELECT doc_id,
+           CASE WHEN k = 'm0' OR k = 'm1' THEN 'media' ELSE 'text' END AS kind,
+           CASE k WHEN 't0' THEN substr(text, 1, 40)
+                  WHEN 't1' THEN substr(text, 41, 40) ELSE '' END AS sp_text,
+           CASE k WHEN 'm0' THEN 'img://' || doc_id || '/0'
+                  WHEN 'm1' THEN 'img://' || doc_id || '/1' ELSE '' END
+             AS media_ref,
+           CASE WHEN doc_id % 3 = 0 THEN
+             CASE k WHEN 'm0' THEN 0 WHEN 't0' THEN 1
+                    WHEN 'm1' THEN 2 ELSE 3 END
+           ELSE
+             CASE k WHEN 't0' THEN 0 WHEN 'm0' THEN 1
+                    WHEN 't1' THEN 2 ELSE 3 END
+           END AS sp_offset
+    FROM documents
+    CROSS JOIN (VALUES ('t0'), ('m0'), ('t1'), ('m1')) u(k)
+  ),
+  w AS (
+    SELECT doc_id, kind, media_ref, sp_offset,
+           last_value(CASE WHEN kind = 'text' THEN sp_text END IGNORE NULLS)
+             OVER (PARTITION BY doc_id ORDER BY sp_offset
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cap,
+           last_value(CASE WHEN kind = 'text' THEN sp_offset END IGNORE NULLS)
+             OVER (PARTITION BY doc_id ORDER BY sp_offset
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cap_off
+    FROM flat
+  )
+  SELECT doc_id, media_ref, CAST(sp_offset AS INTEGER) AS media_offset,
+         coalesce(cap, '') AS caption,
+         CAST(coalesce(cap_off, -1) AS INTEGER) AS caption_offset
+  FROM w WHERE kind = 'media'
+"""
+
+
 def _q_span_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-sequence equality audit (the input_hint per-row
     invariant): rows where two document tables' span arrays differ."""
@@ -4699,6 +4768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_novelty": _q_incremental_novelty,
         "corpus_stats": _q_corpus_stats,
         "span_diff": _q_span_diff,
+        "caption_pairs": _q_caption_pairs,
         "assemble_text": _q_assemble_text,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
@@ -4813,6 +4883,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_novelty": _INCREMENTAL_SQL,
         "corpus_stats": _CORPUS_STATS_SQL,
         "span_diff": _SPAN_DIFF_SQL,
+        "caption_pairs": _CAPTION_PAIRS_SQL,
         "assemble_text": _ASSEMBLE_TEXT_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,

@@ -1035,3 +1035,37 @@ def test_trap_hosts_flags_low_distinct_ratio(spark):
     # low ratio but below the min-population gate -> not flagged
     tiny = out["tiny.net"]
     assert tiny["n_paths"] == 1 and tiny["is_trap"] is False
+
+
+def test_caption_pairs_nearest_preceding_text(spark):
+    """Each media span pairs with the LATEST text span strictly before
+    it; a media span with no preceding text gets ('', -1); text-less
+    docs emit one sentinel row per media span; plan stays JVM-side
+    with no shuffle (array-native)."""
+    from yacy_grid_crawler_spark.operators.extract import caption_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, [("text", "alpha", "", 0), ("text", "beta", "", 2),
+                 ("media", "", "img://1/0", 3), ("media", "", "img://1/1", 5),
+                 ("text", "late", "", 9)]),
+            (2, [("media", "", "img://2/0", 0), ("text", "gamma", "", 1)]),
+            (3, [("media", "", "img://3/0", 4), ("media", "", "img://3/1", 7)]),
+            (4, [("text", "no media here", "", 0)]),
+        ],
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = caption_pairs(docs)
+    rows = {(r["doc_id"], r["media_ref"]): (r["caption"], r["caption_offset"])
+            for r in out.collect()}
+    assert rows == {
+        (1, "img://1/0"): ("beta", 2),
+        (1, "img://1/1"): ("beta", 2),
+        (2, "img://2/0"): ("", -1),
+        (3, "img://3/0"): ("", -1),
+        (3, "img://3/1"): ("", -1),
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

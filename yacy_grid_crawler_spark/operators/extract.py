@@ -188,3 +188,63 @@ def html_extract(docs: DataFrame, html_col: str = "html") -> DataFrame:
         n_images.alias("n_images"),
         F.length(h).cast("int").alias("html_len"),
     )
+
+
+def caption_pairs(docs: DataFrame) -> DataFrame:
+    """Media span → nearest PRECEDING text span (offset order) — the
+    image-caption candidate pairing that turns interleaved
+    text+media documents into multimodal (image, caption) training
+    pairs. Media spans with no preceding text get ('', -1) sentinels
+    (NULL-free output by contract).
+
+    Output: (doc_id, media_ref, media_offset, caption,
+    caption_offset), one row per media span.
+
+    Scale shape: ARRAY-NATIVE — per-row transform/filter/array_max
+    over the spans array (whole-stage codegen, no Python), then one
+    explode sized by the media-span count only. Zero shuffles, zero
+    windows: the pairing never leaves the row, so at 100 TB this is
+    a map-only stage reading exactly the spans column."""
+    media = F.filter(
+        "spans", lambda s: s["kind"] == F.lit("media")
+    )
+
+    def _best_text(m):
+        cands = F.filter(
+            F.col("spans"),
+            lambda t: (t["kind"] == F.lit("text"))
+            & (t["offset"] < m["offset"]),
+        )
+        # max of (offset, text) structs = latest preceding text span
+        # (lexicographic struct compare; offsets are unique per doc)
+        return F.array_max(
+            F.transform(
+                cands,
+                lambda t: F.struct(
+                    t["offset"].alias("o"), t["text"].alias("t")
+                ),
+            )
+        )
+
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                media,
+                lambda m: F.struct(
+                    m["media_ref"].alias("media_ref"),
+                    m["offset"].alias("media_offset"),
+                    _best_text(m).alias("_best"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return pairs.select(
+        "doc_id",
+        F.col("p.media_ref").alias("media_ref"),
+        F.col("p.media_offset").cast("int").alias("media_offset"),
+        F.coalesce(F.col("p._best.t"), F.lit("")).alias("caption"),
+        F.coalesce(F.col("p._best.o"), F.lit(-1)).cast("int").alias(
+            "caption_offset"
+        ),
+    )
