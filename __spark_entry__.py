@@ -1183,11 +1183,15 @@ def _q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(round(quality * 10000) AS BIGINT)").alias("q_bp"),
         )
         .withColumn("_ord", F.expr("(30000 - q_bp) * 1000000000000 + doc_id"))
-    )
+        .persist()  # the budget action + the selection share one
+    )  # regex-heavy scan; swept by the _sweeping wrapper
+    _QUERY_CACHES.append(pool)
     budget = (
         pool.filter("n_tokens > 0").agg(F.sum("n_tokens")).first()[0] // 3
     )
-    return budget_select(pool, int(budget)).select(
+    return budget_select(
+        pool, int(budget), cache_registry=_QUERY_CACHES
+    ).select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         "q_bp",

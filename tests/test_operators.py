@@ -1039,19 +1039,23 @@ def test_trap_hosts_flags_low_distinct_ratio(spark):
 
 def test_caption_pairs_nearest_preceding_text(spark):
     """Each media span pairs with the LATEST text span strictly before
-    it; a media span with no preceding text gets ('', -1); text-less
-    docs emit one sentinel row per media span; plan stays JVM-side
-    with no shuffle (array-native)."""
+    it; a media span with no preceding text gets ('', -1); NULL-text
+    spans are ignored (the oracle's IGNORE NULLS contract); text-less
+    docs emit one sentinel row per media span; input span order is
+    irrelevant (doc 1 is scrambled); plan stays JVM-side with no
+    shuffle (array-native)."""
     from yacy_grid_crawler_spark.operators.extract import caption_pairs
 
     docs = spark.createDataFrame(
         [
-            (1, [("text", "alpha", "", 0), ("text", "beta", "", 2),
-                 ("media", "", "img://1/0", 3), ("media", "", "img://1/1", 5),
+            (1, [("media", "", "img://1/1", 5), ("text", "beta", "", 2),
+                 ("text", "alpha", "", 0), ("media", "", "img://1/0", 3),
                  ("text", "late", "", 9)]),
             (2, [("media", "", "img://2/0", 0), ("text", "gamma", "", 1)]),
             (3, [("media", "", "img://3/0", 4), ("media", "", "img://3/1", 7)]),
             (4, [("text", "no media here", "", 0)]),
+            (5, [("text", None, "", 0), ("media", "", "img://5/0", 1),
+                 ("text", "real", "", 2), ("media", "", "img://5/1", 3)]),
         ],
         "doc_id long, spans array<struct<kind:string,text:string,"
         "media_ref:string,offset:int>>",
@@ -1065,6 +1069,8 @@ def test_caption_pairs_nearest_preceding_text(spark):
         (2, "img://2/0"): ("", -1),
         (3, "img://3/0"): ("", -1),
         (3, "img://3/1"): ("", -1),
+        (5, "img://5/0"): ("", -1),   # NULL text span ignored
+        (5, "img://5/1"): ("real", 2),
     }
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan

@@ -194,57 +194,86 @@ def caption_pairs(docs: DataFrame) -> DataFrame:
     """Media span → nearest PRECEDING text span (offset order) — the
     image-caption candidate pairing that turns interleaved
     text+media documents into multimodal (image, caption) training
-    pairs. Media spans with no preceding text get ('', -1) sentinels
-    (NULL-free output by contract).
+    pairs. Media spans with no preceding text get ('', -1) sentinels,
+    and text spans whose text is NULL are ignored (both pinned by the
+    DuckDB oracle, whose IGNORE-NULLS window has the same semantics) —
+    NULL-free output by contract. A text and a media span sharing an
+    offset do NOT pair (strictly preceding only).
 
     Output: (doc_id, media_ref, media_offset, caption,
     caption_offset), one row per media span.
 
-    Scale shape: ARRAY-NATIVE — per-row transform/filter/array_max
-    over the spans array (whole-stage codegen, no Python), then one
-    explode sized by the media-span count only. Zero shuffles, zero
-    windows: the pairing never leaves the row, so at 100 TB this is
-    a map-only stage reading exactly the spans column."""
-    media = F.filter(
-        "spans", lambda s: s["kind"] == F.lit("media")
+    Scale shape: ARRAY-NATIVE and LINEAR per row — one array_sort by
+    offset + one F.aggregate fold carrying the latest preceding text
+    (whole-stage codegen, no Python), then one explode sized by the
+    media-span count only. Zero shuffles, zero windows: the pairing
+    never leaves the row, so at 100 TB this is a map-only stage
+    reading exactly the spans column."""
+    sorted_spans = F.array_sort(
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["offset"].alias("o"),
+                # 'media' < 'text': at equal offset media folds first,
+                # keeping the strictly-preceding contract
+                s["kind"].alias("k"),
+                s["text"].alias("t"),
+                s["media_ref"].alias("m"),
+            ),
+        )
+    )
+    pair_t = (
+        "array<struct<media_ref:string,media_offset:int,"
+        "caption:string,caption_offset:int>>"
+    )
+    acc0 = F.struct(
+        F.lit(-1).cast("int").alias("co"),
+        F.lit("").alias("ct"),
+        F.lit(None).cast(pair_t).alias("out"),
     )
 
-    def _best_text(m):
-        cands = F.filter(
-            F.col("spans"),
-            lambda t: (t["kind"] == F.lit("text"))
-            & (t["offset"] < m["offset"]),
+    def _fold(acc, s):
+        took = F.struct(
+            s["o"].cast("int").alias("co"),
+            s["t"].alias("ct"),
+            acc["out"].alias("out"),
         )
-        # max of (offset, text) structs = latest preceding text span
-        # (lexicographic struct compare; offsets are unique per doc)
-        return F.array_max(
-            F.transform(
-                cands,
-                lambda t: F.struct(
-                    t["offset"].alias("o"), t["text"].alias("t")
+        return (
+            F.when((s["k"] == F.lit("text")) & s["t"].isNotNull(), took)
+            .when(
+                s["k"] == F.lit("media"),
+                F.struct(
+                    acc["co"].alias("co"),
+                    acc["ct"].alias("ct"),
+                    F.concat(
+                        F.coalesce(acc["out"], F.array().cast(pair_t)),
+                        F.array(
+                            F.struct(
+                                s["m"].alias("media_ref"),
+                                s["o"].cast("int").alias("media_offset"),
+                                acc["ct"].alias("caption"),
+                                acc["co"].alias("caption_offset"),
+                            )
+                        ),
+                    ).alias("out"),
                 ),
             )
+            .otherwise(acc)
         )
 
     pairs = docs.select(
         "doc_id",
         F.explode(
-            F.transform(
-                media,
-                lambda m: F.struct(
-                    m["media_ref"].alias("media_ref"),
-                    m["offset"].alias("media_offset"),
-                    _best_text(m).alias("_best"),
-                ),
+            F.coalesce(
+                F.aggregate(sorted_spans, acc0, _fold)["out"],
+                F.array().cast(pair_t),
             )
         ).alias("p"),
     )
     return pairs.select(
         "doc_id",
         F.col("p.media_ref").alias("media_ref"),
-        F.col("p.media_offset").cast("int").alias("media_offset"),
-        F.coalesce(F.col("p._best.t"), F.lit("")).alias("caption"),
-        F.coalesce(F.col("p._best.o"), F.lit(-1)).cast("int").alias(
-            "caption_offset"
-        ),
+        F.col("p.media_offset").alias("media_offset"),
+        F.col("p.caption").alias("caption"),
+        F.col("p.caption_offset").alias("caption_offset"),
     )
