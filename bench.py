@@ -545,11 +545,21 @@ def main() -> None:
                 "crawl", cores=cores, n_docs=n_docs,
                 wave_only=True, warmup=False,
             )
+            # probe the box right after the visit: a start/end-of-bench
+            # calib pair cannot see a burst that lands on ONE level
+            # (learned the hard way — BASELINE.md round-3 session-7
+            # 56M investigation); a per-visit probe travels with the
+            # measurement it vouches for
+            r["calib_after"] = calib()
             prev = levels.get(cores)
             visits = (prev or {}).get("visits", []) + [r["wave_sec"]]
+            probes = (prev or {}).get("visit_calib_matmul", []) + [
+                r["calib_after"]["cpu_matmul_sec"]
+            ]
             if prev is None or r["wave_sec"] < prev["wave_sec"]:
                 levels[cores] = r
             levels[cores]["visits"] = visits
+            levels[cores]["visit_calib_matmul"] = probes
 
         for _ in range(rounds):
             for cores, n_docs in level_specs:
@@ -564,6 +574,14 @@ def main() -> None:
             v = levels[cores]["visits"]
             if len(v) >= 2 and max(v) / max(min(v), 1e-9) > respread:
                 visit(cores, n_docs)
+
+        for cores, _nd in level_specs:
+            lv = levels[cores]
+            # the flag rides the KEPT (min) visit's own probe
+            lv["weather_suspect"] = (
+                lv.get("calib_after", {}).get("cpu_matmul_sec", 0.0)
+                > QUIET_MATMUL_S
+            )
 
         def pair(lo_c, hi_c):
             lo, hi = levels[lo_c], levels[hi_c]
