@@ -3209,6 +3209,70 @@ _ROBOTS_PARSE_SQL = """
 """
 
 
+def _q_rfc9309(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 longest-match robots verdicts over synthesized rules
+    (prefix + wildcard-allow + anchored disallow per host) and paths
+    that exercise prefix hits, wildcard overrides, $ anchors, and
+    no-rule passes — identically constructed in the SQL oracle."""
+    from yacy_grid_crawler_spark.operators.robots import rfc9309_verdict
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string"),
+                    F.lit(".org"))
+    rid = F.col("doc_id").cast("string")
+    path = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("/p/"), rid))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("/q"), rid, F.lit("9")))
+        .otherwise(F.concat(F.lit("/free/"), rid))
+    )
+    urls = d.select(host.alias("host"), path.alias("path"))
+    hosts = urls.select("host").distinct()
+    rule_rows = [(False, "/p/"), (True, "/p/*0$"), (False, "/q*9")]
+    rules = hosts.crossJoin(
+        spark.createDataFrame(rule_rows, "allow boolean, pattern string")
+    ).select("host", "allow", "pattern")
+    return rfc9309_verdict(urls, rules)
+
+
+_RFC9309_SQL = r"""
+  WITH urls AS (
+    SELECT DISTINCT 'h' || (doc_id % 10) || '.org' AS host,
+           CASE WHEN doc_id % 3 = 0 THEN '/p/' || doc_id
+                WHEN doc_id % 3 = 1 THEN '/q' || doc_id || '9'
+                ELSE '/free/' || doc_id END AS path
+    FROM documents
+  ),
+  rules AS (
+    SELECT h.host, r.allow, r.pattern, length(r.pattern) AS plen,
+           '^' || regexp_replace(
+             regexp_replace(
+               regexp_replace(r.pattern,
+                 '([.^$+?()\[\]{}|\\])', '\\\1', 'g'),
+               '\*', '.*', 'g'),
+             '\\\$$', '$') AS rx
+    FROM (SELECT DISTINCT host FROM urls) h
+    CROSS JOIN (VALUES (false, '/p/'), (true, '/p/*0$'),
+                       (false, '/q*9')) r(allow, pattern)
+  ),
+  hits AS (
+    SELECT u.host, u.path, r.allow, r.pattern, r.plen,
+           row_number() OVER (
+             PARTITION BY u.host, u.path
+             ORDER BY r.plen DESC, r.allow DESC, r.pattern DESC
+           ) AS rn
+    FROM urls u JOIN rules r
+      ON r.host = u.host AND regexp_matches(u.path, r.rx)
+  )
+  SELECT u.host, u.path,
+         coalesce(w.allow, true) AS allowed,
+         coalesce(w.pattern, '') AS winner_pattern,
+         CAST(coalesce(w.plen, 0) AS INTEGER) AS winner_len
+  FROM urls u
+  LEFT JOIN (SELECT * FROM hits WHERE rn = 1) w
+    ON w.host = u.host AND w.path = u.path
+"""
+
+
 def _q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-line discovery from robots bodies (the other half of
     the sitemap loop; seeds.parse_sitemap expands the fetched docs).
@@ -4841,6 +4905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_resample": _q_weighted_resample,
         "host_cap_sample": _q_host_cap_sample,
         "robots_parse": _q_robots_parse,
+        "rfc9309_verdict": _q_rfc9309,
         "curate_pipeline": _q_curate_pipeline,
         "frontier_dequeue": _q_frontier_dequeue,
         "sitemap_parse": _q_sitemap_parse,
@@ -4949,6 +5014,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_resample": _WEIGHTED_RESAMPLE_SQL,
         "host_cap_sample": _HOST_CAP_SQL,
         "robots_parse": _ROBOTS_PARSE_SQL,
+        "rfc9309_verdict": _RFC9309_SQL,
         "curate_pipeline": _curate_sql(),
         "frontier_dequeue": _FRONTIER_DEQUEUE_SQL,
         "sitemap_parse": _SITEMAP_SQL,

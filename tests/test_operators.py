@@ -1075,3 +1075,45 @@ def test_caption_pairs_nearest_preceding_text(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_rfc9309_longest_match_and_ties(spark):
+    """Wildcards and $ anchors match; the LONGEST matching pattern
+    wins; allow wins a length tie; no match -> allowed ('' / 0);
+    metachars in patterns are literal (no regex injection)."""
+    from yacy_grid_crawler_spark.operators.robots import rfc9309_verdict
+
+    rules = spark.createDataFrame(
+        [
+            ("h", False, "/private/"),
+            ("h", True, "/private/pub*"),
+            ("h", False, "/exact$"),
+            ("h", False, "/a*z"),
+            ("h", True, "/a*z"),          # tie with the disallow above
+            ("h", False, "/dot.path"),    # '.' is literal
+        ],
+        "host string, allow boolean, pattern string",
+    )
+    urls = spark.createDataFrame(
+        [
+            ("h", "/private/secret"),       # only /private/ -> blocked
+            ("h", "/private/pub/ok"),       # longer allow wins
+            ("h", "/exact"),                # $ anchor -> blocked
+            ("h", "/exactly"),              # $ must not match
+            ("h", "/abcz"),                 # tie -> allow wins
+            ("h", "/dotXpath"),             # '.' literal -> no match
+            ("h", "/dot.path"),             # literal match -> blocked
+            ("h", "/elsewhere"),            # no rule -> allowed
+        ],
+        "host string, path string",
+    )
+    out = {r["path"]: r for r in rfc9309_verdict(urls, rules).collect()}
+    assert not out["/private/secret"]["allowed"]
+    assert out["/private/pub/ok"]["allowed"]
+    assert out["/private/pub/ok"]["winner_pattern"] == "/private/pub*"
+    assert not out["/exact"]["allowed"]
+    assert out["/exactly"]["allowed"] and out["/exactly"]["winner_len"] == 0
+    assert out["/abcz"]["allowed"]            # allow wins the tie
+    assert out["/dotXpath"]["allowed"] and out["/dotXpath"]["winner_len"] == 0
+    assert not out["/dot.path"]["allowed"]
+    assert out["/elsewhere"]["allowed"] and out["/elsewhere"]["winner_pattern"] == ""

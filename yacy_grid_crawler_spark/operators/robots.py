@@ -80,3 +80,75 @@ def robots_sitemaps(
             "sitemap_url"
         ),
     )
+
+
+def _rule_regex(pattern):
+    """robots pattern → anchored regex, pure codegen: escape regex
+    metachars, then '*' → '.*'; a trailing '$' anchors end-of-path
+    (escaped first like everything else, then the escaped tail form
+    '\\$' is restored to a real anchor). Shared shape with the DuckDB
+    oracle (same three regexp_replace steps)."""
+    esc = F.regexp_replace(pattern, r"([.^$+?()\[\]{}|\\])", r"\\$1")
+    star = F.regexp_replace(esc, r"\*", ".*")
+    # restore an escaped TRAILING '$' to an end anchor (java
+    # replacement dialect: literal '$' must be written '\$')
+    return F.concat(
+        F.lit("^"), F.regexp_replace(star, r"\\\$$", r"\$")
+    )
+
+
+def rfc9309_verdict(
+    urls: DataFrame, rules: DataFrame, broadcast_rules: bool = True
+) -> DataFrame:
+    """RFC 9309 (Google-style) robots matching — the modern grammar
+    the wave's deliberately-simplified prefix gate does not attempt:
+    '*' wildcards, '$' end anchors, and LONGEST-MATCH precedence with
+    allow winning length ties. Provided as a standalone operator (not
+    wired into the wave: crawl-order equality vs the reference pins
+    the prefix semantics there).
+
+    urls: (host, path); rules: (host, allow boolean, pattern string).
+    Output: (host, path, allowed, winner_pattern, winner_len) —
+    NULL-free: unmatched paths are allowed with ('', 0).
+
+    Scale shape: rules are a robots-sized dim (≤ a few k rules per
+    host) — broadcast join on host, per-pair rlike (codegen), then
+    one (host, path) aggregate picking max(len, allow, pattern); the
+    fact side shuffles once for the aggregate. Set
+    broadcast_rules=False to let AQE choose when the rules table is
+    genuinely huge."""
+    rx = rules.select(
+        "host",
+        F.col("allow").cast("boolean").alias("allow"),
+        "pattern",
+        F.length("pattern").cast("int").alias("plen"),
+        _rule_regex(F.col("pattern")).alias("_rx"),
+    )
+    if broadcast_rules:
+        rx = F.broadcast(rx)
+    hits = urls.join(rx, "host").filter(
+        F.rlike(F.col("path"), F.col("_rx"))
+    )
+    # one packed max picks the winner: longest pattern, allow on ties
+    # (pattern string as the last tiebreak for determinism)
+    winner = hits.groupBy("host", "path").agg(
+        F.max(
+            F.struct(
+                F.col("plen"),
+                F.col("allow").cast("int").alias("a"),
+                F.col("pattern").alias("p"),
+            )
+        ).alias("_w")
+    )
+    return (
+        urls.join(winner, ["host", "path"], "left")
+        .select(
+            "host",
+            "path",
+            F.coalesce(F.col("_w.a") == 1, F.lit(True)).alias("allowed"),
+            F.coalesce(F.col("_w.p"), F.lit("")).alias("winner_pattern"),
+            F.coalesce(F.col("_w.plen"), F.lit(0)).cast("int").alias(
+                "winner_len"
+            ),
+        )
+    )
