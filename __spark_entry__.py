@@ -4563,6 +4563,70 @@ _MEDIA_FRAMES_SQL = """
 """
 
 
+def _q_sniff_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-number sniffing: the gate plants REAL magic prefixes
+    (PNG/JPEG/GIF/WebP/WAV/MP4, rotating on doc_id % 7, with one
+    magic-less branch) onto deterministic text-derived payload bytes,
+    identically in the SQL oracle — every sniff branch is exercised."""
+    from yacy_grid_crawler_spark.operators.multimodal import sniff_media_type
+
+    magics = [
+        bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A]),  # png
+        bytes([0xFF, 0xD8, 0xFF, 0xE0]),                          # jpeg
+        b"GIF89a",                                                # gif
+        b"RIFF\x00\x00\x00\x18WEBP",                              # webp
+        b"RIFF\x00\x00\x00\x18WAVE",                              # wav
+        b"\x00\x00\x00\x18ftypisom",                              # mp4
+    ]
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    payload = F.encode(F.substring("text", 1, 12), "UTF-8")
+    sel = F.col("doc_id") % 7
+    content = F.when(sel == 6, payload)
+    for i, m in enumerate(magics):
+        content = content.when(sel == i, F.concat(F.lit(m), payload))
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        content.otherwise(payload).alias("content"),
+    )
+    return sniff_media_type(media)
+
+
+_SNIFF_MEDIA_SQL = r"""
+  WITH media AS (
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           (CASE doc_id % 7
+              WHEN 0 THEN '\x89PNG\x0D\x0A\x1A\x0A'::BLOB
+              WHEN 1 THEN '\xFF\xD8\xFF\xE0'::BLOB
+              WHEN 2 THEN 'GIF89a'::BLOB
+              WHEN 3 THEN 'RIFF\x00\x00\x00\x18WEBP'::BLOB
+              WHEN 4 THEN 'RIFF\x00\x00\x00\x18WAVE'::BLOB
+              WHEN 5 THEN '\x00\x00\x00\x18ftypisom'::BLOB
+              ELSE ''::BLOB END) || encode(substring(text, 1, 12))
+             AS content
+    FROM documents
+  ),
+  hexed AS (
+    SELECT media_id, upper(substring(hex(content), 1, 32)) AS h
+    FROM media
+  )
+  SELECT media_id,
+         CASE
+           WHEN starts_with(h, '89504E47') THEN 'image/png'
+           WHEN starts_with(h, 'FFD8FF') THEN 'image/jpeg'
+           WHEN starts_with(h, '474946') THEN 'image/gif'
+           WHEN starts_with(h, '52494646') THEN
+             CASE substring(h, 17, 8)
+               WHEN '57454250' THEN 'image/webp'
+               WHEN '57415645' THEN 'audio/wav'
+               ELSE 'application/riff' END
+           WHEN substring(h, 9, 8) = '66747970' THEN 'video/mp4'
+           ELSE 'application/octet-stream'
+         END AS sniffed_type,
+         substring(h, 1, 24) AS magic_hex
+  FROM hexed
+"""
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary column + mapInPandas feature
     extraction (real PIL path when available, deterministic fallback
@@ -4919,6 +4983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": _q_events_asof,
         "events_range_attrib": _q_events_range_attrib,
         "media_features": _q_media_features,
+        "sniff_media": _q_sniff_media,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
     }
@@ -5038,6 +5103,7 @@ def oracle_sql() -> dict[str, str]:
         # projection of `documents` and the no-decoder fallback is
         # closed-form, so all three are SQL-expressible here
         "media_features": _MEDIA_FEATURES_SQL,
+        "sniff_media": _SNIFF_MEDIA_SQL,
         "media_resize": _MEDIA_RESIZE_SQL,
         "media_frames": _MEDIA_FRAMES_SQL,
     }

@@ -1117,3 +1117,34 @@ def test_rfc9309_longest_match_and_ties(spark):
     assert out["/dotXpath"]["allowed"] and out["/dotXpath"]["winner_len"] == 0
     assert not out["/dot.path"]["allowed"]
     assert out["/elsewhere"]["allowed"] and out["/elsewhere"]["winner_pattern"] == ""
+
+
+def test_sniff_media_type_magic_numbers(spark):
+    """Each magic prefix maps to its type; RIFF is discriminated by
+    bytes 9-12; ftyp is found at byte 5; unknown bytes fall through to
+    octet-stream; short blobs don't error."""
+    from yacy_grid_crawler_spark.operators.multimodal import sniff_media_type
+
+    rows = [
+        ("png", bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A]) + b"x"),
+        ("jpg", bytes([0xFF, 0xD8, 0xFF, 0xE0]) + b"JFIF"),
+        ("gif", b"GIF87a pixels"),
+        ("webp", b"RIFF\x10\x00\x00\x00WEBPVP8 "),
+        ("wav", b"RIFF\x10\x00\x00\x00WAVEfmt "),
+        ("riff", b"RIFF\x10\x00\x00\x00AVI LIST"),
+        ("mp4", b"\x00\x00\x00\x18ftypisomiso2"),
+        ("txt", b"hello world"),
+        ("tiny", b"\x89"),
+        ("empty", b""),
+    ]
+    docs = spark.createDataFrame(rows, "media_id string, content binary")
+    out = {r["media_id"]: r["sniffed_type"]
+           for r in sniff_media_type(docs).collect()}
+    assert out == {
+        "png": "image/png", "jpg": "image/jpeg", "gif": "image/gif",
+        "webp": "image/webp", "wav": "audio/wav",
+        "riff": "application/riff", "mp4": "video/mp4",
+        "txt": "application/octet-stream",
+        "tiny": "application/octet-stream",
+        "empty": "application/octet-stream",
+    }

@@ -344,3 +344,39 @@ def sample_frames(
                 yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def sniff_media_type(media: DataFrame, content_col: str = "content") -> DataFrame:
+    """Magic-number content-type sniffing over opaque binary blobs —
+    the first thing a multimodal ingest does with crawled bytes
+    (declared Content-Type headers lie; the magic bytes don't).
+    Detects PNG / JPEG / GIF / WebP / WAV (RIFF-discriminated) / MP4
+    (ftyp at byte 5); everything else is application/octet-stream.
+
+    Pure codegen: ONE binary substring (first 16 bytes) hexed to a
+    string, then literal prefix/position compares — no UDF, no
+    shuffle; the blob column itself is read but never moved. The
+    DuckDB oracle hexes the whole blob and string-substrings the hex
+    (DuckDB lacks BLOB substring) — byte-identical semantics.
+
+    Output: (media_id, sniffed_type, magic_hex)."""
+    h = F.upper(F.hex(F.expr(f"substring({content_col}, 1, 16)")))
+    riff_tag = F.substring(h, 17, 8)  # bytes 9-12
+    sniffed = (
+        F.when(h.startswith("89504E47"), F.lit("image/png"))
+        .when(h.startswith("FFD8FF"), F.lit("image/jpeg"))
+        .when(h.startswith("474946"), F.lit("image/gif"))
+        .when(
+            h.startswith("52494646"),
+            F.when(riff_tag == "57454250", F.lit("image/webp"))
+            .when(riff_tag == "57415645", F.lit("audio/wav"))
+            .otherwise(F.lit("application/riff")),
+        )
+        .when(F.substring(h, 9, 8) == "66747970", F.lit("video/mp4"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    return media.select(
+        "media_id",
+        sniffed.alias("sniffed_type"),
+        F.substring(h, 1, 24).alias("magic_hex"),
+    )
