@@ -4563,6 +4563,78 @@ _MEDIA_FRAMES_SQL = """
 """
 
 
+def _q_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracking-param stripping over synthesized canonical URLs:
+    branches cover mixed tracking+real params (order preserved),
+    all-stripped (the '?' disappears), empty params from '&&'/'&'
+    tails, and query-less URLs."""
+    from yacy_grid_crawler_spark.operators.filters import (
+        strip_tracking_params,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    rid = F.col("doc_id").cast("string")
+    base = F.concat(F.lit("http://h"), (F.col("doc_id") % 10).cast("string"),
+                    F.lit(".org/p/"), rid)
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(base, F.lit("?id="), rid,
+                     F.lit("&utm_source=feed&ref=r"),
+                     (F.col("doc_id") % 5).cast("string"),
+                     F.lit("&utm_campaign=c")),
+        )
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(base, F.lit("?gclid=g"), rid))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(base, F.lit("?a=1&&b=2&")))
+        .otherwise(base)
+    )
+    return strip_tracking_params(d.select(url.alias("url"))).select(
+        "url", "cleaned_url", "n_stripped"
+    )
+
+
+_STRIP_TRACKING_SQL = """
+  WITH urls AS (
+    SELECT 'http://h' || (doc_id % 10) || '.org/p/' || doc_id ||
+           CASE doc_id % 4
+             WHEN 0 THEN '?id=' || doc_id || '&utm_source=feed&ref=r'
+                         || (doc_id % 5) || '&utm_campaign=c'
+             WHEN 1 THEN '?gclid=g' || doc_id
+             WHEN 2 THEN '?a=1&&b=2&'
+             ELSE '' END AS url
+    FROM documents
+  ),
+  split AS (
+    SELECT url,
+           CASE WHEN strpos(url, '?') = 0 THEN url
+                ELSE substring(url, 1, strpos(url, '?') - 1) END AS base,
+           CASE WHEN strpos(url, '?') = 0 THEN ''
+                ELSE substring(url, strpos(url, '?') + 1) END AS q
+    FROM urls
+  ),
+  lists AS (
+    SELECT url, base,
+           list_filter(string_split(q, '&'), p -> p != '') AS params
+    FROM split
+  ),
+  kept AS (
+    SELECT url, base, params,
+           list_filter(params, p -> NOT regexp_matches(p,
+             '^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_eid)(=.*)?$'))
+             AS keep
+    FROM lists
+  )
+  SELECT url,
+         base || CASE WHEN len(keep) > 0
+                      THEN '?' || array_to_string(keep, '&')
+                      ELSE '' END AS cleaned_url,
+         CAST(len(params) - len(keep) AS INTEGER) AS n_stripped
+  FROM kept
+"""
+
+
 def _q_sniff_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Magic-number sniffing: the gate plants REAL magic prefixes
     (PNG/JPEG/GIF/WebP/WAV/MP4, rotating on doc_id % 7, with one
@@ -4984,6 +5056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_attrib": _q_events_range_attrib,
         "media_features": _q_media_features,
         "sniff_media": _q_sniff_media,
+        "strip_tracking": _q_strip_tracking,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
     }
@@ -5104,6 +5177,7 @@ def oracle_sql() -> dict[str, str]:
         # closed-form, so all three are SQL-expressible here
         "media_features": _MEDIA_FEATURES_SQL,
         "sniff_media": _SNIFF_MEDIA_SQL,
+        "strip_tracking": _STRIP_TRACKING_SQL,
         "media_resize": _MEDIA_RESIZE_SQL,
         "media_frames": _MEDIA_FRAMES_SQL,
     }

@@ -1148,3 +1148,36 @@ def test_sniff_media_type_magic_numbers(spark):
         "tiny": "application/octet-stream",
         "empty": "application/octet-stream",
     }
+
+
+def test_strip_tracking_params(spark):
+    """Tracking params vanish, surviving params keep their order, an
+    all-stripped query loses its '?', empty params are dropped, and
+    query-less URLs pass through untouched."""
+    from yacy_grid_crawler_spark.operators.filters import (
+        strip_tracking_params,
+    )
+
+    urls = spark.createDataFrame(
+        [
+            ("http://a/p?utm_source=x&id=7&utm_campaign=c&ref=r",),
+            ("http://a/p?gclid=g1",),
+            ("http://a/p?fbclid=f&msclkid=m&mc_eid=e&utm_x=1",),
+            ("http://a/p?a=1&&b=2&",),
+            ("http://a/p",),
+            ("http://a/p?",),
+            ("http://a/p?utmx=keepme",),   # not utm_ prefixed family
+        ],
+        "url string",
+    )
+    out = {r["url"]: (r["cleaned_url"], r["n_stripped"])
+           for r in strip_tracking_params(urls).collect()}
+    assert out["http://a/p?utm_source=x&id=7&utm_campaign=c&ref=r"] == (
+        "http://a/p?id=7&ref=r", 2)
+    assert out["http://a/p?gclid=g1"] == ("http://a/p", 1)
+    assert out["http://a/p?fbclid=f&msclkid=m&mc_eid=e&utm_x=1"] == (
+        "http://a/p", 4)
+    assert out["http://a/p?a=1&&b=2&"] == ("http://a/p?a=1&b=2", 0)
+    assert out["http://a/p"] == ("http://a/p", 0)
+    assert out["http://a/p?"] == ("http://a/p", 0)
+    assert out["http://a/p?utmx=keepme"] == ("http://a/p?utmx=keepme", 0)

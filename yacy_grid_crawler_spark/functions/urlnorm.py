@@ -441,3 +441,4 @@ def content_domain_series(canon):
     dom = dom.where(ext.notna(), "all")
     dom = dom.fillna("all")
     return dom.where(canon.notna())
+
