@@ -4926,6 +4926,273 @@ _QUERY_CACHES: list = []
 _QUERY_CACHES_OWNER: list = [None]
 
 
+# ---------------------------------------------------------------------------
+# archive index, URL-template mining, phrase retrieval, collocations,
+# containment dedup, shard manifests
+# ---------------------------------------------------------------------------
+
+
+def _q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index with SURT urlkeys and revisit flags over
+    synthesized captures: messy scheme/host case, 'www.' prefixes,
+    unsorted query params, '#fragment's; the digest cycles every two
+    captures of a urlkey so real revisit=true rows exist."""
+    from yacy_grid_crawler_spark.sources.warc import cdx_index
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTP://WWW.Host"), (i % 7).cast("string"),
+        F.lit(".Example.ORG/Page/"), (i % 25).cast("string"),
+        F.lit("/view?b=2&a="), (i % 3).cast("string"), F.lit("#frag"),
+    )
+    caps = d.select(
+        url.alias("url"),
+        (F.lit(20260101000000) + i).cast("long").alias("ts"),
+        F.md5((F.expr("doc_id div 1050") % 3).cast("string")).alias("digest"),
+    )
+    return cdx_index(caps)
+
+
+_CDX_INDEX_SQL = """
+  WITH caps AS (
+    SELECT 'HTTP://WWW.Host' || (doc_id % 7) || '.Example.ORG/Page/'
+           || (doc_id % 25) || '/view?b=2&a=' || (doc_id % 3) || '#frag' AS url,
+           20260101000000 + doc_id AS ts,
+           md5(((doc_id // 1050) % 3)::VARCHAR) AS digest
+    FROM documents
+  ),
+  norm AS (
+    SELECT split_part(regexp_replace(lower(url), '^[a-z]+://', ''), '#', 1) AS u,
+           ts, digest
+    FROM caps
+  ),
+  parts AS (
+    -- generated URLs carry no userinfo/port, so the '@'/':' strips the
+    -- Spark operator applies are identity here
+    SELECT ts, digest,
+           regexp_replace(regexp_extract(u, '^([^/?]*)', 1), '^www\\.', '') AS host,
+           substring(u, length(regexp_extract(u, '^([^/?]*)', 1)) + 1) AS rest
+    FROM norm
+  ),
+  keyed AS (
+    SELECT ts, digest,
+           array_to_string(list_reverse(string_split(host, '.')), ',') || ')'
+           || (CASE WHEN split_part(rest, '?', 1) = '' THEN '/'
+                    ELSE split_part(rest, '?', 1) END)
+           || (CASE WHEN ps = '' THEN '' ELSE '?' || ps END) AS urlkey
+    FROM (
+      SELECT *, array_to_string(list_sort(list_filter(string_split(
+               CASE WHEN strpos(rest, '?') > 0
+                    THEN substring(rest, strpos(rest, '?') + 1) ELSE '' END,
+               '&'), p -> p != '')), '&') AS ps
+      FROM parts)
+  )
+  SELECT urlkey, ts, digest,
+         coalesce(lag(digest) OVER (PARTITION BY urlkey ORDER BY ts) = digest,
+                  false) AS revisit
+  FROM keyed
+"""
+
+
+def _q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-template mining over synthesized URL families: an unbounded
+    id family (/item/{n}/view), a bounded one (/page/{n}, 20
+    variants), and a static path (/about) per host."""
+    from yacy_grid_crawler_spark.operators.graph import url_templates
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    i = F.col("doc_id")
+    host = F.concat(F.lit("http://h"), (i % 5).cast("string"), F.lit(".org"))
+    url = (
+        F.when(i % 3 == 0,
+               F.concat(host, F.lit("/item/"), i.cast("string"), F.lit("/view")))
+        .when(i % 3 == 1,
+              F.concat(host, F.lit("/page/"), (i % 20).cast("string")))
+        .otherwise(F.concat(host, F.lit("/about")))
+    )
+    return url_templates(d.select(url.alias("url")), min_count=3)
+
+
+_URL_TEMPLATES_SQL = """
+  WITH urls AS (
+    SELECT CASE
+             WHEN doc_id % 3 = 0 THEN 'http://h' || (doc_id % 5) || '.org/item/'
+                                      || doc_id || '/view'
+             WHEN doc_id % 3 = 1 THEN 'http://h' || (doc_id % 5) || '.org/page/'
+                                      || (doc_id % 20)
+             ELSE 'http://h' || (doc_id % 5) || '.org/about'
+           END AS url
+    FROM documents
+  ),
+  p AS (
+    SELECT regexp_extract(url, '^[a-z]+://(?:[^/@]*@)?([^/:?#]+)', 1) AS host,
+           CASE WHEN regexp_extract(url, '^[a-z]+://[^/?#]*(/[^?#]*)?', 1) = ''
+                THEN '/' ELSE regexp_extract(url, '^[a-z]+://[^/?#]*(/[^?#]*)?', 1)
+           END AS path
+    FROM urls
+  ),
+  t AS (
+    SELECT host, regexp_replace(path, '[0-9]+', '{n}', 'g') AS template, path
+    FROM p
+  )
+  SELECT host, template, count(*) AS n_urls,
+         count(DISTINCT path) AS n_variants,
+         contains(template, '{n}') AS templated,
+         contains(template, '{n}') AND count(*) >= 3 AS family
+  FROM t GROUP BY host, template
+"""
+
+_PHRASES = [("table", "scan"), ("order", "sort"), ("batch", "stream"),
+            ("merge", "join")]
+
+
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase retrieval for four probe phrases from the
+    synthetic vocabulary (adjacent-word matches only)."""
+    from yacy_grid_crawler_spark.operators.textstats import phrase_search
+
+    return phrase_search(_docs(spark, sf_dir), _PHRASES)
+
+
+_PHRASE_SEARCH_SQL = """
+  WITH words AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents
+  ),
+  bg AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(w) >= 2 THEN
+                    [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w) - 1)]
+                  ELSE [] END) AS b
+    FROM words
+  )
+  SELECT b AS phrase, doc_id, count(*) AS n_hits
+  FROM bg
+  WHERE b IN ('table scan', 'order sort', 'batch stream', 'merge join')
+  GROUP BY b, doc_id
+"""
+
+
+def _q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PMI collocations over corpus word bigrams (min_count=5;
+    pmi rounded to 4dp BEFORE the rank on both engines)."""
+    from yacy_grid_crawler_spark.operators.textstats import pmi_collocations
+
+    return pmi_collocations(_docs(spark, sf_dir), min_count=5, k=50)
+
+
+_PMI_SQL = """
+  WITH words AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents
+  ),
+  bg AS (
+    SELECT unnest(CASE WHEN len(w) >= 2 THEN
+                    [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w) - 1)]
+                  ELSE [] END) AS b
+    FROM words
+  ),
+  pairs AS (
+    SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+           count(*) AS c12
+    FROM bg GROUP BY 1, 2 HAVING count(*) >= 5
+  ),
+  uc AS (
+    SELECT t, count(*) AS c FROM (SELECT unnest(w) AS t FROM words) GROUP BY t
+  ),
+  tot AS (SELECT count(*) AS n_total FROM bg)
+  SELECT w1, w2, c12,
+         round(ln((c12::DOUBLE * n_total::DOUBLE) / (u1.c::DOUBLE * u2.c::DOUBLE)),
+               4) AS pmi
+  FROM pairs CROSS JOIN tot
+  JOIN uc u1 ON u1.t = w1
+  JOIN uc u2 ON u2.t = w2
+  ORDER BY pmi DESC, w1, w2 LIMIT 50
+"""
+
+
+def _q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: every 5th document also emits
+    a fragment of its first 3/5 words (quote/subset shape), so
+    high-containment (fragment, full) pairs exist by construction."""
+    from yacy_grid_crawler_spark.operators.dedup_text import containment_pairs
+
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    full = base.select((F.col("doc_id") * 2).alias("doc_id"), "text")
+    w = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+    frag = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") * 2 + 1).alias("doc_id"),
+        F.expr(
+            f"concat_ws(' ', slice({w}, 1, (size({w}) * 3) div 5))"
+        ).alias("text"),
+    )
+    return containment_pairs(
+        full.unionByName(frag), threshold=0.8, cache_registry=_QUERY_CACHES
+    )
+
+
+_DOC_CONTAINMENT_SQL = """
+  WITH base AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents
+  ),
+  docs2 AS (
+    SELECT doc_id * 2 AS doc_id, w FROM base
+    UNION ALL
+    SELECT doc_id * 2 + 1 AS doc_id, w[1:(len(w) * 3) // 5] AS w
+    FROM base WHERE doc_id % 5 = 0
+  ),
+  shingles AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     for i in generate_series(1, greatest(len(w) - 2, 0))]) AS shingle
+      FROM docs2
+    )
+  ),
+  sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+  rare AS (
+    SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= 50
+  ),
+  shr AS (SELECT s.* FROM shingles s JOIN rare r ON s.shingle = r.shingle),
+  inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  ),
+  scored AS (
+    SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           (sa.n_sh < sb.n_sh OR (sa.n_sh = sb.n_sh AND doc_a < doc_b)) AS inner_is_a
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+  )
+  SELECT CASE WHEN inner_is_a THEN doc_a ELSE doc_b END AS inner_doc,
+         CASE WHEN inner_is_a THEN doc_b ELSE doc_a END AS outer_doc,
+         round(n_inter / (CASE WHEN inner_is_a THEN n_a ELSE n_b END), 4)
+           AS containment
+  FROM scored
+  WHERE round(n_inter / (CASE WHEN inner_is_a THEN n_a ELSE n_b END), 4) >= 0.8
+"""
+
+
+def _q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publishing manifest over the default doc_id%16 round-robin
+    sharding: counts, byte volume, id span, XOR content checksum."""
+    from yacy_grid_crawler_spark.operators.sampling import shard_manifest
+
+    return shard_manifest(_docs(spark, sf_dir), n_shards=16)
+
+
+_SHARD_MANIFEST_SQL = """
+  SELECT (doc_id % 16)::INT AS shard,
+         count(*) AS n_docs,
+         sum(n_chars)::BIGINT AS total_chars,
+         min(doc_id) AS min_doc_id,
+         max(doc_id) AS max_doc_id,
+         bit_xor(('0x' || substring(md5(text), 1, 15))::BIGINT) AS checksum
+  FROM documents GROUP BY 1
+"""
+
+
 def _sweeping(fn):
     def run(spark, sf_dir):
         if _QUERY_CACHES_OWNER[0] != fn.__name__:
@@ -5059,6 +5326,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_tracking": _q_strip_tracking,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
+        "cdx_index": _q_cdx_index,
+        "url_templates": _q_url_templates,
+        "phrase_search": _q_phrase_search,
+        "pmi_collocations": _q_pmi_collocations,
+        "doc_containment": _q_doc_containment,
+        "shard_manifest": _q_shard_manifest,
     }
     return {k: _sweeping(v) for k, v in qs.items()}
 
@@ -5180,4 +5453,10 @@ def oracle_sql() -> dict[str, str]:
         "strip_tracking": _STRIP_TRACKING_SQL,
         "media_resize": _MEDIA_RESIZE_SQL,
         "media_frames": _MEDIA_FRAMES_SQL,
+        "cdx_index": _CDX_INDEX_SQL,
+        "url_templates": _URL_TEMPLATES_SQL,
+        "phrase_search": _PHRASE_SEARCH_SQL,
+        "pmi_collocations": _PMI_SQL,
+        "doc_containment": _DOC_CONTAINMENT_SQL,
+        "shard_manifest": _SHARD_MANIFEST_SQL,
     }

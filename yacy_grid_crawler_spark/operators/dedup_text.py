@@ -945,3 +945,82 @@ def mirror_pairs(
             ),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = SHINGLE_N,
+    threshold: float = 0.8,
+    df_cap: int = JACCARD_DF_CAP,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Asymmetric near-duplication: shingle CONTAINMENT of the smaller
+    document in the larger, over candidate pairs sharing ≥1 rare
+    shingle. Jaccard misses the quote/subset case entirely — a page
+    fully embedded in a larger page scores |A|/|B| on Jaccard (low
+    when B is much bigger) but 1.0 on containment |A∩B|/|A| — and
+    subset inclusion (syndicated articles inside portals, quoted
+    posts, scraped-with-chrome copies) is its own dedup policy
+    decision, distinct from the symmetric near-dup operators
+    (minhash/simhash/jaccard) and from mirror_pairs' host-level
+    containment.
+
+    Output: (inner_doc, outer_doc, containment) with containment =
+    |A∩B| / |inner's shingle set| rounded to 4dp, ≥ threshold; the
+    smaller set (ties: smaller doc_id) is `inner`. The intersection
+    is counted over the rare-shingle candidate join (same df_cap
+    bound as ngram_jaccard_pairs — a lower bound on full containment,
+    exact on corpora where shared shingles are rare ones).
+
+    Scale shape: identical candidate geometry to ngram_jaccard_pairs —
+    one persisted shingle projection, df-capped inverted-index
+    self-join (the bound that keeps hot shingles from exploding),
+    (pair) hash aggregate, two broadcast-size joins for set sizes. No
+    windows, no UDFs.
+    """
+    sh = doc_shingles(docs, n).persist()
+    if cache_registry is not None:
+        cache_registry.append(sh)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("shingle")
+    )
+    sh_rare = sh.join(rare, "shingle")
+    a = sh_rare.alias("a")
+    b = sh_rare.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    scored = inter.join(sa, "doc_a").join(sb, "doc_b")
+    inner_is_a = (F.col("n_a") < F.col("n_b")) | (
+        (F.col("n_a") == F.col("n_b")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    return (
+        scored.select(
+            F.when(inner_is_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+                "inner_doc"
+            ),
+            F.when(inner_is_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+                "outer_doc"
+            ),
+            F.round(
+                F.col("n_inter")
+                / F.when(inner_is_a, F.col("n_a")).otherwise(F.col("n_b")),
+                4,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

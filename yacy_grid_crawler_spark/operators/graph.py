@@ -394,3 +394,54 @@ def trap_hosts(
             & (ratio <= max_distinct_ratio)
         ).alias("is_trap"),
     )
+
+
+def url_templates(
+    urls: DataFrame, url_col: str = "url", min_count: int = 3
+) -> DataFrame:
+    """URL-template mining: collapse every digit run in the PATH to
+    '{n}' and aggregate per (host, template) — the standard way a
+    crawler discovers parameterized page families (item/{n}/view,
+    page/{n}, calendar traps) so dedup/priority policy can act on the
+    TEMPLATE instead of its millions of instances. Complements
+    trap_hosts (which gates on per-host distinct-path ratio) with the
+    which-pattern evidence, and url_features (per-URL signals) with
+    the family-level rollup.
+
+    Output per (host, template): n_urls (instances seen),
+    n_variants (distinct concrete paths — equals n_urls unless the
+    same path repeats), `templated` (the path actually contained a
+    digit run), and `family` flag (templated AND n_urls >= min_count
+    — the families worth a policy decision).
+
+    Scale shape: the template is a map-side regexp_replace; ONE hash
+    aggregate on (host, template) with partial combine (instances of
+    a family collapse before the exchange — the hotter the family,
+    the better the combine), and the distinct-path count rides the
+    same shuffle via count(distinct path)'s expand. No windows, no
+    joins, no UDFs.
+
+    Reference tie-in: the reference's crawler has no template miner —
+    this is frontier-policy input its operators (mustmatch, depth
+    caps) consume; cites CrawlStartService.java:141-173 for where
+    such patterns enter as crawl-profile regexes.
+    """
+    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://(?:[^/@]*@)?([^/:?#]+)", 1)
+    path = F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/?#]*(/[^?#]*)?", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    template = F.regexp_replace(path, r"[0-9]+", "{n}")
+    return (
+        urls.select(
+            host.alias("host"), path.alias("path"), template.alias("template")
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("path").alias("n_variants"),
+        )
+        .withColumn("templated", F.col("template").contains("{n}"))
+        .withColumn(
+            "family",
+            F.col("template").contains("{n}") & (F.col("n_urls") >= min_count),
+        )
+    )

@@ -576,3 +576,59 @@ def budget_select(
         *docs.columns,
         (F.col("_start") + F.col(token_col)).cast("long").alias("cum_tokens"),
     )
+
+
+def shard_manifest(
+    docs: DataFrame,
+    n_shards: int = 16,
+    shard_col: str | None = None,
+    text_col: str = "text",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Publishing manifest for a sharded corpus export: one row per
+    shard with row count, byte volume, doc_id span, and an
+    ORDER-INDEPENDENT content checksum — the artifact a downstream
+    consumer verifies a delivered dataset against (the step after
+    pack_shards decides the layout).
+
+    checksum = bit_xor over rows of the first 60 bits of
+    md5(text) as a bigint: XOR is commutative/associative, so the
+    value is identical no matter how partitions deliver rows —
+    byte-identical reshards verify, any single changed/missing doc
+    flips it. (60 bits = 15 hex chars keeps the conv() exact under
+    bigint; the full 128-bit digest would need two columns for no
+    additional practical power here.)
+
+    When `shard_col` is None rows are assigned round-robin by
+    doc_id % n_shards (the deterministic default the tests/oracle
+    pin); pass the column pack_shards produced to manifest a
+    size-budgeted layout instead.
+
+    Scale shape: ONE hash aggregate keyed on the shard id with
+    map-side partial combine (count/sum/min/max/xor are all
+    fixed-width primitive buffers — pure HashAggregate, no sort); the
+    md5+conv is map-side codegen. No joins, windows, or UDFs; output
+    cardinality = n_shards.
+    """
+    shard = (
+        F.col(shard_col)
+        if shard_col
+        else F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+    )
+    sig = F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10).cast("long")
+    return (
+        docs.select(
+            shard.alias("shard"),
+            sig.alias("_sig"),
+            F.col(size_col).cast("long").alias("_sz"),
+            "doc_id",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_sz").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.bit_xor("_sig").alias("checksum"),
+        )
+    )

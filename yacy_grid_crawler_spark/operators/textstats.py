@@ -1143,3 +1143,126 @@ def encoding_audit(docs: DataFrame) -> DataFrame:
         n_ctl.cast("long").alias("n_ctrl"),
         ((n_rep + n_moj + n_ctl) == 0).alias("enc_ok"),
     )
+
+
+def phrase_search(
+    docs: DataFrame, phrases: list[tuple[str, str]]
+) -> DataFrame:
+    """Positional phrase retrieval: for each two-word phrase, find the
+    documents where the words occur ADJACENTLY (position i, i+1) and
+    count occurrences — the operator a positional inverted index
+    serves, which bag-of-words retrieval (bm25_search / batch_search /
+    tfidf) cannot express. Output: (phrase, doc_id, n_hits), one row
+    per matching (phrase, doc) pair.
+
+    Scale shape — selectivity first: the positional postings
+    (doc_id, pos, term) are a narrow posexplode map, immediately
+    semi-joined against the BROADCAST phrase-term set, so only
+    postings of words that appear in some probe phrase ever reach an
+    exchange (the classic phrase-query plan: stopword-free probe terms
+    make this a tiny fraction of the corpus). The adjacency test is
+    one equi-join on (doc_id, pos+1 = pos) between first-word and
+    second-word postings — AQE-planned, keys carry two longs — then a
+    (phrase, doc_id) hash aggregate with map-side combine. No windows,
+    no UDFs, no full-corpus shuffle.
+    """
+    first_terms = sorted({a for a, _ in phrases})
+    spark = docs.sparkSession
+    pdf = spark.createDataFrame(
+        [(a, b, f"{a} {b}") for a, b in phrases], "w1 string, w2 string, phrase string"
+    )
+    postings = docs.select(
+        "doc_id",
+        F.posexplode(_words()).alias("pos", "term"),
+    ).filter(
+        F.col("term").isin(sorted({w for p in phrases for w in p}))
+    )
+    a = postings.withColumnRenamed("term", "w1")
+    b = postings.select(
+        F.col("doc_id").alias("doc_id_b"),
+        (F.col("pos") - 1).alias("pos_b"),
+        F.col("term").alias("w2_b"),
+    )
+    hits = (
+        a.join(F.broadcast(pdf), "w1")
+        .join(
+            b,
+            (F.col("doc_id") == F.col("doc_id_b"))
+            & (F.col("pos") == F.col("pos_b"))
+            & (F.col("w2") == F.col("w2_b")),
+        )
+        .groupBy("phrase", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return hits
+
+
+def pmi_collocations(
+    docs: DataFrame, min_count: int = 5, k: int = 50
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over the
+    corpus' word bigrams — the vocabulary/tokenizer-construction
+    statistic (which adjacent pairs co-occur far above chance and
+    deserve a merged token). PMI(w1,w2) = ln(c12 · N / (c1 · c2))
+    with N = total bigram count; pairs below `min_count` occurrences
+    are dropped (PMI is noise on rare pairs), output ordered by
+    (pmi desc, w1, w2) and truncated to k.
+
+    Cross-engine float discipline: the PMI double is computed with an
+    IDENTICAL expression shape in the DuckDB oracle
+    (ln((c12·N)/(c1·c2)) over doubles) and rounded to 4dp BEFORE the
+    ordering rank, so boundary ulps cannot flip the top-k cut.
+
+    Scale shape: the token array is materialized ONCE per doc (the
+    explode's child projection — regexp runs once, not per bigram
+    reference); bigram expansion is a zip of the array with its tail
+    (no unigram posexplode); ONE hash aggregate on the bigram pair
+    with map-side combine, one on the unigram. The min_count-filtered
+    pair set is the SMALL side, so it is what broadcasts — the
+    unigram-count table (unbounded vocabulary at 100 TB) never
+    shuffles for the two lookups. Total-N sums the already-aggregated
+    bigram counts — no extra corpus pass.
+    """
+    toks = docs.select(_words().alias("w"))
+    pair_rows = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
+                " (x, i) -> struct(x as w1, element_at(w, i + 2) as w2))"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    pairs = (
+        pair_rows.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    uni = (
+        toks.select(F.explode("w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = pair_rows.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    j1 = uni.join(F.broadcast(pairs), uni["w"] == pairs["w1"]).select(
+        "w1", "w2", "c12", F.col("c").alias("c1")
+    )
+    j2 = uni.join(F.broadcast(j1), uni["w"] == j1["w2"]).select(
+        "w1", "w2", "c12", "c1", F.col("c").alias("c2")
+    )
+    scored = (
+        j2.crossJoin(F.broadcast(total))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") * F.col("n_total").cast("double"))
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                ),
+                4,
+            ),
+        )
+        .select("w1", "w2", "c12", "pmi")
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
+    )
+    return scored

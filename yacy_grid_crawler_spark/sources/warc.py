@@ -35,7 +35,7 @@ repartition — the same geometry the reference's per-batch flush has.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 CRLF = "\r\n"
@@ -117,4 +117,87 @@ def parse_warc_records(
         n.alias("content_length"),
         payload.alias("payload"),
         (F.octet_length(payload) == n).alias("length_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SURT keys + CDX capture index — the lookup side of the archive the
+# crawler writes. The reference emits WARC assets per batch
+# (CrawlerListener.java:497-503, 546, 563); every real consumer of
+# those archives (wayback-style replay, recrawl diffing) addresses
+# them through a CDX index keyed by SURT (Sort-friendly URI Reordering
+# Transform — the Heritrix/OpenWayback convention, public spec).
+# ---------------------------------------------------------------------------
+
+def surt_key(url_col) -> "F.Column":
+    """SURT canonical sort key for a URL, pure codegen string ops.
+
+    Rules applied (documented subset of the Heritrix canonicalizer —
+    deterministic, engine-neutral):
+      * lowercase everything, strip the scheme and any '#fragment';
+      * drop a leading 'www.' host label and any userinfo;
+      * reverse the remaining host labels and join with ',' then ')';
+      * path kept verbatim ('/' when absent);
+      * query parameters split on '&', empties dropped, SORTED and
+        re-joined (param order never changes replay identity).
+
+    'http://WWW.News.Example.org/A/b?z=1&a=2' →
+    'org,example,news)/a/b?a=2&z=1'. Zero shuffles — a map over the
+    scan; at 100 TB the key is computed in the same stage that writes
+    the CDX shard.
+    """
+    u = F.substring_index(
+        F.regexp_replace(F.lower(url_col), r"^[a-z]+://", ""), "#", 1
+    )
+    hostport = F.substring_index(
+        F.substring_index(F.regexp_extract(u, r"^([^/?]*)", 1), "@", -1),
+        ":",
+        1,
+    )
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    # everything after the authority ('' | '/path[?q]' | '?q')
+    rest = F.substring(u, F.length(F.regexp_extract(u, r"^([^/?]*)", 1)) + 1, 1 << 20)
+    path = F.substring_index(rest, "?", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.when(
+        rest.contains("?"), F.substring_index(rest, "?", -1)
+    ).otherwise(F.lit(""))
+    params = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), lambda p: p != "")), "&"
+    )
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"),
+        path,
+        F.when(params == "", F.lit("")).otherwise(F.concat(F.lit("?"), params)),
+    )
+
+
+def cdx_index(captures: DataFrame, url_col: str = "url",
+              ts_col: str = "ts", digest_col: str = "digest") -> DataFrame:
+    """CDX-shaped capture index over (url, ts, digest) rows: one row
+    per capture with its SURT `urlkey` and a `revisit` flag — true
+    when the capture's payload digest equals the PREVIOUS capture of
+    the same urlkey in timestamp order (the CDX 'revisit record'
+    dedup rule: replay stores the body once and points later
+    identical captures at it).
+
+    Scale shape: surt_key is a map; the only movement is ONE hash
+    exchange on urlkey for the lag window — per-key capture counts
+    are bounded (captures of one URL), so no skewed/global window. A
+    production CDX writer range-partitions on (urlkey, ts) so shard
+    files concatenate into the sorted index; the flag computed here
+    is partition-local either way.
+    """
+    w = Window.partitionBy("urlkey").orderBy(ts_col)
+    return (
+        captures.withColumn("urlkey", surt_key(F.col(url_col)))
+        .withColumn(
+            "revisit",
+            F.coalesce(
+                F.lag(digest_col).over(w) == F.col(digest_col), F.lit(False)
+            ),
+        )
+        .select("urlkey", F.col(ts_col).alias("ts"),
+                F.col(digest_col).alias("digest"), "revisit")
     )
