@@ -123,6 +123,16 @@ def global_positions(
     """
     keys = [F.col(c) for c in (*group_cols, *order_cols)]
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # repartitionByRange's RangePartitioner runs a SAMPLING job over
+    # its child before the real exchange. Shuffle map stages are
+    # reused across the two jobs, so only the child's final narrow
+    # stage (anti-join probe, regex verdicts, windows) is evaluated
+    # twice — persisting the input to avoid that recompute was
+    # MEASURED SLOWER (interleaved A/B, 14M-URL wave, local[8]:
+    # min 34.4 s / 218 CPU-s persisted vs 32.2 s / 202 CPU-s not;
+    # the cache materialization of wave-width rows costs more than
+    # the duplicated narrow stage on this memory-bound box). Leave
+    # the input unpersisted; see BASELINE.md round-3 notes.
     ranged = df.repartitionByRange(n_part, *keys).withColumn(
         "_pid", F.spark_partition_id()
     )
