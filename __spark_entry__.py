@@ -2820,6 +2820,91 @@ _INLINK_STATS_SQL = f"""
 """
 
 
+def _q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text consolidation per target URL over the shared
+    synthetic link graph, with a deterministic anchor vocabulary
+    (term{(doc_id*31 + k*7) % 40}) so both engines see identical
+    text — the modal anchor + counts per dst_url."""
+    from yacy_grid_crawler_spark.operators.graph import anchor_stats
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    url = lambda d: F.concat(  # noqa: E731 — the canonical-URL template
+        F.lit("http://host"), (d % N_HOSTS).cast("string"),
+        F.lit(".example.org/page/"), d.cast("string"), F.lit(".html"),
+    )
+    d = F.col("doc_id")
+    edges = [
+        # three spread edges (the shared link-graph map) ...
+        *[
+            F.struct(
+                ((d * 17 + k) % n).alias("d"),
+                F.concat(
+                    F.lit("term"), ((d * 31 + k * 7) % 40).cast("string")
+                ).alias("a"),
+            )
+            for k in (1, 2, 3)
+        ],
+        # ... plus one HUB edge: ~n/97 sources converge on each hub
+        # with only 5 anchor variants, so hubs have real modal counts
+        # (>1) and count ties for the lexicographic tie-break
+        F.struct(
+            (d % 97).alias("d"),
+            F.concat(F.lit("term"), (d % 5).cast("string")).alias("a"),
+        ),
+    ]
+    links = docs.select(
+        url(d).alias("src_url"), F.explode(F.array(*edges)).alias("_e")
+    ).select(
+        "src_url",
+        url(F.col("_e.d")).alias("dst_url"),
+        F.col("_e.a").alias("anchor_text"),
+    )
+    return anchor_stats(links)
+
+
+_ANCHOR_STATS_SQL = f"""
+  WITH spread AS (
+    SELECT 'http://host' || (((doc_id * 17 + k) % c.n) % {N_HOSTS})
+             || '.example.org/page/' || ((doc_id * 17 + k) % c.n)
+             || '.html' AS dst_url,
+           'term' || ((doc_id * 31 + k * 7) % 40) AS anchor_text
+    FROM documents, unnest([1, 2, 3]) t(k),
+         (SELECT count(*) AS n FROM documents) c
+  ),
+  hub AS (
+    SELECT 'http://host' || ((doc_id % 97) % {N_HOSTS})
+             || '.example.org/page/' || (doc_id % 97)
+             || '.html' AS dst_url,
+           'term' || (doc_id % 5) AS anchor_text
+    FROM documents
+  ),
+  links AS (
+    SELECT * FROM spread UNION ALL SELECT * FROM hub
+  ),
+  counts AS (
+    SELECT dst_url, anchor_text, count(*) AS _n
+    FROM links GROUP BY 1, 2
+  ),
+  totals AS (
+    SELECT dst_url, CAST(sum(_n) AS BIGINT) AS n_anchors,
+           count(*) AS n_unique_anchors
+    FROM counts GROUP BY 1
+  ),
+  top AS (
+    SELECT dst_url, anchor_text AS top_anchor, _n AS top_anchor_n
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY dst_url ORDER BY _n DESC, anchor_text
+      ) AS _rk FROM counts
+    ) WHERE _rk = 1
+  )
+  SELECT t.dst_url, t.n_anchors, t.n_unique_anchors,
+         p.top_anchor, p.top_anchor_n
+  FROM totals t JOIN top p USING (dst_url)
+"""
+
+
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hub/authority over the shared synthetic link graph —
     EXACT integer form (unnormalized iterates are monotone in the
@@ -5298,6 +5383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_resample": _q_temperature_resample,
         "lm_score": _q_lm_score,
         "inlink_stats": _q_inlink_stats,
+        "anchor_stats": _q_anchor_stats,
         "hits_scores": _q_hits,
         "host_graph": _q_host_graph,
         "length_quantiles": _q_length_quantiles,
@@ -5415,6 +5501,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_resample": _TEMPERATURE_SQL,
         "lm_score": _LM_SCORE_SQL,
         "inlink_stats": _INLINK_STATS_SQL,
+        "anchor_stats": _ANCHOR_STATS_SQL,
         "hits_scores": _HITS_SQL,
         "host_graph": _HOST_GRAPH_SQL,
         "length_quantiles": _LENGTH_QUANTILES_SQL,

@@ -336,6 +336,34 @@ def test_link_host_stats_distinct_vs_total(spark):
     assert out["c.com"]["n_dst_urls"] == 1
 
 
+def test_anchor_stats_modal_pick_and_tiebreak(spark):
+    """Modal anchor wins; equal-count ties break to the
+    lexicographically smallest text (deterministic output)."""
+    from yacy_grid_crawler_spark.operators.graph import anchor_stats
+
+    links = spark.createDataFrame(
+        [
+            # t1: 'home' x2 beats 'start' x1
+            ("http://a.com/1", "http://t.com/1", "home"),
+            ("http://b.com/1", "http://t.com/1", "home"),
+            ("http://c.com/1", "http://t.com/1", "start"),
+            # t2: 2-2 tie -> 'alpha' < 'beta'
+            ("http://a.com/2", "http://t.com/2", "beta"),
+            ("http://b.com/2", "http://t.com/2", "beta"),
+            ("http://c.com/2", "http://t.com/2", "alpha"),
+            ("http://d.com/2", "http://t.com/2", "alpha"),
+        ],
+        "src_url string, dst_url string, anchor_text string",
+    )
+    out = {r["dst_url"]: r for r in anchor_stats(links).collect()}
+    t1 = out["http://t.com/1"]
+    assert (t1["n_anchors"], t1["n_unique_anchors"]) == (3, 2)
+    assert (t1["top_anchor"], t1["top_anchor_n"]) == ("home", 2)
+    t2 = out["http://t.com/2"]
+    assert (t2["n_anchors"], t2["n_unique_anchors"]) == (4, 2)
+    assert (t2["top_anchor"], t2["top_anchor_n"]) == ("alpha", 2)
+
+
 def test_host_cap_sample_exact_cap_and_distributed_equality(spark):
     """The cap binds exactly (min(count, cap) rows per host), the
     selection is deterministic, and the distributed two-phase rank

@@ -22,7 +22,7 @@ ordering needs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PR_ITERS = 6
@@ -188,6 +188,48 @@ def link_host_stats(links: DataFrame) -> DataFrame:
         F.countDistinct("src_host").alias("n_src_hosts"),
         F.countDistinct("dst_url").alias("n_dst_urls"),
     )
+
+
+def anchor_stats(links: DataFrame) -> DataFrame:
+    """Anchor-text consolidation per target URL over a
+    (src_url, dst_url, anchor_text) link table — the third classic
+    crawl/search signal next to PageRank and inlink counts: the
+    anchor texts OTHER pages use for a URL describe it better than
+    its own content (the reference's graph assets carry the outlink
+    anchor lists per document; this op is the transpose-and-reduce
+    over them).
+
+    Output per dst_url: n_anchors (total anchored inlinks),
+    n_unique_anchors (distinct texts), top_anchor (the modal text,
+    ties broken lexicographically so the result is deterministic),
+    top_anchor_n (its count).
+
+    Scale shape: two hash aggregates — (dst_url, anchor_text) counts
+    with map-side partial agg, then a dst_url-keyed reduce; the modal
+    pick is a window over the counts table partitioned by dst_url
+    (cardinality = distinct target URLs, so fully parallel; no
+    single-partition window). Both dst_url stages hash-partition on
+    the same key, so AQE reuses the exchange."""
+    counts = links.groupBy("dst_url", "anchor_text").agg(
+        F.count("*").alias("_n")
+    )
+    totals = counts.groupBy("dst_url").agg(
+        F.sum("_n").alias("n_anchors"),
+        F.count("*").alias("n_unique_anchors"),
+    )
+    w = Window.partitionBy("dst_url").orderBy(
+        F.col("_n").desc(), F.col("anchor_text")
+    )
+    top = (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "dst_url",
+            F.col("anchor_text").alias("top_anchor"),
+            F.col("_n").alias("top_anchor_n"),
+        )
+    )
+    return totals.join(top, "dst_url")
 
 
 def host_link_graph(links: DataFrame) -> DataFrame:
