@@ -5278,6 +5278,144 @@ _SHARD_MANIFEST_SQL = """
 """
 
 
+def _q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table: distinct-user sketch state per
+    event_type — the mergeable form a 1000-executor rollup ships
+    between clusters (one max() per register merges two sketches)."""
+    from yacy_grid_crawler_spark.operators.sketches import hll_registers
+
+    return hll_registers(_events(spark, sf_dir), "user_id", ["event_type"])
+
+
+# the rho pipeline below is character-identical to operators/
+# sketches.py::_rho_column — substr/trim(LEADING)/nibble-CASE were
+# verified to evaluate bit-identically in Spark SQL and DuckDB
+# (two-arg ltrim does NOT: its argument order is engine-swapped)
+_HLL_RHO_SQL = """
+      CASE WHEN trim(LEADING '0' FROM substr(hh, 3, 13)) = '' THEN 53
+           ELSE 4 * (13 - length(trim(LEADING '0' FROM substr(hh, 3, 13))))
+                + (CASE substr(trim(LEADING '0' FROM substr(hh, 3, 13)), 1, 1)
+                   WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                   WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                   WHEN '7' THEN 1 ELSE 0 END) + 1 END
+"""
+
+_HLL_REGISTERS_SQL = f"""
+  WITH h AS (
+    SELECT event_type, md5(cast(user_id AS STRING)) AS hh FROM events
+  )
+  SELECT event_type, substr(hh, 1, 2) AS bucket,
+         CAST(max({_HLL_RHO_SQL}) AS INT) AS register
+  FROM h GROUP BY event_type, substr(hh, 1, 2)
+"""
+
+
+def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-user estimate per event_type, joined with the
+    exact count so the audit (estimate vs truth) ships in one row."""
+    from pyspark.sql import functions as F
+
+    from yacy_grid_crawler_spark.operators.sketches import hll_cardinality
+
+    ev = _events(spark, sf_dir)
+    est = hll_cardinality(ev, "user_id", ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "exact_users",
+        "nonzero_registers",
+        "hll_numerator",
+        "hll_estimate",
+    )
+
+
+def _hll_distinct_sql() -> str:
+    from yacy_grid_crawler_spark.operators.sketches import (
+        HLL_M,
+        HLL_NUMERATOR_CONST,
+        RHO_CAP,
+    )
+
+    return f"""
+  WITH h AS (
+    SELECT event_type, md5(cast(user_id AS STRING)) AS hh FROM events
+  ),
+  regs AS (
+    SELECT event_type, substr(hh, 1, 2) AS bucket,
+           max({_HLL_RHO_SQL}) AS register
+    FROM h GROUP BY event_type, substr(hh, 1, 2)
+  ),
+  agg AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS nonzero_registers,
+           CAST(sum(CAST(1 AS BIGINT) << ({RHO_CAP} - register)) AS BIGINT)
+             + ({HLL_M} - CAST(count(*) AS BIGINT))
+               * (CAST(1 AS BIGINT) << {RHO_CAP}) AS hll_numerator
+    FROM regs GROUP BY event_type
+  ),
+  exact AS (
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+    FROM events GROUP BY event_type
+  )
+  SELECT a.event_type, e.exact_users, a.nonzero_registers, a.hll_numerator,
+         round({HLL_NUMERATOR_CONST!r} / CAST(a.hll_numerator AS DOUBLE), 4)
+           AS hll_estimate
+  FROM agg a JOIN exact e ON a.event_type = e.event_type
+"""
+
+
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy-hitter audit over document tokens: exact
+    top-20 token counts vs their sketch point estimates (one-sided
+    error: cms_cnt >= exact_cnt, equality unless all 4 hash rows
+    collide)."""
+    from pyspark.sql import functions as F
+
+    from yacy_grid_crawler_spark.operators.sketches import cms_heavy_hitters
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("item")
+    )
+    return cms_heavy_hitters(toks, "item", k=20)
+
+
+_CMS_HEAVY_HITTERS_SQL = """
+  WITH toks AS (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS item
+    FROM documents
+  ),
+  salts AS (SELECT unnest(['r0', 'r1', 'r2', 'r3']) AS salt),
+  exact AS (
+    SELECT item, CAST(count(*) AS BIGINT) AS exact_cnt
+    FROM toks GROUP BY item
+    ORDER BY exact_cnt DESC, item ASC LIMIT 20
+  ),
+  sk AS (
+    SELECT salt, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+      SELECT s.salt, substr(md5(s.salt || ':' || t.item), 1, 3) AS bucket
+      FROM toks t CROSS JOIN salts s
+    ) GROUP BY salt, bucket
+  ),
+  keys AS (
+    SELECT e.item, s.salt,
+           substr(md5(s.salt || ':' || e.item), 1, 3) AS bucket
+    FROM exact e CROSS JOIN salts s
+  ),
+  est AS (
+    SELECT k.item, min(sk.cnt) AS cms_cnt
+    FROM keys k JOIN sk ON k.salt = sk.salt AND k.bucket = sk.bucket
+    GROUP BY k.item
+  )
+  SELECT e.item, e.exact_cnt, est.cms_cnt,
+         est.cms_cnt - e.exact_cnt AS overcount
+  FROM exact e JOIN est ON e.item = est.item
+"""
+
+
 def _sweeping(fn):
     def run(spark, sf_dir):
         if _QUERY_CACHES_OWNER[0] != fn.__name__:
@@ -5418,6 +5556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": _q_pmi_collocations,
         "doc_containment": _q_doc_containment,
         "shard_manifest": _q_shard_manifest,
+        "hll_registers": _q_hll_registers,
+        "hll_distinct": _q_hll_distinct,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
     }
     return {k: _sweeping(v) for k, v in qs.items()}
 
@@ -5546,4 +5687,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_collocations": _PMI_SQL,
         "doc_containment": _DOC_CONTAINMENT_SQL,
         "shard_manifest": _SHARD_MANIFEST_SQL,
+        "hll_registers": _HLL_REGISTERS_SQL,
+        "hll_distinct": _hll_distinct_sql(),
+        "cms_heavy_hitters": _CMS_HEAVY_HITTERS_SQL,
     }

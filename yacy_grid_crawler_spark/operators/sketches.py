@@ -1,0 +1,232 @@
+"""Distributed probabilistic sketches: HyperLogLog cardinality and
+Count-Min frequency estimation.
+
+Why they exist in a crawl/curation engine: at 10^10-URL frontier
+scale the questions "how many distinct URLs / users / hosts" and
+"how often does this token appear" must be answerable in one pass
+with bounded state — exact distinct counts shuffle every key, while
+a sketch shuffles O(m) registers per group.  These are the classic
+one-pass summaries (Flajolet et al. 2007 HLL; Cormode & Muthukrishnan
+2005 CMS) re-expressed as pure Spark aggregations.
+
+Determinism contract: every hash bit is derived from md5 hex-string
+arithmetic (substring / trim / CASE over nibbles) that evaluates
+bit-identically in Spark SQL and DuckDB, so the ORACLE can rebuild
+the exact same sketch state.  No RNG, no libm transcendentals in the
+register path; the only float is the final alpha*m^2/sum division of
+two exactly-representable values (IEEE-deterministic cross-engine).
+The standard small-range linear-counting correction (m*ln(m/V)) is
+deliberately omitted: ln() is libm-dependent and would break
+cross-engine equality — the raw HLL estimator's small-n bias is the
+documented trade (callers see `nonzero_registers` to judge it).
+
+Scale shape: HLL is one groupBy((group, bucket)).max(rho) — a single
+shuffle whose width is min(rows, groups*m), with map-side partial max
+combining before the exchange.  CMS is one explode(d salts) +
+groupBy((salt, bucket)).count() — a single shuffle of at most
+groups*d*w rows.  Neither carries row payloads past the first
+aggregation; both are pure whole-stage-codegen (no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# HLL geometry.  m = 16^HLL_PREFIX_HEX registers addressed by the
+# first hex chars of md5; rho (leading-zero run + 1) is read from the
+# next RHO_HEX chars (4 bits each), capped at RHO_CAP when that whole
+# window is zero.  2^(RHO_CAP - rho) then fits comfortably in a
+# signed 64-bit numerator: m * 2^(RHO_CAP-1) = 256 * 2^52 = 2^60.
+# ---------------------------------------------------------------------------
+HLL_PREFIX_HEX = 2
+HLL_M = 16 ** HLL_PREFIX_HEX  # 256 registers
+RHO_HEX = 13
+RHO_CAP = 4 * RHO_HEX + 1  # 53
+
+# alpha_m * m^2 * 2^RHO_CAP precomputed in Python and embedded as ONE
+# double literal so both engines evaluate the same constant/N divide.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_NUMERATOR_CONST = HLL_ALPHA * HLL_M * HLL_M * float(2 ** RHO_CAP)
+
+# leading-zero count of one hex nibble ('0' handled by the trim path)
+_NIBBLE_LZ = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1}
+
+
+def _rho_column() -> "F.Column":
+    """rho = 1 + number of leading zero BITS in the RHO_HEX-hex-char
+    window after the register prefix, capped at RHO_CAP.  Pure string
+    ops (trim LEADING + nibble CASE) over the `_hll_hash` column of
+    the enclosing select — the identical SQL shape is restated in the
+    DuckDB oracle."""
+    # Spark's two-arg ltrim()/F.ltrim have ENGINE-SWAPPED argument
+    # order vs DuckDB; ANSI trim(LEADING .. FROM ..) parses and
+    # evaluates identically in both dialects (verified empirically).
+    stripped = F.expr(
+        f"trim(LEADING '0' FROM substring(_hll_hash, {HLL_PREFIX_HEX + 1}, {RHO_HEX}))"
+    )
+    nib = F.substring(stripped, 1, 1)
+    lz_nib = F.lit(0)
+    for ch, lz in _NIBBLE_LZ.items():
+        lz_nib = F.when(nib == ch, lz).otherwise(lz_nib)
+    return F.when(F.length(stripped) == 0, F.lit(RHO_CAP)).otherwise(
+        (F.lit(RHO_HEX) - F.length(stripped)) * 4 + lz_nib + 1
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """HyperLogLog register table: one row per (group, bucket) holding
+    max(rho) — the complete, mergeable sketch state.
+
+    Emitting registers (not just the estimate) is the point: register
+    tables from independent partitions/days/clusters merge with a
+    plain max, which is how a 1000-executor rollup composes.  Single
+    shuffle on (group, bucket); max() combines map-side first.
+    """
+    h = F.md5(F.col(value_col).cast("string"))
+    keyed = df.select(
+        *[F.col(c) for c in group_cols],
+        h.alias("_hll_hash"),
+    ).select(
+        *[F.col(c) for c in group_cols],
+        F.substring(F.col("_hll_hash"), 1, HLL_PREFIX_HEX).alias("bucket"),
+        _rho_column().cast("int").alias("_rho"),
+    )
+    return keyed.groupBy(*group_cols, "bucket").agg(
+        F.max("_rho").alias("register")
+    )
+
+
+def hll_cardinality(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group distinct-count estimate from the HLL registers.
+
+    numerator = sum(2^(RHO_CAP - register)) + (m - V) * 2^RHO_CAP
+    (V = nonzero registers; absent buckets contribute rho = 0) is an
+    EXACT 64-bit integer in both engines; the estimate is the single
+    IEEE divide HLL_NUMERATOR_CONST / numerator.  Columns:
+    group..., nonzero_registers, hll_numerator, hll_estimate.
+    """
+    regs = hll_registers(df, value_col, group_cols)
+    term = F.expr(f"shiftleft(cast(1 AS bigint), {RHO_CAP} - register)")
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("nonzero_registers"),
+        F.sum(term).alias("_present_sum"),
+    )
+    numerator = (
+        F.col("_present_sum")
+        + (F.lit(HLL_M) - F.col("nonzero_registers"))
+        * F.lit(2 ** RHO_CAP).cast("long")
+    )
+    return agg.select(
+        *group_cols,
+        F.col("nonzero_registers"),
+        numerator.cast("long").alias("hll_numerator"),
+        F.round(
+            F.lit(HLL_NUMERATOR_CONST) / numerator.cast("double"), 4
+        ).alias("hll_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch.  d independent hash rows via salted md5; width w
+# = 16^CMS_BUCKET_HEX buckets per row.  Point estimate = min over the
+# d row counters — a deterministic upper bound on the true count.
+# ---------------------------------------------------------------------------
+CMS_SALTS = ("r0", "r1", "r2", "r3")  # d = 4
+CMS_BUCKET_HEX = 3
+CMS_W = 16 ** CMS_BUCKET_HEX  # 4096 buckets per row
+
+
+def _cms_bucket(salt: str, item_col) -> "F.Column":
+    return F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), item_col.cast("string"))),
+        1,
+        CMS_BUCKET_HEX,
+    )
+
+
+def cms_sketch(items: DataFrame, item_col: str) -> DataFrame:
+    """Build the d x w counter table (salt, bucket, cnt) from an item
+    stream.  One explode to d rows per item, one count shuffle keyed
+    on (salt, bucket) — at most d*w = 16384 output rows regardless of
+    input size, with map-side partial counts doing the heavy fold.
+    """
+    rows = items.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("salt"),
+                        _cms_bucket(s, F.col(item_col)).alias("bucket"),
+                    )
+                    for s in CMS_SALTS
+                ]
+            )
+        ).alias("k")
+    )
+    return rows.groupBy(
+        F.col("k.salt").alias("salt"), F.col("k.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(sketch: DataFrame, queries: DataFrame, item_col: str) -> DataFrame:
+    """Point-query the sketch: expand each query item to its d
+    (salt, bucket) keys, equi-join the counter table, take min(cnt).
+    The query side is tiny (top-k candidates) → broadcast it so the
+    16k-row sketch never shuffles."""
+    keys = queries.select(
+        F.col(item_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("salt"),
+                        _cms_bucket(s, F.col(item_col)).alias("bucket"),
+                    )
+                    for s in CMS_SALTS
+                ]
+            )
+        ).alias("k"),
+    ).select(item_col, F.col("k.salt").alias("salt"), F.col("k.bucket").alias("bucket"))
+    joined = sketch.join(F.broadcast(keys), ["salt", "bucket"], "inner")
+    return joined.groupBy(item_col).agg(F.min("cnt").alias("cms_cnt"))
+
+
+def cms_heavy_hitters(
+    tokens: DataFrame, item_col: str, k: int = 20
+) -> DataFrame:
+    """Heavy-hitter audit: exact top-k items (count desc, item asc —
+    deterministic tie-break via TakeOrderedAndProject, no global
+    window) joined with their CMS point estimates.  Output
+    (item, exact_cnt, cms_cnt, overcount) demonstrates the sketch's
+    one-sided error: cms_cnt >= exact_cnt always, equality unless a
+    collision in every one of the d rows."""
+    sketch = cms_sketch(tokens, item_col)
+    exact = (
+        tokens.groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col(item_col).asc())
+        .limit(k)
+    )
+    est = cms_estimate(sketch, exact.select(item_col), item_col)
+    return (
+        exact.join(est, item_col, "inner")
+        .select(
+            item_col,
+            "exact_cnt",
+            "cms_cnt",
+            (F.col("cms_cnt") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), F.col(item_col).asc())
+    )
