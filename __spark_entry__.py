@@ -5366,6 +5366,69 @@ def _hll_distinct_sql() -> str:
 """
 
 
+def _q_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch quantile estimates (quarter-log2 bins, ~9% relative
+    error) of document length per language, audited against the exact
+    interpolated median — the mergeable one-pass alternative to
+    length_quantiles' exact percentile agg for 100-TB group sizes."""
+    from pyspark.sql import functions as F
+
+    from yacy_grid_crawler_spark.operators.sketches import dd_quantiles
+
+    docs = _docs(spark, sf_dir)
+    dd = dd_quantiles(docs, "n_chars", ["lang"])
+    exact = docs.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("exact_p50")
+    )
+    return dd.join(F.broadcast(exact), "lang").select(
+        "lang", "n", "dd_p50", "dd_p90", "dd_p99", "exact_p50"
+    )
+
+
+# length(bin(v)) - 1 is the engine-portable floor(log2 v) — a string
+# op, not libm; the quarter shift and midpoint are integer-exact and
+# the 8.0 divide is dyadic, so every estimate is bit-identical here
+_DD_QUANTILES_SQL = """
+  WITH kept AS (
+    SELECT lang, CAST(n_chars AS BIGINT) AS v,
+           length(bin(CAST(n_chars AS BIGINT))) - 1 AS e
+    FROM documents
+    WHERE n_chars >= 1 AND n_chars <= 1152921504606846976
+  ),
+  binned AS (
+    SELECT lang,
+           CAST(4 * e + ((v * 4) >> e) - 4 AS INT) AS bin_id,
+           CAST((9 + 2 * (((v * 4) >> e) - 4)) << e AS DOUBLE) / 8.0
+             AS bin_est
+    FROM kept
+  ),
+  bins AS (
+    SELECT lang, bin_id, bin_est, CAST(count(*) AS BIGINT) AS cnt
+    FROM binned GROUP BY lang, bin_id, bin_est
+  ),
+  cum AS (
+    SELECT lang, bin_est,
+           sum(cnt) OVER (PARTITION BY lang) AS n,
+           sum(cnt) OVER (PARTITION BY lang ORDER BY bin_id
+                          ROWS UNBOUNDED PRECEDING) AS c
+    FROM bins
+  ),
+  dd AS (
+    SELECT lang, CAST(max(n) AS BIGINT) AS n,
+      min(CASE WHEN c >= (n * 50 + 99) // 100 THEN bin_est END) AS dd_p50,
+      min(CASE WHEN c >= (n * 90 + 99) // 100 THEN bin_est END) AS dd_p90,
+      min(CASE WHEN c >= (n * 99 + 99) // 100 THEN bin_est END) AS dd_p99
+    FROM cum GROUP BY lang
+  ),
+  exact AS (
+    SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS exact_p50
+    FROM documents GROUP BY lang
+  )
+  SELECT d.lang, d.n, d.dd_p50, d.dd_p90, d.dd_p99, e.exact_p50
+  FROM dd d JOIN exact e ON d.lang = e.lang
+"""
+
+
 def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min heavy-hitter audit over document tokens: exact
     top-20 token counts vs their sketch point estimates (one-sided
@@ -5559,6 +5622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_registers": _q_hll_registers,
         "hll_distinct": _q_hll_distinct,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "dd_quantiles": _q_dd_quantiles,
     }
     return {k: _sweeping(v) for k, v in qs.items()}
 
@@ -5690,4 +5754,5 @@ def oracle_sql() -> dict[str, str]:
         "hll_registers": _HLL_REGISTERS_SQL,
         "hll_distinct": _hll_distinct_sql(),
         "cms_heavy_hitters": _CMS_HEAVY_HITTERS_SQL,
+        "dd_quantiles": _DD_QUANTILES_SQL,
     }

@@ -10,6 +10,8 @@ import pytest
 from yacy_grid_crawler_spark.operators.sketches import (
     CMS_SALTS,
     CMS_BUCKET_HEX,
+    dd_bins,
+    dd_quantiles,
     HLL_M,
     HLL_NUMERATOR_CONST,
     HLL_PREFIX_HEX,
@@ -112,6 +114,60 @@ def test_cms_sketch_bounded_size(spark):
     tokens = spark.range(20000).selectExpr("cast(id % 7000 as string) AS item")
     n = cms_sketch(tokens, "item").count()
     assert n <= len(CMS_SALTS) * 16 ** CMS_BUCKET_HEX
+
+
+def _py_dd_bin(v: int):
+    e = v.bit_length() - 1
+    q = ((v * 4) >> e) - 4
+    return 4 * e + q, ((9 + 2 * q) << e) / 8.0
+
+
+def test_dd_bins_match_python_reference(spark):
+    vals = [1, 2, 3, 4, 5, 7, 8, 100, 1000, 12345, 2 ** 40 + 17]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        (r["bin_id"], r["bin_est"], r["cnt"])
+        for r in dd_bins(df, "v").collect()
+    }
+    want = {}
+    for v in vals:
+        b, est = _py_dd_bin(v)
+        want[(b, est)] = want.get((b, est), 0) + 1
+    assert got == {(b, est, c) for (b, est), c in want.items()}
+
+
+def test_dd_bins_domain_excludes_nonpositive_and_huge(spark):
+    df = spark.createDataFrame(
+        [(0,), (-5,), (2 ** 61,), (10,)], "v long"
+    )
+    rows = dd_bins(df, "v").collect()
+    assert sum(r["cnt"] for r in rows) == 1  # only v=10 kept
+
+
+def test_dd_quantiles_relative_error_bound(spark):
+    # quarter-log2 bins guarantee <= (2^0.25-1)/1 ~ 19% midpoint error;
+    # check the estimate brackets the true quantile within one bin
+    import math
+
+    n = 10000
+    df = spark.range(1, n + 1).selectExpr("id AS v", "'g' AS g")
+    out = dd_quantiles(df, "v", ["g"]).collect()[0]
+    assert out["n"] == n
+    for p in (50, 90, 99):
+        true = math.ceil(n * p / 100)
+        assert abs(out[f"dd_p{p}"] - true) / true < 0.15
+
+
+def test_dd_bins_merge_by_sum(spark):
+    a = spark.range(1, 2000).selectExpr("id AS v")
+    b = spark.range(1000, 5000).selectExpr("id AS v")
+    both = {
+        (r["bin_id"]): r["cnt"] for r in dd_bins(a.union(b), "v").collect()
+    }
+    ra = {r["bin_id"]: r["cnt"] for r in dd_bins(a, "v").collect()}
+    rb = {r["bin_id"]: r["cnt"] for r in dd_bins(b, "v").collect()}
+    merged = {k: ra.get(k, 0) + rb.get(k, 0) for k in set(ra) | set(rb)}
+    assert both == merged
 
 
 def test_sketch_plans_stay_jvm_side(spark):

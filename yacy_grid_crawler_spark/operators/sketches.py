@@ -139,6 +139,90 @@ def hll_cardinality(
 
 
 # ---------------------------------------------------------------------------
+# DDSketch-style quantile sketch (Masson et al. 2019) on quarter-log2
+# bins: bin(v) = 4*floor(log2 v) + quarter(v), giving a relative-error
+# bound of (2^(1/4)-1)/(2^(1/4)+1) ≈ 9% per estimate with ≤ 4*63 bins
+# for the full positive int64 domain.  floor(log2 v) is read as
+# length(bin(v)) - 1 — a STRING op that is engine-identical (no libm
+# log); the quarter and the bin midpoint are pure integer shifts, so
+# the only float is one dyadic division by 8.0 (exact in IEEE).
+# Mergeable: bin tables from independent partitions/days merge by
+# summing counts, same as the HLL register max-merge.
+# ---------------------------------------------------------------------------
+DD_QUANTILES_PCT = (50, 90, 99)
+
+
+def dd_bins(
+    df: DataFrame, value_col: str, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Quarter-log2 histogram: (group..., bin_id, bin_est, cnt).
+
+    Domain is 1 <= v <= 2^60 (the v*4 quarter shift must not overflow
+    int64); rows outside it are excluded and the caller sees the gap
+    as sum(cnt) < input rows.  One count shuffle of at most
+    groups * 4*61 rows with map-side combine — the sketch never
+    carries row payloads."""
+    v = F.col(value_col).cast("long")
+    e = (F.length(F.bin(v)) - 1).alias("_e")
+    kept = df.filter(
+        (v >= 1) & (v <= F.lit(2 ** 60).cast("long"))
+    ).select(*[F.col(c) for c in group_cols], v.alias("_v"), e)
+    quarter = F.expr("shiftright(_v * 4, _e)") - 4
+    binned = kept.select(
+        *[F.col(c) for c in group_cols],
+        (F.col("_e") * 4 + quarter).cast("int").alias("bin_id"),
+        # midpoint of [2^e(1+q/4), 2^e(1+(q+1)/4)] = 2^e*(9+2q)/8,
+        # computed as an exact integer shift then one dyadic divide
+        (
+            F.expr("shiftleft(9 + 2 * (shiftright(_v * 4, _e) - 4), _e)")
+            / F.lit(8.0)
+        ).alias("bin_est"),
+    )
+    return binned.groupBy(*group_cols, "bin_id", "bin_est").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def dd_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    quantiles_pct: Sequence[int] = DD_QUANTILES_PCT,
+) -> DataFrame:
+    """Per-group quantile estimates from the DDSketch bins.
+
+    rank threshold for percentile p is ceil(n*p/100) in exact integer
+    arithmetic ((n*p + 99) div 100); the estimate is the bin_est of
+    the first bin whose cumulative count reaches it.  The windows run
+    over the ALREADY-AGGREGATED bin table (≤ groups * 244 rows),
+    partitioned by group — never over raw rows, never single-
+    partition.  Columns: group..., n, dd_p{p} per requested p."""
+    from pyspark.sql import Window
+
+    bins = dd_bins(df, value_col, group_cols)
+    w_grp = Window.partitionBy(*[F.col(c) for c in group_cols])
+    w_cum = w_grp.orderBy("bin_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bins.select(
+        *group_cols,
+        "bin_est",
+        F.sum("cnt").over(w_grp).alias("_n"),
+        F.sum("cnt").over(w_cum).alias("_cum"),
+    )
+    aggs = [F.max("_n").alias("n")]
+    for p in quantiles_pct:
+        # ceil(n*p/100) in pure integer arithmetic — no float rank
+        thresh = F.expr(f"(_n * {int(p)} + 99) div 100")
+        aggs.append(
+            F.min(
+                F.when(F.col("_cum") >= thresh, F.col("bin_est"))
+            ).alias(f"dd_p{p}")
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
 # Count-Min sketch.  d independent hash rows via salted md5; width w
 # = 16^CMS_BUCKET_HEX buckets per row.  Point estimate = min over the
 # d row counters — a deterministic upper bound on the true count.
