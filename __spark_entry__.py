@@ -4827,6 +4827,38 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary-blob dedup over the media table: identical bytes
+    collapse to one keeper with ref counts — the asset-level dedup a
+    multimodal crawl needs (same image under many URLs, stored once).
+    The blob is projected to (md5, length) before any shuffle."""
+    from yacy_grid_crawler_spark.operators.multimodal import (
+        dedup_media_blobs,
+        synth_media_from_docs,
+    )
+
+    media = synth_media_from_docs(_docs(spark, sf_dir))
+    return dedup_media_blobs(media)
+
+
+# blob bytes ARE the utf-8 text (synth_media_from_docs), so DuckDB's
+# VARCHAR md5(text) hashes the identical byte string Spark's
+# md5(binary content) does; octet_length(encode()) is the blob size
+_MEDIA_DEDUP_SQL = """
+  WITH m AS (
+    SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+           md5(text) AS blob_md5,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id % 7 = 0
+  )
+  SELECT media_id, blob_md5, n_bytes,
+         CAST(count(*) OVER (PARTITION BY blob_md5) AS BIGINT) AS n_refs,
+         min(media_id) OVER (PARTITION BY blob_md5) AS keeper_id,
+         media_id = min(media_id) OVER (PARTITION BY blob_md5) AS is_keeper
+  FROM m
+"""
+
+
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN — the scale path (equi-join on
     bucket, no cross join). Fully deterministic (md5-seeded
@@ -5623,6 +5655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "dd_quantiles": _q_dd_quantiles,
+        "media_dedup": _q_media_dedup,
     }
     return {k: _sweeping(v) for k, v in qs.items()}
 
@@ -5755,4 +5788,5 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_distinct_sql(),
         "cms_heavy_hitters": _CMS_HEAVY_HITTERS_SQL,
         "dd_quantiles": _DD_QUANTILES_SQL,
+        "media_dedup": _MEDIA_DEDUP_SQL,
     }

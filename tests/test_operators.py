@@ -1181,3 +1181,29 @@ def test_strip_tracking_params(spark):
     assert out["http://a/p"] == ("http://a/p", 0)
     assert out["http://a/p?"] == ("http://a/p", 0)
     assert out["http://a/p?utmx=keepme"] == ("http://a/p?utmx=keepme", 0)
+
+
+def test_dedup_media_blobs_keeper_and_refcounts(spark):
+    from yacy_grid_crawler_spark.operators.multimodal import dedup_media_blobs
+
+    media = spark.createDataFrame(
+        [
+            ("m1", bytearray(b"AAA")),
+            ("m2", bytearray(b"AAA")),
+            ("m3", bytearray(b"BBB")),
+        ],
+        "media_id string, content binary",
+    )
+    rows = {r["media_id"]: r for r in dedup_media_blobs(media).collect()}
+    assert rows["m1"]["n_refs"] == 2 and rows["m2"]["n_refs"] == 2
+    assert rows["m1"]["keeper_id"] == "m1" == rows["m2"]["keeper_id"]
+    assert rows["m1"]["is_keeper"] and not rows["m2"]["is_keeper"]
+    assert rows["m3"]["is_keeper"] and rows["m3"]["n_refs"] == 1
+    assert rows["m1"]["n_bytes"] == 3
+    # the blob itself never reaches the exchange: the shuffle input
+    # projects to (media_id, md5, length) first
+    plan = (
+        dedup_media_blobs(media)._jdf.queryExecution().executedPlan().toString()
+    )
+    exchange_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert exchange_lines and all("content" not in ln for ln in exchange_lines)

@@ -380,3 +380,33 @@ def sniff_media_type(media: DataFrame, content_col: str = "content") -> DataFram
         sniffed.alias("sniffed_type"),
         F.substring(h, 1, 24).alias("magic_hex"),
     )
+
+
+def dedup_media_blobs(media: DataFrame, content_col: str = "content") -> DataFrame:
+    """Exact binary-blob dedup: identical media bytes collapse to one
+    canonical keeper (min media_id), every row annotated with its
+    group size — the image/audio dedup step of a multimodal pipeline
+    (the same asset re-crawled under many URLs is stored once).
+
+    Scale shape: the BLOB never shuffles — the first projection
+    reduces each row to (media_id, md5, octet_length) before the
+    single blob_md5-keyed window (group stats via count/min over the
+    partition; partitioned by hash, never a single partition).  At
+    10^10 assets the md5 key is uniform so no salting is needed.
+    """
+    from pyspark.sql import Window
+
+    narrow = media.select(
+        "media_id",
+        F.md5(F.col(content_col)).alias("blob_md5"),
+        F.octet_length(F.col(content_col)).cast("long").alias("n_bytes"),
+    )
+    w = Window.partitionBy("blob_md5")
+    return narrow.select(
+        "media_id",
+        "blob_md5",
+        "n_bytes",
+        F.count(F.lit(1)).over(w).alias("n_refs"),
+        F.min("media_id").over(w).alias("keeper_id"),
+        (F.col("media_id") == F.min("media_id").over(w)).alias("is_keeper"),
+    )
