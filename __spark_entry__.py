@@ -5398,6 +5398,89 @@ def _hll_distinct_sql() -> str:
 """
 
 
+def _q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra in one pass: estimated |view|, |click|,
+    |view ∪ click| and inclusion-exclusion |view ∩ click| of the
+    (user, day) activity sets, with the exact intersection as the
+    audit column — the same-sketch-answers-set-queries property that
+    makes registers worth shipping between clusters."""
+    from pyspark.sql import functions as F
+
+    from yacy_grid_crawler_spark.operators.sketches import hll_set_overlap
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("@"),
+            F.to_date("ts").cast("string"),
+        ).alias("uv"),
+    )
+    est = hll_set_overlap(ev, "uv", "event_type", "view", "click")
+    a = ev.filter(F.col("event_type") == "view").select("uv").distinct()
+    b = ev.filter(F.col("event_type") == "click").select("uv").distinct()
+    exact = a.join(b, "uv").agg(
+        F.count(F.lit(1)).alias("exact_intersection")
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+def _hll_overlap_sql() -> str:
+    from yacy_grid_crawler_spark.operators.sketches import (
+        HLL_M,
+        HLL_NUMERATOR_CONST,
+        RHO_CAP,
+    )
+
+    def est(col: str) -> str:
+        return (
+            f"round({HLL_NUMERATOR_CONST!r} / CAST("
+            f"coalesce(sum(CAST(1 AS BIGINT) << ({RHO_CAP} - {col})), 0)"
+            f" + ({HLL_M} - count({col})) * (CAST(1 AS BIGINT) << {RHO_CAP})"
+            f" AS DOUBLE), 4)"
+        )
+
+    return f"""
+  WITH ev AS (
+    SELECT event_type,
+           cast(user_id AS STRING) || '@' ||
+           cast(CAST(ts AS DATE) AS STRING) AS uv
+    FROM events WHERE event_type IN ('view', 'click')
+  ),
+  h AS (SELECT event_type, md5(uv) AS hh FROM ev),
+  regs AS (
+    SELECT event_type, substr(hh, 1, 2) AS bucket,
+           max({_HLL_RHO_SQL}) AS register
+    FROM h GROUP BY event_type, substr(hh, 1, 2)
+  ),
+  pb AS (
+    SELECT bucket,
+           max(CASE WHEN event_type = 'view' THEN register END) AS ra,
+           max(CASE WHEN event_type = 'click' THEN register END) AS rb,
+           max(register) AS ru
+    FROM regs GROUP BY bucket
+  ),
+  est AS (
+    SELECT {est("ra")} AS est_a,
+           {est("rb")} AS est_b,
+           {est("ru")} AS est_union
+    FROM pb
+  ),
+  ex AS (
+    SELECT CAST(count(*) AS BIGINT) AS exact_intersection FROM (
+      SELECT uv FROM ev WHERE event_type = 'view'
+      INTERSECT
+      SELECT uv FROM ev WHERE event_type = 'click'
+    )
+  )
+  SELECT est.est_a, est.est_b, est.est_union,
+         round(est.est_a + est.est_b - est.est_union, 4)
+           AS est_intersection,
+         ex.exact_intersection
+  FROM est, ex
+"""
+
+
 def _q_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDSketch quantile estimates (quarter-log2 bins, ~9% relative
     error) of document length per language, audited against the exact
@@ -5656,6 +5739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "dd_quantiles": _q_dd_quantiles,
         "media_dedup": _q_media_dedup,
+        "hll_overlap": _q_hll_overlap,
     }
     return {k: _sweeping(v) for k, v in qs.items()}
 
@@ -5789,4 +5873,5 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": _CMS_HEAVY_HITTERS_SQL,
         "dd_quantiles": _DD_QUANTILES_SQL,
         "media_dedup": _MEDIA_DEDUP_SQL,
+        "hll_overlap": _hll_overlap_sql(),
     }

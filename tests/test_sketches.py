@@ -180,3 +180,21 @@ def test_sketch_plans_stay_jvm_side(spark):
     plan2 = cms_sketch(tokens, "item")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan2 and "ArrowEvalPython" not in plan2
     assert plan2.count("Exchange") == 1
+
+
+def test_hll_set_overlap_inclusion_exclusion(spark):
+    from yacy_grid_crawler_spark.operators.sketches import hll_set_overlap
+
+    # A = 0..3999, B = 2000..5999 → |A∩B| = 2000, |A∪B| = 6000
+    rows = [("a", i) for i in range(4000)] + [
+        ("b", i) for i in range(2000, 6000)
+    ]
+    df = spark.createDataFrame(rows, "s string, v int")
+    out = hll_set_overlap(df, "v", "s", "a", "b").collect()[0]
+    assert abs(out["est_a"] - 4000) / 4000 < 0.20
+    assert abs(out["est_b"] - 4000) / 4000 < 0.20
+    assert abs(out["est_union"] - 6000) / 6000 < 0.20
+    assert abs(out["est_intersection"] - 2000) / 2000 < 0.60  # diff of ests
+    assert out["est_intersection"] == pytest.approx(
+        round(out["est_a"] + out["est_b"] - out["est_union"], 4)
+    )

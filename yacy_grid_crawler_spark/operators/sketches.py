@@ -138,6 +138,57 @@ def hll_cardinality(
     )
 
 
+def hll_set_overlap(
+    df: DataFrame,
+    value_col: str,
+    set_col: str,
+    set_a: str,
+    set_b: str,
+) -> DataFrame:
+    """HLL set algebra: estimate |A|, |B|, |A∪B| and (by
+    inclusion-exclusion) |A∩B| of two value sets in ONE pass.
+
+    The union sketch costs nothing extra — HLL registers merge by
+    max, so the same per-bucket aggregate that separates A and B
+    registers (conditional max) also yields the union register.  The
+    final fold is over ≤ m = 256 rows (a deliberate single-row
+    reduce of an already-tiny table).  Intersection estimates can go
+    negative for near-disjoint sets — that is the estimator, not a
+    bug; callers clamp if they need to.
+    Columns: est_a, est_b, est_union, est_intersection.
+    """
+    regs = hll_registers(
+        df.filter(F.col(set_col).isin([set_a, set_b])), value_col, [set_col]
+    )
+    per_bucket = regs.groupBy("bucket").agg(
+        F.max(F.when(F.col(set_col) == set_a, F.col("register"))).alias("ra"),
+        F.max(F.when(F.col(set_col) == set_b, F.col("register"))).alias("rb"),
+        F.max("register").alias("ru"),
+    )
+
+    def _est(col: str):
+        nz = F.count(F.col(col))
+        num = F.coalesce(
+            F.sum(F.expr(f"shiftleft(cast(1 AS bigint), {RHO_CAP} - {col})")),
+            F.lit(0).cast("long"),
+        ) + (F.lit(HLL_M) - nz) * F.lit(2 ** RHO_CAP).cast("long")
+        return F.round(F.lit(HLL_NUMERATOR_CONST) / num.cast("double"), 4)
+
+    out = per_bucket.agg(
+        _est("ra").alias("est_a"),
+        _est("rb").alias("est_b"),
+        _est("ru").alias("est_union"),
+    )
+    return out.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        F.round(
+            F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+        ).alias("est_intersection"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DDSketch-style quantile sketch (Masson et al. 2019) on quarter-log2
 # bins: bin(v) = 4*floor(log2 v) + quarter(v), giving a relative-error
