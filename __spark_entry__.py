@@ -5544,6 +5544,46 @@ _DD_QUANTILES_SQL = """
 """
 
 
+def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout keys over (md5(source) 16-bit, n_chars) — the
+    multi-dim clustering key that makes parquet min/max stats prune
+    scans filtered on EITHER dimension at 100-TB table size."""
+    from pyspark.sql import functions as F
+
+    from yacy_grid_crawler_spark.operators.sampling import zorder_key
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("source"), 1, 4), 16, 10)
+        .cast("long")
+        .alias("src_hash"),
+        F.col("n_chars"),
+    )
+    return zorder_key(docs, "src_hash", "n_chars").select(
+        "doc_id", "src_hash", "z_key"
+    )
+
+
+def _zorder_sql(bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((za >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"(((zb >> {i}) & 1) << {2 * i})")
+    interleave = " + ".join(terms)
+    lim = (1 << bits) - 1
+    return f"""
+  WITH c AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(source), 1, 4)) AS BIGINT) AS src_hash,
+           least(greatest(CAST(('0x' || substr(md5(source), 1, 4)) AS BIGINT),
+                          0), {lim}) AS za,
+           least(greatest(CAST(n_chars AS BIGINT), 0), {lim}) AS zb
+    FROM documents
+  )
+  SELECT doc_id, src_hash, {interleave} AS z_key FROM c
+"""
+
+
 def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min heavy-hitter audit over document tokens: exact
     top-20 token counts vs their sketch point estimates (one-sided
@@ -5740,6 +5780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_quantiles": _q_dd_quantiles,
         "media_dedup": _q_media_dedup,
         "hll_overlap": _q_hll_overlap,
+        "zorder_layout": _q_zorder_layout,
     }
     return {k: _sweeping(v) for k, v in qs.items()}
 
@@ -5874,4 +5915,5 @@ def oracle_sql() -> dict[str, str]:
         "dd_quantiles": _DD_QUANTILES_SQL,
         "media_dedup": _MEDIA_DEDUP_SQL,
         "hll_overlap": _hll_overlap_sql(),
+        "zorder_layout": _zorder_sql(),
     }

@@ -1373,3 +1373,34 @@ def test_encoding_audit_counts_and_verdict(spark):
     assert out[2]["n_mojibake"] == 3 and not out[2]["enc_ok"]
     assert out[3]["n_replacement"] == 2 and not out[3]["enc_ok"]
     assert out[4]["n_ctrl"] == 2 and not out[4]["enc_ok"]
+
+
+def test_zorder_key_interleaves_and_orders_locality(spark):
+    from yacy_grid_crawler_spark.operators.sampling import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535), (70000, -3)],
+        "a long, b long",
+    )
+    rows = {
+        (r["a"], r["b"]): r["z_key"]
+        for r in zorder_key(df, "a", "b").collect()
+    }
+
+    def py_z(a, b):
+        a = min(max(a, 0), 65535)
+        b = min(max(b, 0), 65535)
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    for (a, b), z in rows.items():
+        assert z == py_z(a, b), (a, b)
+    # clamping: out-of-range maps to the boundary cell
+    assert rows[(70000, -3)] == py_z(65535, 0)
+    # pure codegen, no shuffle, no Python
+    plan = zorder_key(df, "a", "b")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -632,3 +632,41 @@ def shard_manifest(
             F.bit_xor("_sig").alias("checksum"),
         )
     )
+
+
+def zorder_key(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+    out: str = "z_key",
+) -> DataFrame:
+    """Morton/Z-order interleave of two bounded int columns — the
+    multi-dimensional sort key for data LAYOUT at 100-TB scale.
+
+    Writing a table ordered (or range-partitioned) by z_key clusters
+    rows that are close in BOTH dimensions into the same parquet row
+    groups, so min/max column statistics prune scans filtered on
+    either dimension — the same trick Delta/Iceberg `OPTIMIZE ZORDER
+    BY` applies, expressed as a plain column so any writer can use it.
+
+    Inputs are clamped to [0, 2^bits); the interleave is a fixed fan
+    of shift/and/or terms — pure whole-stage codegen, no UDF, no
+    shuffle (the caller chooses whether to sort/repartitionByRange by
+    the key; the KEY itself is a narrow map).
+    """
+    lim = (1 << bits) - 1
+    a = F.least(F.greatest(F.col(col_a).cast("long"), F.lit(0)), F.lit(lim))
+    b = F.least(F.greatest(F.col(col_b).cast("long"), F.lit(0)), F.lit(lim))
+    terms = []
+    for i in range(bits):
+        # bit i of a → output bit 2i+1; bit i of b → output bit 2i
+        terms.append(f"shiftleft(shiftright(_za, {i}) & 1, {2 * i + 1})")
+        terms.append(f"shiftleft(shiftright(_zb, {i}) & 1, {2 * i})")
+    z = F.expr(" + ".join(terms))  # disjoint bits: + == OR
+    return (
+        df.withColumn("_za", a)
+        .withColumn("_zb", b)
+        .withColumn(out, z)
+        .drop("_za", "_zb")
+    )
