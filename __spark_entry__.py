@@ -5482,8 +5482,8 @@ def _hll_overlap_sql() -> str:
 
 
 def _q_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DDSketch quantile estimates (quarter-log2 bins, ~9% relative
-    error) of document length per language, audited against the exact
+    """DDSketch quantile estimates (quarter-log2 bins, ≤12.5%
+    relative error) of document length per language, audited against the exact
     interpolated median — the mergeable one-pass alternative to
     length_quantiles' exact percentile agg for 100-TB group sizes."""
     from pyspark.sql import functions as F
@@ -5508,7 +5508,7 @@ _DD_QUANTILES_SQL = """
     SELECT lang, CAST(n_chars AS BIGINT) AS v,
            length(bin(CAST(n_chars AS BIGINT))) - 1 AS e
     FROM documents
-    WHERE n_chars >= 1 AND n_chars <= 1152921504606846976
+    WHERE n_chars >= 1 AND n_chars < 1152921504606846976
   ),
   binned AS (
     SELECT lang,

@@ -138,15 +138,15 @@ def test_dd_bins_match_python_reference(spark):
 
 def test_dd_bins_domain_excludes_nonpositive_and_huge(spark):
     df = spark.createDataFrame(
-        [(0,), (-5,), (2 ** 61,), (10,)], "v long"
+        [(0,), (-5,), (2 ** 60,), (2 ** 61,), (10,)], "v long"
     )
     rows = dd_bins(df, "v").collect()
     assert sum(r["cnt"] for r in rows) == 1  # only v=10 kept
 
 
 def test_dd_quantiles_relative_error_bound(spark):
-    # quarter-log2 bins guarantee <= (2^0.25-1)/1 ~ 19% midpoint error;
-    # check the estimate brackets the true quantile within one bin
+    # quarter-log2 (linear-within-octave) bins guarantee <= 12.5%
+    # worst-case midpoint error; check within one bin
     import math
 
     n = 10000

@@ -658,15 +658,11 @@ def zorder_key(
     lim = (1 << bits) - 1
     a = F.least(F.greatest(F.col(col_a).cast("long"), F.lit(0)), F.lit(lim))
     b = F.least(F.greatest(F.col(col_b).cast("long"), F.lit(0)), F.lit(lim))
-    terms = []
+    # pure Column arithmetic (no intermediate named columns, so caller
+    # columns can never be clobbered); disjoint bits make + act as OR
+    z = F.lit(0).cast("long")
     for i in range(bits):
         # bit i of a → output bit 2i+1; bit i of b → output bit 2i
-        terms.append(f"shiftleft(shiftright(_za, {i}) & 1, {2 * i + 1})")
-        terms.append(f"shiftleft(shiftright(_zb, {i}) & 1, {2 * i})")
-    z = F.expr(" + ".join(terms))  # disjoint bits: + == OR
-    return (
-        df.withColumn("_za", a)
-        .withColumn("_zb", b)
-        .withColumn(out, z)
-        .drop("_za", "_zb")
-    )
+        z = z + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        z = z + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i)
+    return df.withColumn(out, z)

@@ -104,6 +104,30 @@ def hll_registers(
     )
 
 
+def _hll_numerator(register_col: str) -> "F.Column":
+    """Aggregate expression for the HLL harmonic numerator over a
+    register column: sum(2^(RHO_CAP - register)) over NON-NULL
+    registers + (m - V) * 2^RHO_CAP for the absent/null buckets
+    (rho = 0).  Exact int64 in both engines; the SINGLE shared
+    encoding of the estimator — hll_cardinality and hll_set_overlap
+    both divide HLL_NUMERATOR_CONST by it, so a change here cannot
+    desynchronize them."""
+    present = F.sum(
+        F.expr(f"shiftleft(cast(1 AS bigint), {RHO_CAP} - {register_col})")
+    )
+    nonzero = F.count(F.col(register_col))  # counts non-null only
+    return (
+        F.coalesce(present, F.lit(0).cast("long"))
+        + (F.lit(HLL_M) - nonzero) * F.lit(2 ** RHO_CAP).cast("long")
+    )
+
+
+def _hll_estimate(numerator) -> "F.Column":
+    return F.round(
+        F.lit(HLL_NUMERATOR_CONST) / numerator.cast("double"), 4
+    )
+
+
 def hll_cardinality(
     df: DataFrame,
     value_col: str,
@@ -118,23 +142,15 @@ def hll_cardinality(
     group..., nonzero_registers, hll_numerator, hll_estimate.
     """
     regs = hll_registers(df, value_col, group_cols)
-    term = F.expr(f"shiftleft(cast(1 AS bigint), {RHO_CAP} - register)")
     agg = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("nonzero_registers"),
-        F.sum(term).alias("_present_sum"),
-    )
-    numerator = (
-        F.col("_present_sum")
-        + (F.lit(HLL_M) - F.col("nonzero_registers"))
-        * F.lit(2 ** RHO_CAP).cast("long")
+        _hll_numerator("register").cast("long").alias("hll_numerator"),
     )
     return agg.select(
         *group_cols,
         F.col("nonzero_registers"),
-        numerator.cast("long").alias("hll_numerator"),
-        F.round(
-            F.lit(HLL_NUMERATOR_CONST) / numerator.cast("double"), 4
-        ).alias("hll_estimate"),
+        F.col("hll_numerator"),
+        _hll_estimate(F.col("hll_numerator")).alias("hll_estimate"),
     )
 
 
@@ -166,18 +182,10 @@ def hll_set_overlap(
         F.max("register").alias("ru"),
     )
 
-    def _est(col: str):
-        nz = F.count(F.col(col))
-        num = F.coalesce(
-            F.sum(F.expr(f"shiftleft(cast(1 AS bigint), {RHO_CAP} - {col})")),
-            F.lit(0).cast("long"),
-        ) + (F.lit(HLL_M) - nz) * F.lit(2 ** RHO_CAP).cast("long")
-        return F.round(F.lit(HLL_NUMERATOR_CONST) / num.cast("double"), 4)
-
     out = per_bucket.agg(
-        _est("ra").alias("est_a"),
-        _est("rb").alias("est_b"),
-        _est("ru").alias("est_union"),
+        _hll_estimate(_hll_numerator("ra")).alias("est_a"),
+        _hll_estimate(_hll_numerator("rb")).alias("est_b"),
+        _hll_estimate(_hll_numerator("ru")).alias("est_union"),
     )
     return out.select(
         "est_a",
@@ -191,9 +199,11 @@ def hll_set_overlap(
 
 # ---------------------------------------------------------------------------
 # DDSketch-style quantile sketch (Masson et al. 2019) on quarter-log2
-# bins: bin(v) = 4*floor(log2 v) + quarter(v), giving a relative-error
-# bound of (2^(1/4)-1)/(2^(1/4)+1) ≈ 9% per estimate with ≤ 4*63 bins
-# for the full positive int64 domain.  floor(log2 v) is read as
+# bins: bin(v) = 4*floor(log2 v) + quarter(v).  The bins are LINEAR
+# within each octave (not geometric), so the worst-case midpoint
+# relative error is 1/8 = 12.5% (bin [L, 1.25L), midpoint 1.125L,
+# worst at v = L) — NOT the geometric-bin DDSketch figure of ~9%.
+# ≤ 4*60 bins cover the domain.  floor(log2 v) is read as
 # length(bin(v)) - 1 — a STRING op that is engine-identical (no libm
 # log); the quarter and the bin midpoint are pure integer shifts, so
 # the only float is one dyadic division by 8.0 (exact in IEEE).
@@ -208,15 +218,18 @@ def dd_bins(
 ) -> DataFrame:
     """Quarter-log2 histogram: (group..., bin_id, bin_est, cnt).
 
-    Domain is 1 <= v <= 2^60 (the v*4 quarter shift must not overflow
-    int64); rows outside it are excluded and the caller sees the gap
-    as sum(cnt) < input rows.  One count shuffle of at most
-    groups * 4*61 rows with map-side combine — the sketch never
+    Domain is 1 <= v < 2^60: the BINDING constraint is the midpoint
+    shift (9+2q) << e, which overflows int64 at e = 60 (v = 2^60
+    would wrap negative in Spark and raise in DuckDB — engine
+    divergence at the boundary), not the v*4 quarter shift.  Rows
+    outside the domain are excluded and the caller sees the gap as
+    sum(cnt) < input rows.  One count shuffle of at most
+    groups * 4*60 rows with map-side combine — the sketch never
     carries row payloads."""
     v = F.col(value_col).cast("long")
     e = (F.length(F.bin(v)) - 1).alias("_e")
     kept = df.filter(
-        (v >= 1) & (v <= F.lit(2 ** 60).cast("long"))
+        (v >= 1) & (v < F.lit(2 ** 60).cast("long"))
     ).select(*[F.col(c) for c in group_cols], v.alias("_v"), e)
     quarter = F.expr("shiftright(_v * 4, _e)") - 4
     binned = kept.select(
