@@ -438,3 +438,83 @@ def test_wave_size_cap_equals_uncapped(
     assert outs["capped"]["seen"] == outs["uncapped"]["seen"]
     assert outs["capped"]["status"] == outs["uncapped"]["status"]
     assert outs["capped"]["order"] == outs["uncapped"]["order"]
+
+
+def test_indexer_blacklist_gates_index_lane(
+    spark, corpus, docs_df, robots_df, tmp_path_factory
+):
+    """The reference's SECOND blacklist (grid.indexer.blacklist):
+    matching URLs ride the noindex lane but are still crawled and
+    expanded (CrawlerListener.java:374-384). Engine == spec on the
+    full surface, and the gate is non-vacuous (some URLs flip)."""
+    irules = parse_lines(
+        [
+            "# indexer blacklist (reference file format)",
+            r".*\d[02468]\.html  # even pages stay out of the index",
+        ]
+    )
+    rules = parse_lines(blacklist_lines(corpus))
+    seed = corpus.seeds[0]
+    overrides = {"crawlingDepth": 2}
+    job = CrawlJob(
+        spark,
+        str(tmp_path_factory.mktemp("store")),
+        docs_df,
+        blacklist=rules,
+        robots=robots_df,
+        n_shards=8,
+        indexer_blacklist=irules,
+    )
+    cids = job.start(seed, overrides)
+    job.run(cids)
+    cid = cids[0]
+
+    profile = build_crawl_start(make_profile(overrides), seed)
+    profile["id"] = cid
+    docs_map = {d["doc_id"]: d["spans"] for d in corpus.docs}
+    as_dicts = lambda rs: [
+        {"rule_kind": r.rule_kind, "host": r.host, "pattern": r.pattern}
+        for r in rs
+    ]
+    robots = {
+        h: {"disallow": r["disallow"], "delay_ms": r["delay_ms"]}
+        for h, r in corpus.robots.items()
+    }
+    oracle = oracle_crawl(
+        docs_map,
+        [seed],
+        profile,
+        blacklist=as_dicts(rules),
+        robots=robots,
+        indexer_blacklist=as_dicts(irules),
+    )
+
+    frontier = (
+        job.store.read("frontier")
+        .filter(F.col("crawl_id") == cid)
+        .orderBy(
+            "depth", (1 - F.col("do_index").cast("int")), "batch_no", "batch_pos"
+        )
+        .collect()
+    )
+    engine_rows = [
+        (r["depth"], r["do_index"], r["batch_no"], r["batch_pos"], r["url_id"])
+        for r in frontier
+    ]
+    oracle_rows = [
+        (r["depth"], r["do_index"], r["batch_no"], r["batch_pos"], r["url_id"])
+        for r in sorted(
+            oracle.frontier,
+            key=lambda r: (
+                r["depth"], not r["do_index"], r["batch_no"], r["batch_pos"],
+            ),
+        )
+    ]
+    assert engine_rows == oracle_rows
+    # non-vacuous: even-numbered pages were crawled but flipped noindex
+    flipped = [r for r in frontier if not r["do_index"]]
+    assert flipped and all(
+        r["url"].rstrip(".html")[-1] in "02468" for r in flipped
+    )
+    # the index lane still has members (the gate is a split, not a drop)
+    assert any(r["do_index"] for r in frontier)

@@ -61,7 +61,17 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument(
         "--profile-json", help="JSON file of additional profile overrides"
     )
-    ap.add_argument("--blacklist", help="blacklist rules file (reference format)")
+    ap.add_argument(
+        "--blacklist",
+        help="crawler blacklist file(s), comma-separated like the "
+        "reference's grid.crawler.blacklist (reference file format)",
+    )
+    ap.add_argument(
+        "--indexer-blacklist",
+        help="indexer blacklist file(s), comma-separated like "
+        "grid.indexer.blacklist — matches go to the noindex lane "
+        "but are still crawled (CrawlerListener.java:374-384)",
+    )
     ap.add_argument(
         "--robots", help="parquet of robots(host, disallow_prefixes, crawl_delay_ms)"
     )
@@ -139,7 +149,12 @@ def main(argv: list[str] | None = None) -> int:
         robots = parse_robots(spark.read.parquet(args.robots_bodies))
     else:
         robots = spark.read.parquet(args.robots) if args.robots else None
-    blacklist = load_files([args.blacklist]) if args.blacklist else []
+    def _bl_files(arg: str | None) -> list:
+        paths = [p.strip() for p in (arg or "").split(",") if p.strip()]
+        return load_files(paths) if paths else []
+
+    blacklist = _bl_files(args.blacklist)
+    indexer_blacklist = _bl_files(args.indexer_blacklist)
 
     import time
 
@@ -148,6 +163,7 @@ def main(argv: list[str] | None = None) -> int:
         args.store,
         docs,
         blacklist=blacklist,
+        indexer_blacklist=indexer_blacklist,
         robots=robots,
         n_shards=args.n_shards,
         use_bloom=args.use_bloom,

@@ -69,10 +69,12 @@ def crawl(
     robots: dict[str, dict] | None = None,  # host -> {disallow:[prefix], delay_ms}
     preexisting_status: set[str] | None = None,  # url_ids in crawl_status (D3)
     wave_start_fn=None,  # depth -> wave-start epoch ms (engine clock mirror)
+    indexer_blacklist: list[dict] | None = None,  # same shape as blacklist
 ) -> OracleResult:
     res = OracleResult()
     wave_start_fn = wave_start_fn or (lambda _depth: 0)
     blacklist = blacklist or []
+    indexer_blacklist = indexer_blacklist or []
     robots = robots or {}
     preexisting = set(preexisting_status or ())
 
@@ -98,6 +100,26 @@ def crawl(
         if url_host(u) in bl_hosts:
             return True
         return any(r.fullmatch(u) is not None for r in bl_regex)
+
+    # the INDEXER blacklist (grid.indexer.blacklist, default
+    # indexer_blacklist_filetypes.txt) gates only the index/noindex
+    # split — a blacklisted URL is still crawled, it just rides the
+    # noindex lane (CrawlerListener.java:374-384)
+    ibl_hosts = {
+        b["host"]
+        for b in indexer_blacklist
+        if b.get("rule_kind") == "host" and b.get("host")
+    }
+    ibl_regex = [
+        re.compile(b["pattern"])
+        for b in indexer_blacklist
+        if b.get("rule_kind") == "regex" and b.get("pattern")
+    ]
+
+    def indexer_blacklisted(u: str) -> bool:
+        if url_host(u) in ibl_hosts:
+            return True
+        return any(r.fullmatch(u) is not None for r in ibl_regex)
 
     def robots_blocked(u: str) -> bool:
         rb = robots.get(url_host(u))
@@ -165,9 +187,14 @@ def crawl(
                 m["deduped_persistent"] += 1
             else:
                 kept.append((uid, u))
-        # F4 index/noindex split
+        # F4 index/noindex split: crawl-profile constraint AND the
+        # indexer blacklist (CrawlerListener.java:375-379 — both must
+        # pass for the index lane)
         def do_index(u: str) -> bool:
-            return _full(imm, u) and not (imnm and imnm.pattern and _full(imnm, u))
+            prof = _full(imm, u) and not (
+                imnm and imnm.pattern and _full(imnm, u)
+            )
+            return prof and not indexer_blacklisted(u)
 
         idx = [(uid, u) for uid, u in kept if do_index(u)]
         noidx = [(uid, u) for uid, u in kept if not do_index(u)]

@@ -48,6 +48,7 @@ class CrawlJob:
         checkpoint_filters: bool = False,
         clock=None,
         max_wave_urls: int | None = None,
+        indexer_blacklist: list[BlacklistRule] | None = None,
     ):
         """`distributed_rank`: True forces the range-partitioned
         two-phase ranking (batching + politeness), False forces the
@@ -75,11 +76,19 @@ class CrawlJob:
         wave in the commit meta (audit + resume provenance). Default
         None keeps the library deterministic (epoch 0) so the oracle
         equality surfaces stay reproducible; the CLI passes wall
-        clock."""
+        clock.
+
+        `indexer_blacklist`: the reference's SECOND blacklist
+        (grid.indexer.blacklist, default
+        conf/indexer_blacklist_filetypes.txt) — same file format as
+        the crawler blacklist, but it only flips matching URLs to the
+        noindex lane (CrawlerListener.java:374-384); they are still
+        crawled and expanded."""
         self.spark = spark
         self.store = StateStore(spark, store_root)
         self.docs = docs
         self.blacklist = blacklist or []
+        self.indexer_blacklist = indexer_blacklist or []
         self.robots = robots
         self.n_shards = n_shards
         self.use_bloom = use_bloom
@@ -456,6 +465,7 @@ class CrawlJob:
             seen_filter=seen_filter,
             wave_start_ms=wave_start_ms,
             base_positions=base_positions,
+            indexer_blacklist=self.indexer_blacklist,
         )
         # Staged commit: the status write is the ONE action that
         # materializes the whole wave plan (it unions the rejected and
@@ -674,6 +684,7 @@ class CrawlJob:
             hot_host_threshold=self.hot_host_threshold,
             base_slots=self._base_slots(),
             wave_start_ms=wave_start_ms,
+            indexer_blacklist=self.indexer_blacklist,
         )
         pc = self.store.begin()
         pc.append("crawl_status", res.status)

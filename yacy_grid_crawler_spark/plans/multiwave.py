@@ -160,6 +160,7 @@ def run_wave_multi(
     hot_host_threshold: int | None = None,
     wave_start_ms: int = 0,
     base_slots: DataFrame | None = None,  # (crawl_id, host, next_slot)
+    indexer_blacklist: list[BlacklistRule] | None = None,
 ) -> MultiWaveResult:
     wave_caches: list = []
 
@@ -259,6 +260,14 @@ def run_wave_multi(
         F.regexp_like(F.col("url"), F.col("_imm"))
         & ~F.coalesce(F.regexp_like(F.col("url"), F.col("_imnm")), F.lit(False)),
     )
+    if indexer_blacklist:
+        # indexer blacklist gates the split only (never drops the
+        # URL), global across crawls like the reference's config-level
+        # list (CrawlerListener.java:374-384)
+        kept = apply_blacklist(kept, indexer_blacklist, out_col="_ibl")
+        kept = kept.withColumn(
+            "do_index", F.col("do_index") & ~F.col("_ibl")
+        ).drop("_ibl")
     kept = kept.withColumn(
         "lane", F.when(F.col("priority") > 0, "priority").otherwise("normal")
     )

@@ -158,6 +158,7 @@ def run_wave(
     base_slots: DataFrame | None = None,  # (crawl_id, host, next_slot)
     seen_filter=None,  # checkpointed UrlBloom from the prior wave's commit
     base_positions: DataFrame | None = None,  # (crawl_id, do_index, _base_pos)
+    indexer_blacklist: list[BlacklistRule] | None = None,
 ) -> WaveResult:
     crawl_id = profile["id"]
     user_id = profile.get("user_id", "anonymous")
@@ -332,6 +333,14 @@ def run_wave(
             profile.get("indexmustnotmatch", ""),
         ),
     )
+    if indexer_blacklist:
+        # the indexer blacklist (grid.indexer.blacklist) flips the
+        # verdict to the noindex lane but never drops the URL
+        # (CrawlerListener.java:374-384); plan unchanged when empty
+        kept = apply_blacklist(kept, indexer_blacklist, out_col="_ibl")
+        kept = kept.withColumn(
+            "do_index", F.col("do_index") & ~F.col("_ibl")
+        ).drop("_ibl")
     kept = assign_lane(kept, profile.get("priority", 0))
     kept = assign_batches(
         kept, order=("_ord",), batch_size=BATCH_SIZE,
