@@ -8,6 +8,8 @@ Asserts the four equality surfaces from BASELINE.json north_star:
   (d) metrics equality per wave
 """
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -446,15 +448,17 @@ def test_indexer_blacklist_gates_index_lane(
     """The reference's SECOND blacklist (grid.indexer.blacklist):
     matching URLs ride the noindex lane but are still crawled and
     expanded (CrawlerListener.java:374-384). Engine == spec on the
-    full surface, and the gate is non-vacuous (some URLs flip)."""
+    full surface, and BOTH rule kinds (regex + host) are non-vacuous."""
+    rules = parse_lines(blacklist_lines(corpus))
+    seed = corpus.seeds[0]
+    seed_host = re.match(r"^[a-z]+://([^/]+)/", seed.split("|")[0]).group(1)
     irules = parse_lines(
         [
             "# indexer blacklist (reference file format)",
             r".*\d[02468]\.html  # even pages stay out of the index",
+            f"host {seed_host}  # whole seed host rides noindex",
         ]
     )
-    rules = parse_lines(blacklist_lines(corpus))
-    seed = corpus.seeds[0]
     overrides = {"crawlingDepth": 2}
     job = CrawlJob(
         spark,
@@ -511,10 +515,15 @@ def test_indexer_blacklist_gates_index_lane(
         )
     ]
     assert engine_rows == oracle_rows
-    # non-vacuous: even-numbered pages were crawled but flipped noindex
+    # non-vacuous, each rule kind separately: a host-rule-only flip
+    # (odd page on the seed host) and a regex-only flip (even page on
+    # some other host)
     flipped = [r for r in frontier if not r["do_index"]]
-    assert flipped and all(
-        r["url"].rstrip(".html")[-1] in "02468" for r in flipped
-    )
+    is_even = lambda u: u.rstrip(".html")[-1] in "02468"
+    on_seed_host = lambda u: f"//{seed_host}/" in u
+    assert any(on_seed_host(r["url"]) and not is_even(r["url"]) for r in flipped)
+    assert any(is_even(r["url"]) and not on_seed_host(r["url"]) for r in flipped)
+    # every flip is explained by one of the two rules
+    assert all(is_even(r["url"]) or on_seed_host(r["url"]) for r in flipped)
     # the index lane still has members (the gate is a split, not a drop)
     assert any(r["do_index"] for r in frontier)
