@@ -299,6 +299,39 @@ def test_jvm_kernels_match_python_spec(spark):
             assert r["dom_jvm"] is None
 
 
+def test_default_indexer_rules_semantics():
+    """The shipped default mirrors grid.indexer.blacklist's filetype
+    list (conf/config.properties:30): xml/css/js/robots.txt are kept
+    out of the index (full-match, like Blacklist.java:119-125)."""
+    import re as _re
+
+    from yacy_grid_crawler_spark.operators.blacklist import (
+        default_indexer_rules,
+    )
+
+    rules = default_indexer_rules()
+    assert rules and all(r.rule_kind == "regex" for r in rules)
+    pats = [_re.compile(r.pattern) for r in rules]
+    hit = lambda u: any(p.fullmatch(u) for p in pats)
+    assert hit("http://h.example.org/sitemap.xml")
+    assert hit("http://h.example.org/style/main.css")
+    assert hit("http://h.example.org/app.js")
+    assert hit("http://h.example.org/robots.txt")
+    assert not hit("http://h.example.org/page/00001.html")
+    assert not hit("http://h.example.org/robots.txt.html")
+    assert not hit("http://h.example.org/app.json")
+
+
+def test_cli_indexer_blacklist_default():
+    """CLI defaults to the reference's default indexer blacklist;
+    'none' disables it."""
+    from yacy_grid_crawler_spark.__main__ import build_parser
+
+    ap = build_parser()
+    assert ap.parse_args([]).indexer_blacklist == "default"
+    assert ap.parse_args(["--indexer-blacklist", "none"]).indexer_blacklist == "none"
+
+
 def test_cli_default_values(capsys):
     from yacy_grid_crawler_spark.__main__ import main
 

@@ -68,9 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ap.add_argument(
         "--indexer-blacklist",
+        default="default",
         help="indexer blacklist file(s), comma-separated like "
         "grid.indexer.blacklist — matches go to the noindex lane "
-        "but are still crawled (CrawlerListener.java:374-384)",
+        "but are still crawled (CrawlerListener.java:374-384). "
+        "'default' (the default) mirrors the reference's shipped "
+        "filetype list (xml/css/js/robots.txt); 'none' disables",
     )
     ap.add_argument(
         "--robots", help="parquet of robots(host, disallow_prefixes, crawl_delay_ms)"
@@ -154,7 +157,14 @@ def main(argv: list[str] | None = None) -> int:
         return load_files(paths) if paths else []
 
     blacklist = _bl_files(args.blacklist)
-    indexer_blacklist = _bl_files(args.indexer_blacklist)
+    if args.indexer_blacklist == "default":
+        from .operators.blacklist import default_indexer_rules
+
+        indexer_blacklist = default_indexer_rules()
+    elif args.indexer_blacklist == "none":
+        indexer_blacklist = []
+    else:
+        indexer_blacklist = _bl_files(args.indexer_blacklist)
 
     import time
 

@@ -65,6 +65,24 @@ def load_files(paths: list[str]) -> list[BlacklistRule]:
     return rules
 
 
+def default_indexer_rules() -> list[BlacklistRule]:
+    """The reference's default indexer blacklist
+    (``grid.indexer.blacklist = indexer_blacklist_filetypes.txt``,
+    conf/config.properties:30): markup/style/script file types and
+    robots.txt are crawled and link-expanded but never enter the
+    search index. Expressed here as equivalent anchored full-match
+    regexes rather than a shipped copy of the conf file."""
+    return parse_lines(
+        [
+            r".*\.xml",
+            r".*\.css",
+            r".*\.js",
+            r".*/robots\.txt",
+        ],
+        source="default_indexer_rules",
+    )
+
+
 def rules_df(spark: SparkSession, rules: list[BlacklistRule]) -> DataFrame:
     """FIXTURES.md §4 blacklist_rules shape."""
     return spark.createDataFrame(
