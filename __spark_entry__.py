@@ -267,6 +267,77 @@ _MUSTMATCH_SQL = """
 """
 
 
+def _q_indexer_blacklist_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — the indexer blacklist gates the index/noindex SPLIT: a
+    match flips do_index to false but the URL is never dropped
+    (CrawlerListener.java:374-384). Runs the engine's blacklist kernel
+    (host broadcast-join + regex Arrow UDF) with the shipped default
+    filetype rules plus one host rule; row count in == row count out."""
+    from yacy_grid_crawler_spark.operators.blacklist import (
+        apply_blacklist,
+        default_indexer_rules,
+        parse_lines,
+    )
+
+    docs = _docs(spark, sf_dir)
+    exts = ["html", "xml", "css", "js", "txt", ""]
+    hosts = ["a.example", "b.example", "noidx.example"]
+    host_expr = F.element_at(
+        F.array(*[F.lit(h) for h in hosts]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    ext_expr = F.element_at(
+        F.array(*[F.lit(e) for e in exts]), (F.col("doc_id") % 6 + 1).cast("int")
+    )
+    urls = docs.select(
+        "doc_id",
+        host_expr.alias("host"),
+        F.concat(
+            F.lit("http://"),
+            host_expr,
+            F.when(
+                (F.col("doc_id") % 17) == 0, F.lit("/robots.txt")
+            ).otherwise(
+                F.concat(
+                    F.lit("/f/"),
+                    F.col("doc_id").cast("string"),
+                    F.when(ext_expr == "", "").otherwise(
+                        F.concat(F.lit("."), ext_expr)
+                    ),
+                )
+            ),
+        ).alias("url"),
+    )
+    rules = default_indexer_rules() + parse_lines(["host noidx.example"])
+    out = apply_blacklist(urls, rules, out_col="_ibl")
+    return out.select("doc_id", "url", (~F.col("_ibl")).alias("do_index"))
+
+
+_INDEXER_BLACKLIST_SQL = """
+  WITH urls AS (
+    SELECT doc_id,
+           (['a.example','b.example','noidx.example'])[(doc_id % 3 + 1)::int] AS host,
+           (['html','xml','css','js','txt',''])[(doc_id % 6 + 1)::int] AS ext
+    FROM documents
+  ),
+  built AS (
+    SELECT doc_id, host,
+           'http://' || host ||
+           CASE WHEN doc_id % 17 = 0 THEN '/robots.txt'
+                ELSE '/f/' || doc_id ||
+                     CASE WHEN ext = '' THEN '' ELSE '.' || ext END
+           END AS url
+    FROM urls
+  )
+  SELECT doc_id, url,
+         NOT (host = 'noidx.example'
+              OR regexp_matches(url, '^(?:.*\\.xml)$')
+              OR regexp_matches(url, '^(?:.*\\.css)$')
+              OR regexp_matches(url, '^(?:.*\\.js)$')
+              OR regexp_matches(url, '^(?:.*/robots\\.txt)$')) AS do_index
+  FROM built
+"""
+
+
 def _q_dedup_within_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 — within-batch url-id collapse with deterministic first-wins
     tiebreak (CrawlerListener.java:432-441), through the engine's
@@ -5657,6 +5728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": _q_url_canonicalize,
         "content_domain_filter": _q_content_domain_filter,
         "mustmatch_filter": _q_mustmatch_filter,
+        "indexer_blacklist_split": _q_indexer_blacklist_split,
         "dedup_within_batch": _q_dedup_within_batch,
         "anti_join_seen": _q_anti_join_seen,
         "batch8": _q_batch8,
@@ -5791,6 +5863,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": _URL_CANONICALIZE_SQL,
         "content_domain_filter": _CONTENT_DOMAIN_SQL,
         "mustmatch_filter": _MUSTMATCH_SQL,
+        "indexer_blacklist_split": _INDEXER_BLACKLIST_SQL,
         "dedup_within_batch": _DEDUP_BATCH_SQL,
         "anti_join_seen": _ANTI_JOIN_SQL,
         "batch8": _BATCH8_SQL,
