@@ -271,8 +271,9 @@ def _q_indexer_blacklist_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 — the indexer blacklist gates the index/noindex SPLIT: a
     match flips do_index to false but the URL is never dropped
     (CrawlerListener.java:374-384). Runs the engine's blacklist kernel
-    (host broadcast-join + regex Arrow UDF) with the shipped default
-    filetype rules plus one host rule; row count in == row count out."""
+    (exact host membership — isin at this list size — plus the
+    dialect-safe JVM regex path) with the shipped default filetype
+    rules and one host rule; row count in == row count out."""
     from yacy_grid_crawler_spark.operators.blacklist import (
         apply_blacklist,
         default_indexer_rules,

@@ -75,9 +75,11 @@ def two_corpora(spark):
     return a, b, docs_df, robots_df, rules
 
 
-def _crawl(spark, store_root, docs_df, robots_df, rules, seeds_depths, concurrent):
+def _crawl(spark, store_root, docs_df, robots_df, rules, seeds_depths, concurrent,
+           indexer_blacklist=None):
     job = CrawlJob(spark, store_root, docs_df, blacklist=rules,
-                   robots=robots_df, n_shards=8)
+                   robots=robots_df, n_shards=8,
+                   indexer_blacklist=indexer_blacklist)
     cids = []
     for seed, depth in seeds_depths:
         cids += job.start(seed, {"crawlingDepth": depth})
@@ -131,6 +133,35 @@ def test_concurrent_tiers_equal_sequential(spark, two_corpora, tmp_path_factory)
     assert _table_state(seq, "crawl_metrics", metrics_cols) == _table_state(
         con, "crawl_metrics", metrics_cols
     )
+
+
+def test_concurrent_indexer_blacklist_equals_sequential(
+    spark, two_corpora, tmp_path_factory
+):
+    """The indexer blacklist (second blacklist, flips do_index only —
+    CrawlerListener.java:374-384) through run_wave_multi must match the
+    oracle-pinned run_wave path: identical index/noindex split, and
+    non-vacuous on both crawls."""
+    a, b, docs_df, robots_df, rules = two_corpora
+    irules = parse_lines([r".*\d[02468]\.html", "host host000.beta.org"])
+    seeds_depths = [(a.seeds[0], 2), (b.seeds[0], 2)]
+    seq, _ = _crawl(
+        spark, str(tmp_path_factory.mktemp("iseq")), docs_df, robots_df,
+        rules, seeds_depths, concurrent=False, indexer_blacklist=irules,
+    )
+    con, _ = _crawl(
+        spark, str(tmp_path_factory.mktemp("icon")), docs_df, robots_df,
+        rules, seeds_depths, concurrent=True, indexer_blacklist=irules,
+    )
+    cols = ("crawl_id", "depth", "do_index", "batch_no", "batch_pos", "url_id")
+    seq_state = _table_state(seq, "frontier", cols)
+    assert seq_state == _table_state(con, "frontier", cols)
+    # the gate actually flipped rows in the concurrent run too
+    flipped = (
+        con.store.read("frontier").filter(~F.col("do_index")).count()
+    )
+    assert flipped > 0
+    assert con.store.read("frontier").filter(F.col("do_index")).count() > 0
 
 
 def test_concurrent_multi_seed_single_start(spark, two_corpora, tmp_path_factory):

@@ -122,6 +122,79 @@ def test_blacklist_backreference_pattern(spark):
     assert out == {"cdcdy": True, "cdy": False, "ab": True}
 
 
+def test_jvm_safe_pattern_grammar():
+    """Dialect-safe grammar: only tokens with identical Python-re /
+    Java-Pattern semantics pass; everything dialect-sensitive rides
+    the Arrow kernel."""
+    from yacy_grid_crawler_spark.operators.blacklist import jvm_safe_pattern
+
+    safe = [
+        r".*\.xml",
+        r".*/robots\.txt",
+        r".*\.(js|css|jpg)",
+        r"http://[a-z0-9.-]+/private/.*",
+        r".*?//ads\..*",
+        r"(?:a|b)c{2,3}d",
+    ]
+    unsafe = [
+        r".*?//10\..*+",  # possessive quantifier
+        r"\d+\.html",  # \d: ASCII in Java, Unicode in Python
+        r"(?i)track",  # inline flag
+        r"(a)b\1",  # backreference
+        r"^http.*$",  # anchors ($ newline quirk)
+        r"(?=x).*",  # lookahead
+        r"\w+",  # \w dialect-sensitive
+    ]
+    assert all(jvm_safe_pattern(p) for p in safe), [
+        p for p in safe if not jvm_safe_pattern(p)
+    ]
+    assert not any(jvm_safe_pattern(p) for p in unsafe), [
+        p for p in unsafe if jvm_safe_pattern(p)
+    ]
+
+
+def test_blacklist_jvm_fast_path_equivalence(spark):
+    """Mixed safe/unsafe regex rules: the split JVM-rlike + Arrow
+    verdict must equal a pure-Python re.fullmatch ground truth, and
+    safe-only rule lists must produce a zero-Python plan."""
+    import re as _re
+
+    from yacy_grid_crawler_spark.operators.blacklist import apply_blacklist
+
+    rules = parse_lines(
+        [
+            r".*\.xml",  # JVM-safe
+            r".*/tracker/.*",  # JVM-safe
+            r".*?//10\..*+",  # possessive -> Arrow path
+            "host evil.example",
+        ]
+    )
+    urls = [
+        "http://a.example/feed.xml",
+        "http://a.example/feed.xml.gz",
+        "http://b.example/tracker/p",
+        "http://10.0.0.1/x",
+        "http://evil.example/x",
+        "http://plain.example/x",
+    ]
+    df = spark.createDataFrame(
+        [(u, _re.match(r"^[a-z]+://([^/]+)", u).group(1)) for u in urls],
+        "url string, host string",
+    )
+    out = {r["url"]: r["blacklisted"] for r in apply_blacklist(df, rules).collect()}
+    regs = [_re.compile(r.pattern) for r in rules if r.rule_kind == "regex"]
+    for u in urls:
+        expect = u.split("/")[2] == "evil.example" or any(
+            rg.fullmatch(u) for rg in regs
+        )
+        assert out[u] == expect, u
+    # safe-only rules: the verdict stays JVM-side (no Python eval node)
+    safe_only = parse_lines([r".*\.xml", r".*/tracker/.*", "host evil.example"])
+    plan = apply_blacklist(df, safe_only)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "RLIKE" in plan or "rlike" in plan
+
+
 def test_batch_size_8(spark):
     from yacy_grid_crawler_spark.operators.batching import assign_batches
 

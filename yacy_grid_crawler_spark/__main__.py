@@ -152,16 +152,24 @@ def main(argv: list[str] | None = None) -> int:
         robots = parse_robots(spark.read.parquet(args.robots_bodies))
     else:
         robots = spark.read.parquet(args.robots) if args.robots else None
+    import os as _os
+
     def _bl_files(arg: str | None) -> list:
+        # a real file wins over comma-splitting, so a path containing
+        # a comma still loads (the split mirrors the reference's
+        # comma-separated grid.*.blacklist config values)
+        if arg and _os.path.exists(arg):
+            return load_files([arg])
         paths = [p.strip() for p in (arg or "").split(",") if p.strip()]
         return load_files(paths) if paths else []
 
     blacklist = _bl_files(args.blacklist)
-    if args.indexer_blacklist == "default":
+    # an actual file named 'default'/'none' beats the sentinels
+    if args.indexer_blacklist == "default" and not _os.path.exists("default"):
         from .operators.blacklist import default_indexer_rules
 
         indexer_blacklist = default_indexer_rules()
-    elif args.indexer_blacklist == "none":
+    elif args.indexer_blacklist == "none" and not _os.path.exists("none"):
         indexer_blacklist = []
     else:
         indexer_blacklist = _bl_files(args.indexer_blacklist)

@@ -12,12 +12,15 @@ instances (Blacklist.java:40-54; CrawlerListener.java:158-189): the
 seen-set dedup (D2) already guarantees each URL is checked exactly
 once, so memo caches are unnecessary (SURVEY.md §4). Host rules become
 a broadcast semi-join on the exact host (JVM-side, no regex at all);
-only the (few) genuine regex rules run in the Arrow UDF kernel with
+regex rules in the dialect-safe subset (see `jvm_safe_pattern`) run as
+a single anchored JVM `rlike` inside whole-stage codegen; only the
+(few) dialect-sensitive patterns run in the Arrow UDF kernel with
 per-task-compiled patterns.
 """
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -122,6 +125,37 @@ def _hosts_df(spark: SparkSession, hosts: list[str], host_col: str) -> DataFrame
     return df
 
 
+# Dialect-safe regex subset: patterns built ONLY from tokens whose
+# meaning is identical in Python `re` (the oracle's evaluator) and
+# Java `Pattern` (Spark's regexp_like). Safe patterns can run JVM-side
+# inside whole-stage codegen — keeping the wave's post-D3 segment
+# zero-Python when the rule list is simple (the shipped default
+# indexer rules, filetype rules) — without risking engine/oracle
+# dialect drift. Deliberately EXCLUDED (ride the Arrow kernel, exact
+# Python-re semantics): \d/\w/\s/\b (ASCII in Java, Unicode in
+# Python), anchors ^/$ (line-terminator quirks), possessive
+# quantifiers, backreferences, lookarounds, inline flags.
+_JVM_SAFE_GRAMMAR = re.compile(
+    r"""\A(?:
+        [A-Za-z0-9\ _~%:;,=&@!/-]            # plain literals
+      | \\[.\\/+*?()\[\]{}|-]                # escaped metachars
+      | \[\^?[A-Za-z0-9_.\ /-]+\]            # simple char classes
+      | \(\?:                                # non-capturing group open
+      | \((?!\?)                             # capturing group (no (?… extensions)
+      | [.)|]                                # any-char / group close / alternation
+      | [*+?]\??(?![*+?])                    # greedy/lazy, NOT possessive
+      | \{\d+(?:,\d*)?\}(?![*+?])            # counted repetition
+    )*\Z""",
+    re.VERBOSE,
+)
+
+
+def jvm_safe_pattern(pattern: str) -> bool:
+    """True iff `pattern` parses under the dialect-safe grammar above
+    (then Java `Pattern` and Python `re` agree on every input)."""
+    return _JVM_SAFE_GRAMMAR.fullmatch(pattern) is not None
+
+
 def apply_blacklist(
     df: DataFrame,
     rules: list[BlacklistRule],
@@ -134,8 +168,11 @@ def apply_blacklist(
     13,434-host file) become a BROADCAST LEFT JOIN against a hosts
     DataFrame, because a 13k-literal In-expression replicates into
     every downstream plan copy and blows up Catalyst planning/codegen
-    time (measured: >10× wave slowdown). Regex rules: vectorized Arrow
-    UDF, anchored full-match (Python `re` ≥3.11 supports Java's
+    time (measured: >10× wave slowdown). Regex rules: dialect-safe
+    patterns (see `jvm_safe_pattern`) run as ONE anchored JVM
+    `rlike` inside codegen — zero Python for simple lists like the
+    default indexer rules; everything else runs in the vectorized
+    Arrow UDF, anchored full-match (Python `re` ≥3.11 supports Java's
     possessive quantifiers used by the shipped lists, e.g. ``.*+``)."""
     hosts = sorted({r.host for r in rules if r.rule_kind == "host" and r.host})
     regexes = [r.pattern for r in rules if r.rule_kind == "regex"]
@@ -150,8 +187,19 @@ def apply_blacklist(
             "left",
         )
         verdict = F.coalesce(F.col("_bl_host_hit"), F.lit(False))
-    if regexes:
-        regex_hit = make_regex_full_match_udf(regexes)
+    jvm_safe = [p for p in regexes if jvm_safe_pattern(p)]
+    py_only = [p for p in regexes if not jvm_safe_pattern(p)]
+    if jvm_safe:
+        # one combined anchored alternation, evaluated JVM-side inside
+        # codegen (\A..\z = Matcher.matches, no $-newline quirk); no
+        # backreferences in the safe grammar, so group renumbering in
+        # the union is harmless for a boolean verdict
+        union = "|".join(f"(?:{p})" for p in jvm_safe)
+        verdict = verdict | F.coalesce(
+            F.col(url_col).rlike(f"\\A(?:{union})\\z"), F.lit(False)
+        )
+    if py_only:
+        regex_hit = make_regex_full_match_udf(py_only)
         verdict = verdict | F.coalesce(regex_hit(F.col(url_col)), F.lit(False))
     out = df.withColumn(out_col, verdict)
     return out.drop("_bl_host_hit") if "_bl_host_hit" in out.columns else out
