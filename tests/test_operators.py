@@ -135,15 +135,17 @@ def test_jvm_safe_pattern_grammar():
         r"http://[a-z0-9.-]+/private/.*",
         r".*?//ads\..*",
         r"(?:a|b)c{2,3}d",
+        r".*?//10\..*+",  # possessive: identical in Java and re>=3.11
+        r".*?//evil\.example/.*+",
     ]
     unsafe = [
-        r".*?//10\..*+",  # possessive quantifier
         r"\d+\.html",  # \d: ASCII in Java, Unicode in Python
         r"(?i)track",  # inline flag
         r"(a)b\1",  # backreference
         r"^http.*$",  # anchors ($ newline quirk)
         r"(?=x).*",  # lookahead
         r"\w+",  # \w dialect-sensitive
+        r"a*++",  # stacked quantifiers
     ]
     assert all(jvm_safe_pattern(p) for p in safe), [
         p for p in safe if not jvm_safe_pattern(p)
@@ -165,7 +167,9 @@ def test_blacklist_jvm_fast_path_equivalence(spark):
         [
             r".*\.xml",  # JVM-safe
             r".*/tracker/.*",  # JVM-safe
-            r".*?//10\..*+",  # possessive -> Arrow path
+            r".*?//10\..*+",  # possessive -> JVM-safe (re>=3.11 semantics)
+            r".*/p/a*+ab",  # possessive that CHANGES the language
+            r"(x)\1\.html",  # backreference -> Arrow path
             "host evil.example",
         ]
     )
@@ -176,6 +180,8 @@ def test_blacklist_jvm_fast_path_equivalence(spark):
         "http://10.0.0.1/x",
         "http://evil.example/x",
         "http://plain.example/x",
+        "http://c.example/p/aaab",  # a*+ eats every 'a': NOT blacklisted
+        "http://c.example/xx.html",
     ]
     df = spark.createDataFrame(
         [(u, _re.match(r"^[a-z]+://([^/]+)", u).group(1)) for u in urls],

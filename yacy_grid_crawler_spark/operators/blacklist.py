@@ -133,8 +133,11 @@ def _hosts_df(spark: SparkSession, hosts: list[str], host_col: str) -> DataFrame
 # indexer rules, filetype rules) — without risking engine/oracle
 # dialect drift. Deliberately EXCLUDED (ride the Arrow kernel, exact
 # Python-re semantics): \d/\w/\s/\b (ASCII in Java, Unicode in
-# Python), anchors ^/$ (line-terminator quirks), possessive
-# quantifiers, backreferences, lookarounds, inline flags.
+# Python), anchors ^/$ (line-terminator quirks), backreferences,
+# lookarounds, inline flags. Possessive quantifiers (``.*+``, used
+# throughout the reference's shipped lists) ARE safe: Python ≥3.11
+# implements them with Java's exact no-backtracking semantics (the
+# Arrow kernel already depends on that).
 _JVM_SAFE_GRAMMAR = re.compile(
     r"""\A(?:
         [A-Za-z0-9\ _~%:;,=&@!/-]            # plain literals
@@ -143,8 +146,8 @@ _JVM_SAFE_GRAMMAR = re.compile(
       | \(\?:                                # non-capturing group open
       | \((?!\?)                             # capturing group (no (?… extensions)
       | [.)|]                                # any-char / group close / alternation
-      | [*+?]\??(?![*+?])                    # greedy/lazy, NOT possessive
-      | \{\d+(?:,\d*)?\}(?![*+?])            # counted repetition
+      | [*+?][?+]?(?![*+?])                  # greedy / lazy / possessive
+      | \{\d+(?:,\d*)?\}[?+]?(?![*+?])       # counted repetition
     )*\Z""",
     re.VERBOSE,
 )
