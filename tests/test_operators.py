@@ -146,12 +146,36 @@ def test_jvm_safe_pattern_grammar():
         r"(?=x).*",  # lookahead
         r"\w+",  # \w dialect-sensitive
         r"a*++",  # stacked quantifiers
+        r"{2}",  # Java: Illegal repetition; Python: literal "{2}"
+        r"a|{2}",  # same, after alternation
+        r"(?:{2})",  # same, after group open
+        r"a{",  # dangling '{': Java throws, Python literal
     ]
     assert all(jvm_safe_pattern(p) for p in safe), [
         p for p in safe if not jvm_safe_pattern(p)
     ]
     assert not any(jvm_safe_pattern(p) for p in unsafe), [
         p for p in unsafe if jvm_safe_pattern(p)
+    ]
+
+
+def test_parse_lines_skips_uncompilable_rules():
+    """Blacklist.java:75-84 parity: a line whose regex cannot compile
+    is warn-skipped, never a crash — for both regex and host lines."""
+    from yacy_grid_crawler_spark.operators.blacklist import parse_lines
+
+    rules = parse_lines(
+        [
+            r".*\.xml",
+            r"(unclosed",  # compile error in both dialects
+            r"*leading",  # nothing to repeat
+            "host ok.example",
+            "host bad[.example",  # host interpolates into an invalid regex
+        ]
+    )
+    assert [(r.rule_kind, r.pattern) for r in rules] == [
+        ("regex", r".*\.xml"),
+        ("host", ".*?//ok.example/.*+"),
     ]
 
 

@@ -20,6 +20,7 @@ per-task-compiled patterns.
 
 from __future__ import annotations
 
+import logging
 import re
 from dataclasses import dataclass
 
@@ -27,6 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.udfs import make_regex_full_match_udf
+
+_LOG = logging.getLogger(__name__)
 
 
 @dataclass(frozen=True)
@@ -36,6 +39,21 @@ class BlacklistRule:
     pattern: str
     source: str
     info: str
+
+
+def _compilable(pattern: str) -> bool:
+    """Reference parity (Blacklist.java:75-84): a line whose regex
+    fails to compile is warn-logged and skipped, never a crash. The
+    gate compiles with Python `re` — the oracle's evaluator and the
+    Arrow kernel's dialect — so every surviving rule is guaranteed
+    evaluable on both the engine and the oracle side. (A pattern valid
+    in exactly one dialect, e.g. Java-only ``\\p{L}``, is dropped
+    here where the reference would keep it; documented divergence.)"""
+    try:
+        re.compile(pattern)
+        return True
+    except re.error:
+        return False
 
 
 def parse_lines(lines: list[str], source: str = "inline") -> list[BlacklistRule]:
@@ -52,10 +70,19 @@ def parse_lines(lines: list[str], source: str = "inline") -> list[BlacklistRule]
             continue
         if line.startswith("host "):
             host = line[5:].strip()
-            rules.append(
-                BlacklistRule("host", host, f".*?//{host}/.*+", source, info)
-            )
+            pattern = f".*?//{host}/.*+"
+            if not _compilable(pattern):
+                _LOG.warning(
+                    "regex for host in %s cannot be compiled: %s", source, host
+                )
+                continue
+            rules.append(BlacklistRule("host", host, pattern, source, info))
         else:
+            if not _compilable(line):
+                _LOG.warning(
+                    "regex for url in %s cannot be compiled: %s", source, line
+                )
+                continue
             rules.append(BlacklistRule("regex", None, line, source, info))
     return rules
 
@@ -140,14 +167,23 @@ def _hosts_df(spark: SparkSession, hosts: list[str], host_col: str) -> DataFrame
 # Arrow kernel already depends on that).
 _JVM_SAFE_GRAMMAR = re.compile(
     r"""\A(?:
-        [A-Za-z0-9\ _~%:;,=&@!/-]            # plain literals
-      | \\[.\\/+*?()\[\]{}|-]                # escaped metachars
-      | \[\^?[A-Za-z0-9_.\ /-]+\]            # simple char classes
-      | \(\?:                                # non-capturing group open
-      | \((?!\?)                             # capturing group (no (?… extensions)
-      | [.)|]                                # any-char / group close / alternation
-      | [*+?][?+]?(?![*+?])                  # greedy / lazy / possessive
-      | \{\d+(?:,\d*)?\}[?+]?(?![*+?])       # counted repetition
+        (?: \(\?:                            # non-capturing group open
+          | \((?!\?)                         # capturing group (no (?… extensions)
+          | \|                               # alternation
+        )                                    # …openers: NOT quantifiable — a
+                                             # quantifier here is "Illegal
+                                             # repetition" in Java but a literal
+                                             # '{'/compile error in Python
+      | (?: [A-Za-z0-9\ _~%:;,=&@!/-]        # plain literals
+          | \\[.\\/+*?()\[\]{}|-]            # escaped metachars
+          | \[\^?[A-Za-z0-9_.\ /-]+\]        # simple char classes
+          | [.)]                             # any-char / group close
+        )                                    # …atoms, each takes at most ONE
+        (?: [*+?][?+]?                       # greedy / lazy / possessive
+          | \{\d+(?:,\d*)?\}[?+]?            # counted repetition
+        )?
+        (?![*+?{])                           # no stacked quantifiers, no
+                                             # dangling unescaped '{'
     )*\Z""",
     re.VERBOSE,
 )
