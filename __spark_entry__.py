@@ -3027,6 +3027,54 @@ def _hits_sql() -> str:
 _HITS_SQL = _hits_sql()
 
 
+def _q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank over the shared synthetic link graph: teleport mass
+    only onto the trusted-seed set (doc_id % 97 == 0 — a deterministic
+    ~1% 'vetted' sample both engines derive identically), EXACT
+    integer form as in pagerank_priority. Un-trusted spam islands
+    score exactly 0."""
+    from yacy_grid_crawler_spark.operators.graph import trustrank_scaled
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") % 97 == 0).cast("int").alias("is_seed")
+    )
+    return trustrank_scaled(docs, cache_registry=_QUERY_CACHES)
+
+
+def _trustrank_sql() -> str:
+    # s_{t+1}(v) = 3·6^t·w(v) + sum_{u->v} s_t(u), unrolled; CAST to
+    # BIGINT per step (DuckDB sum widens to HUGEINT → pandas float)
+    steps = []
+    for t in range(6):
+        teleport = 3 * 6**t
+        steps.append(
+            f"s{t + 1} AS (SELECT d.doc_id,"
+            f" CAST({teleport} * d.w + coalesce(sum(s{t}.s), 0) AS BIGINT) AS s"
+            f" FROM seeded d"
+            f" LEFT JOIN edges e ON e.dst = d.doc_id"
+            f" LEFT JOIN s{t} ON s{t}.doc_id = e.src"
+            f" GROUP BY d.doc_id, d.w)"
+        )
+    return f"""
+  WITH seeded AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END AS w
+    FROM documents
+  ),
+  edges AS (
+    SELECT d.doc_id AS src,
+           (d.doc_id * 17 + k.k) % (SELECT count(*) FROM documents) AS dst
+    FROM documents d, (VALUES (1), (2), (3)) k(k)
+  ),
+  s0 AS (SELECT doc_id, CAST(w AS BIGINT) AS s FROM seeded),
+  {", ".join(steps)}
+  SELECT doc_id, s AS trust_scaled FROM s6
+"""
+
+
+_TRUSTRANK_SQL = _trustrank_sql()
+
+
 def _q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level link-graph rollup (the URL graph's host projection
     every site-level authority/mirror computation runs on)."""
@@ -5814,6 +5862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inlink_stats": _q_inlink_stats,
         "anchor_stats": _q_anchor_stats,
         "hits_scores": _q_hits,
+        "trustrank": _q_trustrank,
         "host_graph": _q_host_graph,
         "length_quantiles": _q_length_quantiles,
         "dsir_weights": _q_dsir_weights,
@@ -5940,6 +5989,7 @@ def oracle_sql() -> dict[str, str]:
         "inlink_stats": _INLINK_STATS_SQL,
         "anchor_stats": _ANCHOR_STATS_SQL,
         "hits_scores": _HITS_SQL,
+        "trustrank": _TRUSTRANK_SQL,
         "host_graph": _HOST_GRAPH_SQL,
         "length_quantiles": _LENGTH_QUANTILES_SQL,
         "dsir_weights": _DSIR_WEIGHTS_SQL,

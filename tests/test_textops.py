@@ -1082,6 +1082,23 @@ def test_hits_exact_small_graph(spark):
     assert out == {0: (1, 4), 1: (0, 4), 2: (4, 1)}
 
 
+def test_trustrank_seeds_gate_teleport_and_unreachable_zero(spark):
+    """Hand-computed TrustRank recurrence on 0->1, 1->2 with seed {0};
+    node 3 is disconnected and must stay exactly 0."""
+    from yacy_grid_crawler_spark.operators.graph import trustrank_scaled
+
+    docs = spark.createDataFrame(
+        [(0, 1), (1, 0), (2, 0), (3, 0)], "doc_id long, is_seed int"
+    )
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    out = {r["doc_id"]: r["trust_scaled"] for r in
+           trustrank_scaled(docs, edges=edges, iters=2).collect()}
+    # s0 = {0:1}. t=0 (teleport 3·6^0=3): s1(0)=3·1=3, s1(1)=s0(0)=1,
+    # s1(2)=s0(1)=0. t=1 (teleport 3·6=18): s2(0)=18, s2(1)=s1(0)=3,
+    # s2(2)=s1(1)=1. Node 3: no seed, no in-edges → 0 forever.
+    assert out == {0: 18, 1: 3, 2: 1, 3: 0}
+
+
 def test_host_link_graph_rollup(spark):
     from yacy_grid_crawler_spark.operators.graph import host_link_graph
 

@@ -84,6 +84,75 @@ def pagerank_scaled(
     return ranks.select("doc_id", F.col("s").alias("pr_scaled"))
 
 
+TRUST_ITERS = 6
+
+
+def trustrank_scaled(
+    docs: DataFrame,
+    edges: DataFrame | None = None,
+    iters: int = TRUST_ITERS,
+    seed_col: str = "is_seed",
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """(doc_id, trust_scaled) — TrustRank (Gyöngyi, Garcia-Molina &
+    Pedersen, VLDB 2004): PageRank whose teleport mass lands ONLY on
+    a curated trusted-seed set, so trust decays with link distance
+    from the seeds and spam farms unreachable from them score zero.
+    The crawl-priority complement to `pagerank_scaled`: PR says
+    "popular", TrustRank says "popular AND reachable from pages we
+    vetted" — the standard frontier anti-spam signal.
+
+    `docs` must carry an integer 0/1 `seed_col`. Same exact-integer
+    trick as PageRank (damping 1/2, uniform out-degree 3): with
+    w(v) ∈ {0,1} the seed flag, define s_t(v) = trust_t(v)·|S|·6^t;
+    then
+
+        s_0(v)     = w(v)
+        s_{t+1}(v) = 3·6^t·w(v)  +  sum over in-neighbors u of s_t(u)
+
+    is a bigint recurrence the DuckDB oracle reproduces bit-exactly,
+    and s_T is monotone in true TrustRank — all an ordering needs.
+    An un-trusted node keeps s ≡ 0 until trust REACHES it through
+    links, so "distance-from-seed decay" is structural, not tuned.
+
+    Scale shape per round: identical to `pagerank_scaled` — one
+    edge⋈score equi-join + one map-side-combining long-sum agg;
+    `localCheckpoint` keeps the plan O(1) in t; in-degree hubs are
+    the salting/AQE-skew candidates exactly as documented there."""
+    if edges is None:
+        edges = synthetic_edges(docs)
+    edges = edges.persist()
+    if cache_registry is not None:
+        cache_registry.append(edges)
+    base = docs.select(
+        "doc_id", F.col(seed_col).cast("long").alias("w")
+    ).localCheckpoint()
+    ranks = base.select("doc_id", F.col("w").alias("s"), "w")
+    teleport = 3  # 3·6^t, tracked exactly
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks.select("doc_id", "s"), edges.src == F.col("doc_id"))
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.sum("s").alias("in_sum"))
+        )
+        ranks = (
+            base.join(contrib, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(teleport) * F.col("w")
+                    + F.coalesce(F.col("in_sum"), F.lit(0))
+                )
+                .cast("long")
+                .alias("s"),
+                "w",
+            )
+            .localCheckpoint()
+        )
+        teleport *= 6
+    return ranks.select("doc_id", F.col("s").alias("trust_scaled"))
+
+
 HITS_ITERS = 4
 
 
