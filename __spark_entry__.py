@@ -2977,6 +2977,86 @@ _ANCHOR_STATS_SQL = f"""
 """
 
 
+def _q_span_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-span composition profile over a synthesized spans
+    table with VARIABLE mix: doc d carries m = d % 4 media spans
+    between two text spans, and every 3rd doc with media LEADS with
+    it (first_media_offset = 0 path). The oracle is the closed form
+    of the same synthesis, so the array-codegen kernel (size/filter/
+    aggregate over spans) is checked value-exactly."""
+    from yacy_grid_crawler_spark.operators.extract import span_mix
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    rid = F.col("doc_id").cast("string")
+    m = (F.col("doc_id") % 4).cast("int")
+    lead = (F.col("doc_id") % 3 == 0) & (m > 0)
+
+    def txt(content, off):
+        return F.struct(
+            F.lit("text").alias("kind"), content.alias("text"),
+            F.lit("").alias("media_ref"), off.cast("int").alias("offset"),
+        )
+
+    def meds(start, stop):
+        # media structs at offsets start..stop (empty when stop<start)
+        return F.when(
+            stop >= start,
+            F.expr(
+                "transform(sequence(int({s}), int({e})), i -> "
+                "struct('media' as kind, '' as text, "
+                "concat('img://', cast(doc_id as string), '/', i) as media_ref, "
+                "i as offset))".format(s="_mstart", e="_mstop")
+            ),
+        ).otherwise(F.expr("array()").cast(
+            "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+        ))
+
+    t0 = F.substring("text", 1, 40)
+    t1 = F.substring("text", 41, 40)
+    base = d.select(
+        "doc_id", "text", m.alias("_m"), lead.alias("_lead"),
+        F.when(lead, F.lit(2)).otherwise(F.lit(1)).alias("_mstart"),
+        F.when(lead, m).otherwise(m).alias("_mstop"),
+    )
+    spans = F.when(
+        F.col("_lead"),
+        F.concat(
+            F.array(
+                F.struct(
+                    F.lit("media").alias("kind"), F.lit("").alias("text"),
+                    F.concat(F.lit("img://"), rid, F.lit("/0")).alias("media_ref"),
+                    F.lit(0).alias("offset"),
+                ),
+                txt(t0, F.lit(1)),
+            ),
+            meds(F.col("_mstart"), F.col("_mstop")),
+            F.array(txt(t1, F.col("_m") + 1)),
+        ),
+    ).otherwise(
+        F.concat(
+            F.array(txt(t0, F.lit(0))),
+            meds(F.col("_mstart"), F.col("_mstop")),
+            F.array(txt(t1, F.col("_m") + 1)),
+        )
+    )
+    return span_mix(base.select("doc_id", spans.alias("spans")))
+
+
+_SPAN_MIX_SQL = """
+  SELECT doc_id,
+         CAST(doc_id % 4 + 2 AS int) AS n_spans,
+         2 AS n_text,
+         CAST(doc_id % 4 AS int) AS n_media,
+         CAST(10000 * (doc_id % 4) // (doc_id % 4 + 2) AS int) AS media_bp,
+         CASE WHEN doc_id % 4 = 0 THEN -1
+              WHEN doc_id % 3 = 0 THEN 0
+              ELSE 1 END AS first_media_offset,
+         CAST(length(substr(text, 1, 40)) + length(substr(text, 41, 40)) AS BIGINT)
+           AS text_chars
+  FROM documents
+"""
+
+
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hub/authority over the shared synthetic link graph —
     EXACT integer form (unnormalized iterates are monotone in the
@@ -5863,6 +5943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_stats": _q_anchor_stats,
         "hits_scores": _q_hits,
         "trustrank": _q_trustrank,
+        "span_mix": _q_span_mix,
         "host_graph": _q_host_graph,
         "length_quantiles": _q_length_quantiles,
         "dsir_weights": _q_dsir_weights,
@@ -5990,6 +6071,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_stats": _ANCHOR_STATS_SQL,
         "hits_scores": _HITS_SQL,
         "trustrank": _TRUSTRANK_SQL,
+        "span_mix": _SPAN_MIX_SQL,
         "host_graph": _HOST_GRAPH_SQL,
         "length_quantiles": _LENGTH_QUANTILES_SQL,
         "dsir_weights": _DSIR_WEIGHTS_SQL,

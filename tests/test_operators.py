@@ -1343,3 +1343,30 @@ def test_dedup_media_blobs_keeper_and_refcounts(spark):
     )
     exchange_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert exchange_lines and all("content" not in ln for ln in exchange_lines)
+
+
+def test_span_mix_composition_profile(spark):
+    """Hand-built interleaved docs: text-only, media-lead, and
+    media-free spans arrays produce the exact composition columns."""
+    from yacy_grid_crawler_spark.operators.extract import span_mix
+
+    schema = (
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    rows = [
+        (1, [("text", "abcd", "", 0), ("media", "", "img://1/0", 1),
+             ("text", "ef", "", 2)]),
+        (2, [("media", "", "img://2/0", 0), ("text", "xyz", "", 1)]),
+        (3, [("text", "hello", "", 0)]),
+        (4, []),
+    ]
+    out = {r["doc_id"]: r for r in
+           span_mix(spark.createDataFrame(rows, schema)).collect()}
+    assert (out[1]["n_spans"], out[1]["n_text"], out[1]["n_media"]) == (3, 2, 1)
+    assert out[1]["media_bp"] == 3333 and out[1]["first_media_offset"] == 1
+    assert out[1]["text_chars"] == 6
+    assert out[2]["first_media_offset"] == 0 and out[2]["media_bp"] == 5000
+    assert out[3]["n_media"] == 0 and out[3]["first_media_offset"] == -1
+    assert out[4]["n_spans"] == 0 and out[4]["media_bp"] == 0
+    assert out[4]["text_chars"] == 0 and out[4]["first_media_offset"] == -1

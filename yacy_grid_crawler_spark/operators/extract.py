@@ -277,3 +277,48 @@ def caption_pairs(docs: DataFrame) -> DataFrame:
         F.col("p.caption").alias("caption"),
         F.col("p.caption_offset").alias("caption_offset"),
     )
+
+
+def span_mix(docs: DataFrame) -> DataFrame:
+    """Per-document interleaved-span composition profile — the
+    corpus-audit rollup for the engine's native payload (BASELINE.json
+    input_hint: docs are arrays of text|media spans). A multimodal
+    training pipeline filters and mixes on exactly these numbers:
+    text-only docs route to the text corpus, media-heavy docs to the
+    vision mix, lead-media docs need the caption sentinel path
+    (`caption_pairs`), and media_bp is the mixture-balance knob.
+
+    Output per doc: n_spans, n_text, n_media, media_bp (basis points
+    of spans that are media, integer div), first_media_offset (-1 if
+    the doc has no media), text_chars (total text payload).
+
+    Scale shape: ONE narrow codegen projection — array size/filter/
+    aggregate over the spans column, zero shuffles, zero Python; at
+    100 TB it fuses with whatever parquet scan precedes it, and the
+    binary media blobs are never touched (spans carry refs, not
+    bytes)."""
+    spans = F.col("spans")
+    media = F.filter(spans, lambda s: s["kind"] == F.lit("media"))
+    texts = F.filter(spans, lambda s: s["kind"] == F.lit("text"))
+    n_spans = F.size(spans)
+    n_media = F.size(media)
+    return docs.select(
+        "doc_id",
+        n_spans.alias("n_spans"),
+        F.size(texts).alias("n_text"),
+        n_media.alias("n_media"),
+        F.when(n_spans > 0, F.expr("10000 * size(filter(spans, s -> s.kind = 'media')) div size(spans)"))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("media_bp"),
+        # try_element_at: ANSI mode makes element_at THROW on an empty
+        # array instead of returning NULL
+        F.coalesce(
+            F.try_element_at(media, F.lit(1))["offset"], F.lit(-1)
+        ).cast("int").alias("first_media_offset"),
+        F.aggregate(
+            texts,
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)),
+        ).alias("text_chars"),
+    )
