@@ -479,6 +479,39 @@ _POLITENESS_SQL = f"""
 """
 
 
+def _q_frontier_host_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness-drain forecast over the shared synthetic
+    frontier (same host-keyed delay dimension as politeness_slots);
+    horizon 2 s so both starved branches appear at sf0.01."""
+    from yacy_grid_crawler_spark.operators.batching import frontier_host_lag
+
+    fr = _frontier_synth(_docs(spark, sf_dir)).withColumn(
+        "crawl_id", F.lit("c0")
+    )
+    delays = fr.select("host").distinct().select(
+        "host",
+        ((F.ascii(F.substring(F.col("host"), 2, 1)) % 5) * 100).alias(
+            "crawl_delay_ms"
+        ),
+    )
+    return frontier_host_lag(fr, robots=delays, horizon_ms=2000).drop(
+        "crawl_id"
+    )
+
+
+_FRONTIER_HOST_LAG_SQL = f"""
+  SELECT host,
+         count(*) AS n_queued,
+         CAST((ascii(substr(host, 2, 1)) % 5) * 100 AS int) AS crawl_delay_ms,
+         CAST((count(*) - 1) * ((ascii(substr(host, 2, 1)) % 5) * 100) AS bigint)
+           AS drain_ms,
+         (count(*) - 1) * ((ascii(substr(host, 2, 1)) % 5) * 100) > 2000
+           AS starved
+  FROM ({_FRONTIER_SYNTH_SQL})
+  GROUP BY host
+"""
+
+
 def _q_completion_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 — crawl-termination detection: complete when all statuses
     'indexed' (README.md 'Required Infrastructure')."""
@@ -5863,6 +5896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch8": _q_batch8,
         "priority_lane_shard": _q_priority_lane_shard,
         "politeness_slots": _q_politeness_slots,
+        "frontier_host_lag": _q_frontier_host_lag,
         "completion_agg": _q_completion_agg,
         "crawl_bfs_seen": _q_crawl_bfs_seen,
         "lineage_naming": _q_lineage_naming,
@@ -6000,6 +6034,7 @@ def oracle_sql() -> dict[str, str]:
         "batch8": _BATCH8_SQL,
         "priority_lane_shard": _LANE_SHARD_SQL,
         "politeness_slots": _POLITENESS_SQL,
+        "frontier_host_lag": _FRONTIER_HOST_LAG_SQL,
         "completion_agg": _COMPLETION_SQL,
         "crawl_bfs_seen": _CRAWL_BFS_SQL,
         "lineage_naming": _LINEAGE_SQL,

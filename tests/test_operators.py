@@ -1370,3 +1370,26 @@ def test_span_mix_composition_profile(spark):
     assert out[3]["n_media"] == 0 and out[3]["first_media_offset"] == -1
     assert out[4]["n_spans"] == 0 and out[4]["media_bp"] == 0
     assert out[4]["text_chars"] == 0 and out[4]["first_media_offset"] == -1
+
+
+def test_frontier_host_lag_drain_forecast(spark):
+    """3 URLs at 500 ms delay → drain 1000 ms (starved at horizon
+    800); single-URL host drains instantly; missing delay falls back
+    to the default."""
+    from yacy_grid_crawler_spark.operators.batching import frontier_host_lag
+
+    fr = spark.createDataFrame(
+        [("c0", "a.com")] * 3 + [("c0", "b.com")] + [("c0", "c.com")] * 2,
+        "crawl_id string, host string",
+    )
+    robots = spark.createDataFrame(
+        [("a.com", 500), ("b.com", 500)], "host string, crawl_delay_ms int"
+    )
+    out = {r["host"]: r for r in frontier_host_lag(
+        fr, robots=robots, default_delay_ms=100, horizon_ms=800
+    ).collect()}
+    assert out["a.com"]["n_queued"] == 3 and out["a.com"]["drain_ms"] == 1000
+    assert out["a.com"]["starved"] is True
+    assert out["b.com"]["drain_ms"] == 0 and out["b.com"]["starved"] is False
+    assert out["c.com"]["crawl_delay_ms"] == 100
+    assert out["c.com"]["drain_ms"] == 100 and out["c.com"]["starved"] is False

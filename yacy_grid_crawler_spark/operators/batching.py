@@ -394,3 +394,47 @@ def next_fetch_batch(
         .withColumn("fetch_rank", F.row_number().over(w) - 1)
         .filter(F.col("fetch_rank") < k)
     )
+
+
+def frontier_host_lag(
+    frontier: DataFrame,
+    robots: DataFrame | None = None,
+    default_delay_ms: int = 0,
+    horizon_ms: int = 60_000,
+) -> DataFrame:
+    """Per-host frontier-drain forecast — the scheduler-ops view of
+    the politeness budget [north rule]. Politeness makes a host queue
+    drain SERIALLY at one fetch per crawl_delay_ms, so a host's
+    backlog finishes at (n_queued - 1)·delay regardless of cluster
+    size: this op surfaces exactly which hosts will still be fetching
+    after everyone else is idle (the wave's long tail) and which are
+    candidates for the hot-host salting / wave-size-cap levers.
+
+    Output per (crawl_id, host): n_queued, crawl_delay_ms,
+    drain_ms = (n_queued - 1)·delay (last slot's not_before — 0 for a
+    single-URL host), and starved = drain_ms > horizon_ms (the host
+    cannot finish inside the wave horizon; reschedule or cap it).
+
+    Scale shape: ONE map-side-combining count aggregate keyed on
+    (crawl_id, host) — the same key politeness itself shuffles on —
+    plus a host-dim join (broadcast-scale; AQE decides). No windows:
+    the forecast needs only the count, not the slots."""
+    counts = frontier.groupBy("crawl_id", "host").agg(
+        F.count("*").alias("n_queued")
+    )
+    if robots is not None:
+        counts = counts.join(
+            robots.select("host", "crawl_delay_ms"), "host", "left"
+        )
+    else:
+        counts = counts.withColumn("crawl_delay_ms", F.lit(None).cast("int"))
+    delay = F.coalesce(F.col("crawl_delay_ms"), F.lit(int(default_delay_ms)))
+    drain = ((F.col("n_queued") - 1) * delay).cast("long")
+    return counts.select(
+        "crawl_id",
+        "host",
+        "n_queued",
+        delay.cast("int").alias("crawl_delay_ms"),
+        drain.alias("drain_ms"),
+        (drain > F.lit(int(horizon_ms))).alias("starved"),
+    )
