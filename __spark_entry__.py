@@ -3351,6 +3351,61 @@ _MIRROR_HOSTS_SQL = f"""
 """
 
 
+def _q_mirror_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure over the mirror-pair graph: one family id
+    (min host label) per mirrored site group, every host assigned."""
+    from yacy_grid_crawler_spark.operators.dedup_text import mirror_families
+
+    docs = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % N_HOSTS).cast("string").alias("host"), "text"
+    )
+    return mirror_families(docs, cache_registry=_QUERY_CACHES)
+
+
+# the mirror_pairs CTE chain + a recursive reach closure (the oracle
+# mirrors _CLUSTERS_SQL's technique at host granularity)
+_MIRROR_FAMILIES_SQL = f"""
+  WITH RECURSIVE words AS (
+    SELECT CAST(doc_id % {N_HOSTS} AS VARCHAR) AS host,
+           regexp_extract_all(lower(text), '[a-z]+') AS w
+    FROM documents
+  ),
+  hg AS (
+    SELECT DISTINCT host, shingle FROM (
+      SELECT host,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                     w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+                     w[i+6] || ' ' || w[i+7]
+                     for i in generate_series(1, greatest(len(w) - 7, 0))])
+               AS shingle
+      FROM words
+    )
+  ),
+  rare AS (SELECT shingle FROM hg GROUP BY shingle HAVING count(*) <= 5),
+  hgr AS (SELECT hg.* FROM hg JOIN rare USING (shingle)),
+  mpairs AS (
+    SELECT a.host AS host_a, b.host AS host_b
+    FROM hgr a JOIN hgr b ON a.shingle = b.shingle AND a.host < b.host
+    GROUP BY 1, 2 HAVING count(*) >= 5
+  ),
+  medges AS (
+    SELECT host_a AS src, host_b AS dst FROM mpairs
+    UNION ALL SELECT host_b, host_a FROM mpairs
+  ),
+  mreach(src, dst) AS (
+    SELECT src, dst FROM medges
+    UNION
+    SELECT r.src, e.dst FROM mreach r JOIN medges e ON r.dst = e.src
+    WHERE r.src <> e.dst
+  ),
+  allhosts AS (SELECT DISTINCT host FROM words)
+  SELECT h.host,
+         least(h.host, coalesce(min(r.dst), h.host)) AS family_id
+  FROM allhosts h LEFT JOIN mreach r ON r.src = h.host
+  GROUP BY h.host
+"""
+
+
 RESAMPLE_K = 64
 RESAMPLE_SEED = "epoch0"
 
@@ -5983,6 +6038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "budget_apportion": _q_budget_apportion,
         "mirror_hosts": _q_mirror_hosts,
+        "mirror_families": _q_mirror_families,
         "ccnet_buckets": _q_ccnet_buckets,
         "weighted_resample": _q_weighted_resample,
         "host_cap_sample": _q_host_cap_sample,
@@ -6112,6 +6168,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _DSIR_WEIGHTS_SQL,
         "budget_apportion": _BUDGET_APPORTION_SQL,
         "mirror_hosts": _MIRROR_HOSTS_SQL,
+        "mirror_families": _MIRROR_FAMILIES_SQL,
         "ccnet_buckets": _CCNET_BUCKETS_SQL,
         "weighted_resample": _WEIGHTED_RESAMPLE_SQL,
         "host_cap_sample": _HOST_CAP_SQL,

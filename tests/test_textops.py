@@ -1421,3 +1421,29 @@ def test_zorder_key_interleaves_and_orders_locality(spark):
     plan = zorder_key(df, "a", "b")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mirror_families_transitive_closure(spark):
+    """A mirror RING m1-m2, m2-m3 (no m1-m3 pair) collapses into one
+    family under min-label closure; unrelated hosts stay singletons."""
+    from yacy_grid_crawler_spark.operators.dedup_text import mirror_families
+
+    passage_a = ("the quick brown fox jumps over the lazy dog and then "
+                 "runs far away into the deep dark forest tonight")
+    passage_b = ("a second copied block of prose that mirrors share "
+                 "verbatim across their page templates every single time")
+    rows = [
+        ("m1", passage_a),
+        ("m2", passage_a + " " + passage_b),
+        ("m3", passage_b),
+        ("x1", "completely different text about cooking pasta with "
+               "tomato sauce and fresh basil leaves in summer evenings"),
+    ]
+    docs = spark.createDataFrame(rows, "host string, text string")
+    from yacy_grid_crawler_spark.operators.dedup_text import mirror_pairs
+
+    pairs = mirror_pairs(docs, max_gram_hosts=2, min_shared=3)
+    out = {r["host"]: r["family_id"]
+           for r in mirror_families(docs, pairs=pairs).collect()}
+    assert out["m1"] == out["m2"] == out["m3"] == "m1"
+    assert out["x1"] == "x1"

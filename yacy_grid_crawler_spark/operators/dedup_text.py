@@ -1024,3 +1024,50 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def mirror_families(
+    docs: DataFrame,
+    host_col: str = "host",
+    pairs: DataFrame | None = None,
+    min_containment_bp: int = 0,
+    max_iters: int = 20,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Mirror-SITE families: transitive closure over `mirror_pairs` —
+    the host-level analogue of `duplicate_clusters`. A mirror ring
+    (origin → mirror-a → mirror-b) rarely shares rare shingles
+    pairwise-completely, so pair output alone under-groups; the
+    frontier wants ONE family per mirrored site with one elected
+    canonical host to keep crawling.
+
+    Output: (host, family_id) for EVERY host in `docs`, family_id =
+    lexicographic min host of its component (singletons are their own
+    family); keep-rule = `host == family_id` — stop scheduling the
+    rest.
+
+    Reuses `duplicate_clusters`' iterative min-label propagation
+    verbatim (min/least are string-total-ordered, so the same kernel
+    clusters host labels): one equi-join + one min-agg shuffle per
+    round over a HOST-cardinality edge list — thousands of rows where
+    the URL graph has billions, so every round is broadcast-scale."""
+    hosts = docs.select(F.col(host_col).alias("host")).distinct()
+    if pairs is None:
+        pairs = mirror_pairs(
+            docs, host_col=host_col, cache_registry=cache_registry
+        )
+    if min_containment_bp > 0:
+        pairs = pairs.filter(
+            F.col("containment_bp") >= int(min_containment_bp)
+        )
+    out = duplicate_clusters(
+        hosts.select(F.col("host").alias("doc_id")),
+        pairs=pairs.select(
+            F.col("host_a").alias("doc_a"), F.col("host_b").alias("doc_b")
+        ),
+        max_iters=max_iters,
+        cache_registry=cache_registry,
+    )
+    return out.select(
+        F.col("doc_id").alias("host"), F.col("cluster_id").alias("family_id")
+    )
