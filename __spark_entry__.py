@@ -1654,6 +1654,90 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
+def _q_dup_ngram_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc duplicate 2/3/4-gram basis points (Gopher/Dolma
+    repetition signals), integer-exact vs the DuckDB list twin."""
+    from yacy_grid_crawler_spark.operators.textstats import (
+        dup_ngram_fractions,
+    )
+
+    return dup_ngram_fractions(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def _dup_ngram_sql() -> str:
+    def gram_list(n: int) -> str:
+        parts = " || ' ' || ".join(f"w[i + {k}]" for k in range(n))
+        return (
+            f"[{parts} for i in"
+            f" generate_series(1, greatest(len(w) - {n - 1}, 0))]"
+        )
+
+    cols = []
+    for n in (2, 3, 4):
+        g = f"g{n}"
+        cols.append(
+            f"CASE WHEN len({g}) > 0 THEN"
+            f" CAST(10000 * (len({g}) - len(list_distinct({g}))) // len({g})"
+            f" AS int) ELSE 0 END AS dup{n}_bp"
+        )
+    return f"""
+  WITH words AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+    FROM documents
+  ),
+  grams AS (
+    SELECT doc_id,
+           {gram_list(2)} AS g2,
+           {gram_list(3)} AS g3,
+           {gram_list(4)} AS g4
+    FROM words
+  )
+  SELECT doc_id, {", ".join(cols)} FROM grams
+"""
+
+
+_DUP_NGRAM_SQL = _dup_ngram_sql()
+
+
+def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language chars/bytes-per-token budgeting rollup (×1000
+    integer ratios)."""
+    from yacy_grid_crawler_spark.operators.textstats import (
+        tokenizer_fertility,
+    )
+
+    return tokenizer_fertility(
+        _docs(spark, sf_dir).select("lang", "text")
+    )
+
+
+_TOKENIZER_FERTILITY_SQL = """
+  WITH t AS (
+    SELECT lang,
+           CAST(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS toks,
+           CAST(length(text) AS BIGINT) AS chars,
+           CAST(strlen(text) AS BIGINT) AS bytes
+    FROM documents
+  ),
+  agg AS (
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS tokens,
+           CAST(sum(chars) AS BIGINT) AS chars,
+           CAST(sum(bytes) AS BIGINT) AS bytes
+    FROM t GROUP BY lang
+  )
+  SELECT lang, n_docs, tokens, chars, bytes,
+         CASE WHEN tokens > 0
+              THEN CAST(1000 * chars // tokens AS BIGINT) ELSE 0 END
+           AS chars_per_token_milli,
+         CASE WHEN tokens > 0
+              THEN CAST(1000 * bytes // tokens AS BIGINT) ELSE 0 END
+           AS bytes_per_token_milli
+  FROM agg
+"""
+
+
 _REPETITION_SQL = """
   WITH words AS (
     SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents
@@ -6010,6 +6094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition,
+        "dup_ngram_fractions": _q_dup_ngram_fractions,
+        "tokenizer_fertility": _q_tokenizer_fertility,
         "line_dedup": _q_line_dedup,
         "tfidf_topk": _q_tfidf,
         "inverted_index": _q_inverted_index,
@@ -6140,6 +6226,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _DECONTAM_SQL,
         "pii_scrub": _PII_SQL,
         "repetition_stats": _REPETITION_SQL,
+        "dup_ngram_fractions": _DUP_NGRAM_SQL,
+        "tokenizer_fertility": _TOKENIZER_FERTILITY_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
         "tfidf_topk": _TFIDF_SQL,
         "inverted_index": _INVINDEX_SQL,

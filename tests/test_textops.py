@@ -1447,3 +1447,37 @@ def test_mirror_families_transitive_closure(spark):
            for r in mirror_families(docs, pairs=pairs).collect()}
     assert out["m1"] == out["m2"] == out["m3"] == "m1"
     assert out["x1"] == "x1"
+
+
+def test_dup_ngram_fractions_exact_bp(spark):
+    """'a b a b a' has 4 bigrams ('a b','b a','a b','b a') → 2 dup →
+    5000 bp; trigrams 3 with 1 dup → 3333 bp; a no-repeat doc scores
+    0; an empty doc scores 0 on all three."""
+    from yacy_grid_crawler_spark.operators.textstats import (
+        dup_ngram_fractions,
+    )
+
+    rows = [(1, "a b a b a"), (2, "one two three four five"), (3, "")]
+    out = {r["doc_id"]: r for r in dup_ngram_fractions(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect()}
+    assert out[1]["dup2_bp"] == 5000 and out[1]["dup3_bp"] == 3333
+    # 4-grams: 'a b a b', 'b a b a' — both unique → 0
+    assert out[1]["dup4_bp"] == 0
+    assert out[2]["dup2_bp"] == 0 and out[2]["dup4_bp"] == 0
+    assert out[3]["dup2_bp"] == 0 and out[3]["dup3_bp"] == 0
+
+
+def test_tokenizer_fertility_ratios(spark):
+    from yacy_grid_crawler_spark.operators.textstats import (
+        tokenizer_fertility,
+    )
+
+    rows = [("en", "abc def9"), ("en", "gh"), ("zz", "")]
+    out = {r["lang"]: r for r in tokenizer_fertility(
+        spark.createDataFrame(rows, "lang string, text string")
+    ).collect()}
+    # en: tokens = [abc, def, 9] + [gh] = 4; chars = 8 + 2 = 10
+    assert out["en"]["tokens"] == 4 and out["en"]["chars"] == 10
+    assert out["en"]["chars_per_token_milli"] == 2500
+    assert out["zz"]["tokens"] == 0 and out["zz"]["chars_per_token_milli"] == 0

@@ -1266,3 +1266,78 @@ def pmi_collocations(
         .limit(k)
     )
     return scored
+
+
+def dup_ngram_fractions(docs: DataFrame) -> DataFrame:
+    """Within-document duplicate-n-gram fractions for n = 2, 3, 4 —
+    the Gopher/Dolma repetition signals that complement
+    `repetition_stats`' max-run and modal-bigram columns: a page can
+    dodge both of those while still cycling a handful of phrases, and
+    the dup-n-gram fraction catches exactly that.
+
+    Per doc: dup{n}_bp = 10000·(n-grams − distinct n-grams) DIV
+    n-grams, 0 when the doc has no n-grams — integer basis points so
+    engine-vs-oracle equality is exact (the published float
+    thresholds ~0.2/0.18/0.16 translate to 2000/1800/1600 bp).
+
+    Scale shape: ONE narrow codegen projection (regexp tokenize +
+    array transforms + array_distinct per row), zero shuffles, zero
+    Python — fuses with the scan at any corpus size."""
+    d = docs.withColumn(
+        "_w", F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    )
+
+    def grams(n: int):
+        parts = ", ".join(f"element_at(_w, i + {k})" for k in range(n))
+        return F.expr(
+            f"CASE WHEN size(_w) >= {n} THEN"
+            f" transform(sequence(1, size(_w) - {n - 1}),"
+            f" i -> concat_ws(' ', {parts}))"
+            " ELSE array() END"
+        )
+
+    out = d.select("doc_id", *[grams(n).alias(f"_g{n}") for n in (2, 3, 4)])
+    cols = ["doc_id"]
+    for n in (2, 3, 4):
+        cols.append(
+            F.when(F.size(f"_g{n}") > 0, F.expr(
+                f"10000 * (size(_g{n}) - size(array_distinct(_g{n})))"
+                f" div size(_g{n})"
+            )).otherwise(F.lit(0)).cast("int").alias(f"dup{n}_bp")
+        )
+    return out.select(*cols)
+
+
+def tokenizer_fertility(docs: DataFrame) -> DataFrame:
+    """Per-language tokenizer-fertility rollup — the budgeting numbers
+    a pretraining mix is costed in: how many characters and UTF-8
+    bytes one (BPE-ish) token buys per language. Languages with low
+    chars-per-token inflate training cost for the same text volume;
+    the mixture weighting and per-language length cutoffs both key on
+    these ratios.
+
+    Output per lang: n_docs, total tokens/chars/bytes, and
+    chars_per_token_milli / bytes_per_token_milli (×1000 integer DIV,
+    0 when the language has no tokens) — integer so the DuckDB twin
+    is value-exact.
+
+    Scale shape: one map-side-combining aggregate keyed on lang
+    (tens of groups) after a narrow codegen tokenize — the classic
+    tiny-result corpus pass."""
+    bpe = F.size(
+        F.expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+    )
+    agg = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(bpe.cast("long")).alias("tokens"),
+        F.sum(F.length("text").cast("long")).alias("chars"),
+        F.sum(F.octet_length("text").cast("long")).alias("bytes"),
+    )
+    per = lambda num: F.when(  # noqa: E731
+        F.col("tokens") > 0, F.expr(f"1000 * {num} div tokens")
+    ).otherwise(F.lit(0)).cast("long")
+    return agg.select(
+        "lang", "n_docs", "tokens", "chars", "bytes",
+        per("chars").alias("chars_per_token_milli"),
+        per("bytes").alias("bytes_per_token_milli"),
+    )
