@@ -1980,6 +1980,58 @@ _C4_SQL = """
 """
 
 
+def _q_canonical_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical collapse over a deterministic synthesis: docs
+    come in variant-groups of 3 (base = doc_id - doc_id % 3); the two
+    non-base variants declare the base as canonical, the base itself
+    declares none (self-canonical fallback path)."""
+    from yacy_grid_crawler_spark.operators.extract import canonical_links
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    url = F.concat(
+        F.lit("http://h.example.org/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    base_url = F.concat(
+        F.lit("http://h.example.org/p/"),
+        (F.col("doc_id") - F.col("doc_id") % 3).cast("string"),
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(
+                F.lit('<link rel="canonical" href="'), base_url, F.lit('"/>')
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>v</body></html>"),
+    )
+    return canonical_links(
+        d.select(url.alias("url"), html.alias("html"))
+    )
+
+
+# closed form of the same synthesis: canonical target = base-of-3 for
+# variants, self for bases; keeper = min url per canonical target
+# (lexicographic min over the string urls, exactly what the engine's
+# min-agg computes)
+_CANONICAL_LINKS_SQL = """
+  WITH pages AS (
+    SELECT 'http://h.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+           'http://h.example.org/p/' ||
+             CAST(doc_id - doc_id % 3 AS VARCHAR) AS canonical_url,
+           doc_id % 3 = 0 AS is_self
+    FROM documents
+  ),
+  keepers AS (
+    SELECT canonical_url, min(url) AS keep_url FROM pages GROUP BY 1
+  )
+  SELECT p.url, p.canonical_url, p.is_self,
+         p.url = k.keep_url AS keep
+  FROM pages p JOIN keepers k USING (canonical_url)
+"""
+
+
 def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Main-content extraction from raw HTML (post-fetch parse step).
     The synthetic corpus has no HTML, so a deterministic page is
@@ -6080,6 +6132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _q_gopher_rules,
         "c4_clean": _q_c4_clean,
         "html_extract": _q_html_extract,
+        "canonical_links": _q_canonical_links,
         "url_features": _q_url_features,
         "corpus_shuffle": _q_corpus_shuffle,
         "robots_sitemaps": _q_robots_sitemaps,
@@ -6212,6 +6265,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": _GOPHER_SQL,
         "c4_clean": _C4_SQL,
         "html_extract": _HTML_EXTRACT_SQL,
+        "canonical_links": _CANONICAL_LINKS_SQL,
         "url_features": _URL_FEATURES_SQL,
         "corpus_shuffle": _CORPUS_SHUFFLE_SQL,
         "robots_sitemaps": _ROBOTS_SITEMAPS_SQL,

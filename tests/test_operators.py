@@ -1393,3 +1393,25 @@ def test_frontier_host_lag_drain_forecast(spark):
     assert out["b.com"]["drain_ms"] == 0 and out["b.com"]["starved"] is False
     assert out["c.com"]["crawl_delay_ms"] == 100
     assert out["c.com"]["drain_ms"] == 100 and out["c.com"]["starved"] is False
+
+
+def test_canonical_links_collapse_and_self_fallback(spark):
+    """Variants declaring a canonical collapse onto it; a page with no
+    (or empty) declaration is self-canonical; keeper = min url per
+    group."""
+    from yacy_grid_crawler_spark.operators.extract import canonical_links
+
+    rows = [
+        ("http://a/1", '<link rel="canonical" href="http://a/0"/>'),
+        ("http://a/2", '<LINK REL="canonical" HREF="http://a/0">'),
+        ("http://a/0", "<html>no declaration</html>"),
+        ("http://b/x", '<link rel="canonical" href=""/>'),
+    ]
+    out = {r["url"]: r for r in canonical_links(
+        spark.createDataFrame(rows, "url string, html string")
+    ).collect()}
+    assert out["http://a/1"]["canonical_url"] == "http://a/0"
+    assert out["http://a/2"]["canonical_url"] == "http://a/0"  # case-insens
+    assert out["http://a/0"]["is_self"] and out["http://a/0"]["keep"]
+    assert not out["http://a/1"]["keep"] and not out["http://a/2"]["keep"]
+    assert out["http://b/x"]["is_self"] and out["http://b/x"]["keep"]

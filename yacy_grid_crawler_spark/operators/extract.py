@@ -322,3 +322,48 @@ def span_mix(docs: DataFrame) -> DataFrame:
             lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)),
         ).alias("text_chars"),
     )
+
+
+CANONICAL_RE = r'(?is)<link\b[^>]*rel="canonical"[^>]*href="([^"]*)"'
+
+
+def canonical_links(
+    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """rel=canonical resolution — the page's OWN dedup declaration,
+    and the cheapest duplicate signal a crawler gets: faceted/tracked
+    variants of one page all point their <link rel="canonical"> at
+    the same target, so collapsing on it removes whole families of
+    URL-level duplicates BEFORE any content hashing runs. (The
+    reference indexes by md5(normalform); rel=canonical is the
+    complementary author-declared key.)
+
+    Output per row: url, canonical_url (the declared target, or the
+    page's own URL when it declares none — empty/missing href falls
+    back too), is_self (no foreign canonical), and keep = this row is
+    the group's elected representative (min url per canonical_url —
+    deterministic, and the canonical target itself wins when present
+    because equal-to-target sorts first only if lexicographically
+    least; the rule is plain min for engine/oracle exactness).
+
+    Regex subset: '(?is)' + lazy-free character classes only —
+    identical under java.util.regex and RE2; rel-before-href
+    attribute order (the overwhelmingly common emission order;
+    documented simplification like html_extract's). Scale shape: one
+    codegen map + ONE canonical_url-keyed min-agg shuffle joined
+    back; canonical families are tiny (page variants), no skew."""
+    target = F.regexp_extract(F.col(html_col), CANONICAL_RE, 1)
+    canon = F.when(target != "", target).otherwise(F.col(url_col))
+    d = docs.select(
+        F.col(url_col).alias("url"), canon.alias("canonical_url")
+    ).withColumn("is_self", F.col("url") == F.col("canonical_url"))
+    keeper = d.groupBy("canonical_url").agg(F.min("url").alias("_keep_url"))
+    return (
+        d.join(keeper, "canonical_url")
+        .select(
+            "url",
+            "canonical_url",
+            "is_self",
+            (F.col("url") == F.col("_keep_url")).alias("keep"),
+        )
+    )
