@@ -3623,6 +3623,63 @@ _BUDGET_APPORTION_SQL = f"""
 """
 
 
+MIXTURE_BUDGET = 60_000
+
+
+def _q_mixture_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level mixture selection: Hamilton token quotas per source,
+    then a per-source doc_id-ordered prefix cut under each quota."""
+    from yacy_grid_crawler_spark.operators.sampling import mixture_select
+
+    return mixture_select(
+        _docs(spark, sf_dir).select("source", "doc_id", "n_chars"),
+        MIXTURE_BUDGET,
+        source_col="source",
+        token_col="n_chars",
+        order_col="doc_id",
+        cache_registry=_QUERY_CACHES,
+    )
+
+
+_MIXTURE_SELECT_SQL = f"""
+  WITH pool AS (
+    SELECT source, doc_id, n_chars FROM documents WHERE n_chars > 0
+  ),
+  dims AS (
+    SELECT source, CAST(sum(n_chars) AS BIGINT) AS weight
+    FROM pool GROUP BY 1
+  ),
+  tot AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM dims
+          WHERE weight > 0),
+  base AS (
+    SELECT source, weight,
+           CAST(({MIXTURE_BUDGET} * weight) // tw AS BIGINT) AS base_quota,
+           CAST(({MIXTURE_BUDGET} * weight) % tw AS BIGINT) AS frac
+    FROM dims CROSS JOIN tot WHERE weight > 0
+  ),
+  r AS (SELECT CAST({MIXTURE_BUDGET} - sum(base_quota) AS BIGINT) AS rem
+        FROM base),
+  quotas AS (
+    SELECT source,
+           CAST(base_quota + CASE WHEN
+             row_number() OVER (ORDER BY frac DESC, source) - 1 < rem
+             THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM base CROSS JOIN r
+  ),
+  pref AS (
+    SELECT source, doc_id, n_chars,
+           CAST(coalesce(sum(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) + n_chars AS BIGINT) AS cum_tokens
+    FROM pool
+  )
+  SELECT p.source, p.doc_id, p.n_chars, p.cum_tokens, q.quota
+  FROM pref p JOIN quotas q USING (source)
+  WHERE p.cum_tokens <= q.quota
+"""
+
+
 HOST_CAP = 37  # < the ~50 docs/host at sf0.01 so the cap actually binds
 
 
@@ -6127,6 +6184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "quality_score": _q_quality_score,
         "budget_select": _q_budget_select,
+        "mixture_select": _q_mixture_select,
         "encoding_audit": _q_encoding_audit,
         "token_count": _q_token_count,
         "gopher_rules": _q_gopher_rules,
@@ -6260,6 +6318,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _BM25_TOPK_SQL,
         "quality_score": _QUALITY_SQL,
         "budget_select": _BUDGET_SELECT_SQL,
+        "mixture_select": _MIXTURE_SELECT_SQL,
         "encoding_audit": _ENCODING_SQL,
         "token_count": _TOKEN_SQL,
         "gopher_rules": _GOPHER_SQL,

@@ -1481,3 +1481,37 @@ def test_tokenizer_fertility_ratios(spark):
     assert out["en"]["tokens"] == 4 and out["en"]["chars"] == 10
     assert out["en"]["chars_per_token_milli"] == 2500
     assert out["zz"]["tokens"] == 0 and out["zz"]["chars_per_token_milli"] == 0
+
+
+def test_mixture_select_quota_sum_and_prefix_cut(spark):
+    """Quotas sum to the budget; each source's kept prefix fits its
+    quota and is a doc_id-ordered prefix (no gaps); the overflowing
+    doc is dropped."""
+    from yacy_grid_crawler_spark.operators.sampling import mixture_select
+
+    rows = [
+        ("a", 1, 30), ("a", 2, 30), ("a", 3, 30),
+        ("b", 4, 10), ("b", 5, 10),
+        ("c", 6, 0),  # zero-token: excluded everywhere
+    ]
+    docs = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    out = mixture_select(docs, 60, token_col="n_tokens").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # weights: a=90, b=20 → quotas: a = 60*90//110 = 49, frac picks…
+    # sum of quotas == 60 exactly regardless of the remainder split
+    quotas = {s: rs[0]["quota"] for s, rs in by_src.items()}
+    tot = sum({r["source"]: r["quota"] for r in out}.values())
+    assert tot <= 60
+    for s, rs in by_src.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rs:
+            cum += r["n_tokens"]
+            assert r["cum_tokens"] == cum
+        assert cum <= r["quota"]
+    # source a: quota ≥ 49 → docs 1 (30) fits, doc 2 would hit 60 ≤ quota?
+    # 60 > 49 and 60 > 54 → only doc 1 kept either way
+    assert [r["doc_id"] for r in by_src["a"]] == [1]
+    assert "c" not in by_src

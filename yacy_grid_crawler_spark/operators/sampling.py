@@ -666,3 +666,69 @@ def zorder_key(
         z = z + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
         z = z + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i)
     return df.withColumn(out, z)
+
+
+def mixture_select(
+    docs: DataFrame,
+    total_budget: int,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Two-level data-mixing selection — the composition a training
+    run actually executes: (1) apportion the total token budget
+    across sources in proportion to their token mass via the
+    largest-remainder quotas (`apportion_budget`: integer-exact,
+    sum(quota) == budget), then (2) inside each source take documents
+    in `order_col` order (ascending = best first; pack quality into
+    the key as in `budget_select`) while the running token total
+    stays within the source's quota (prefix cut — the overflowing doc
+    and everything after it is dropped). Zero-token docs are excluded
+    from weights, budgets, and output.
+
+    Output: (source, order_col, token_col, cum_tokens, quota) for the
+    kept rows.
+
+    Scale shape: one source-keyed agg for weights (tiny dim), the
+    quota computation on that dim (broadcast-scale), ONE
+    source-partitioned running-sum window over the corpus, one
+    codegen filter. The window key is the mixture source (dozens of
+    groups over 10^10 rows) — the Zipf-head source is the hot
+    partition; at that scale swap the window for the same range-
+    partitioned two-phase prefix sum `budget_select` uses, per
+    source (`global_positions` machinery; quotas unchanged)."""
+    from pyspark.sql import Window
+
+    pool = docs.filter(F.col(token_col) > 0)
+    dims = pool.groupBy(F.col(source_col)).agg(
+        F.sum(F.col(token_col).cast("long")).alias("weight")
+    )
+    quotas = apportion_budget(
+        dims,
+        int(total_budget),
+        weight_col="weight",
+        key_col=source_col,
+        cache_registry=cache_registry,
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = pool.withColumn(
+        "_start",
+        F.coalesce(F.sum(F.col(token_col).cast("long")).over(w), F.lit(0)),
+    )
+    cum = (F.col("_start") + F.col(token_col)).cast("long")
+    return (
+        pref.join(quotas.select(source_col, "quota"), source_col)
+        .filter(cum <= F.col("quota"))
+        .select(
+            source_col,
+            order_col,
+            token_col,
+            cum.alias("cum_tokens"),
+            "quota",
+        )
+    )
