@@ -3487,6 +3487,44 @@ _MIRROR_HOSTS_SQL = f"""
 """
 
 
+def _q_soft404_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 host detection over the synthetic host partition with
+    a planted parked host: host 0's pages all serve one template body
+    (modal share 10000 bp); real hosts keep their distinct texts."""
+    from yacy_grid_crawler_spark.operators.graph import soft404_hosts
+
+    d = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % N_HOSTS).cast("string").alias("host"),
+        F.when(
+            F.col("doc_id") % N_HOSTS == 0, F.lit("404 not found template")
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return soft404_hosts(d, min_pages=10)
+
+
+_SOFT404_SQL = f"""
+  WITH pages AS (
+    SELECT CAST(doc_id % {N_HOSTS} AS VARCHAR) AS host,
+           md5(CASE WHEN doc_id % {N_HOSTS} = 0
+                    THEN '404 not found template' ELSE text END) AS h
+    FROM documents
+  ),
+  per_body AS (
+    SELECT host, h, count(*) AS n FROM pages GROUP BY 1, 2
+  ),
+  agg AS (
+    SELECT host, CAST(sum(n) AS BIGINT) AS n_pages,
+           CAST(max(n) AS BIGINT) AS modal_n
+    FROM per_body GROUP BY host
+  )
+  SELECT host, n_pages,
+         CAST(10000 * modal_n // n_pages AS int) AS modal_share_bp,
+         n_pages >= 10 AND
+           CAST(10000 * modal_n // n_pages AS int) > 5000 AS is_soft404
+  FROM agg
+"""
+
+
 def _q_mirror_families(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure over the mirror-pair graph: one family id
     (min host label) per mirrored site group, every host assigned."""
@@ -6236,6 +6274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_apportion": _q_budget_apportion,
         "mirror_hosts": _q_mirror_hosts,
         "mirror_families": _q_mirror_families,
+        "soft404_hosts": _q_soft404_hosts,
         "ccnet_buckets": _q_ccnet_buckets,
         "weighted_resample": _q_weighted_resample,
         "host_cap_sample": _q_host_cap_sample,
@@ -6370,6 +6409,7 @@ def oracle_sql() -> dict[str, str]:
         "budget_apportion": _BUDGET_APPORTION_SQL,
         "mirror_hosts": _MIRROR_HOSTS_SQL,
         "mirror_families": _MIRROR_FAMILIES_SQL,
+        "soft404_hosts": _SOFT404_SQL,
         "ccnet_buckets": _CCNET_BUCKETS_SQL,
         "weighted_resample": _WEIGHTED_RESAMPLE_SQL,
         "host_cap_sample": _HOST_CAP_SQL,

@@ -1415,3 +1415,24 @@ def test_canonical_links_collapse_and_self_fallback(spark):
     assert out["http://a/0"]["is_self"] and out["http://a/0"]["keep"]
     assert not out["http://a/1"]["keep"] and not out["http://a/2"]["keep"]
     assert out["http://b/x"]["is_self"] and out["http://b/x"]["keep"]
+
+
+def test_soft404_hosts_modal_body_share(spark):
+    """A host serving one template body for every URL flags; a host
+    with distinct bodies does not; min_pages gates small hosts."""
+    from yacy_grid_crawler_spark.operators.graph import soft404_hosts
+
+    rows = (
+        [("parked.com", "domain for sale")] * 4
+        + [("real.com", f"article {i}") for i in range(4)]
+        + [("tiny.com", "x"), ("tiny.com", "x")]
+    )
+    out = {r["host"]: r for r in soft404_hosts(
+        spark.createDataFrame(rows, "host string, text string"),
+        min_pages=3,
+    ).collect()}
+    assert out["parked.com"]["modal_share_bp"] == 10000
+    assert out["parked.com"]["is_soft404"]
+    assert out["real.com"]["modal_share_bp"] == 2500
+    assert not out["real.com"]["is_soft404"]
+    assert not out["tiny.com"]["is_soft404"]  # below min_pages

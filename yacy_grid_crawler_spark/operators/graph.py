@@ -556,3 +556,49 @@ def url_templates(
             F.col("template").contains("{n}") & (F.col("n_urls") >= min_count),
         )
     )
+
+
+def soft404_hosts(
+    docs: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    min_pages: int = 20,
+    max_modal_share_bp: int = 5000,
+) -> DataFrame:
+    """Soft-404 / parked-host detection: a host that answers many
+    distinct URLs with the SAME body (an error template, a parking
+    page, a paywall interstitial) returns HTTP 200 for content that
+    is not content — the crawler keeps scheduling it and the corpus
+    fills with thousands of copies the per-document dedup then has to
+    clean up. Catching it at HOST granularity stops the fetches, not
+    just the duplicates.
+
+    Per host: n_pages, modal_share_bp = 10000·(occurrences of the
+    most frequent body md5) DIV n_pages, and is_soft404 = n_pages ≥
+    min_pages AND modal_share_bp > max_modal_share_bp (a real site's
+    modal body share is tiny; a parked host's is ~10000).
+
+    Scale shape: body reduced to md5 in the scan projection (the text
+    never shuffles), ONE (host, md5) count aggregate, ONE max_by
+    re-aggregate to the host — both map-side combining; the Zipf head
+    host concentrates only the second, already-tiny reduce."""
+    md5 = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    per_body = (
+        docs.select(F.col(host_col).alias("host"), md5.alias("_h"))
+        .groupBy("host", "_h")
+        .agg(F.count("*").alias("_n"))
+    )
+    agg = per_body.groupBy("host").agg(
+        F.sum("_n").alias("n_pages"),
+        F.max("_n").alias("_modal_n"),
+    )
+    share = F.expr("10000 * _modal_n div n_pages").cast("int")
+    return agg.select(
+        "host",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        share.alias("modal_share_bp"),
+        (
+            (F.col("n_pages") >= int(min_pages))
+            & (share > int(max_modal_share_bp))
+        ).alias("is_soft404"),
+    )
