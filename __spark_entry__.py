@@ -2032,6 +2032,44 @@ _CANONICAL_LINKS_SQL = """
 """
 
 
+def _q_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-robots directives over a deterministic synthesis cycling
+    the directive space: %5==0 → 'noindex, nofollow'; %5==1 → 'none';
+    %5==2 → 'noarchive'; %5==3 → 'index, follow'; %5==4 → no meta tag
+    at all."""
+    from yacy_grid_crawler_spark.operators.extract import meta_robots
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    url = F.concat(F.lit("http://h.example.org/p/"),
+                   F.col("doc_id").cast("string"))
+    directive = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("noindex, nofollow"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("none"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("noarchive"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("index, follow"))
+    )
+    html = F.when(
+        directive.isNotNull(),
+        F.concat(
+            F.lit('<html><head><meta name="robots" content="'),
+            directive,
+            F.lit('"/></head><body>x</body></html>'),
+        ),
+    ).otherwise(F.lit("<html><head></head><body>x</body></html>"))
+    return meta_robots(d.select(url.alias("url"), html.alias("html")))
+
+
+_META_ROBOTS_SQL = """
+  SELECT 'http://h.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+         doc_id % 5 IN (0, 1) AS noindex,
+         doc_id % 5 IN (0, 1) AS nofollow,
+         doc_id % 5 = 2 AS noarchive,
+         doc_id % 5 NOT IN (0, 1) AS do_index,
+         doc_id % 5 NOT IN (0, 1) AS expand_links
+  FROM documents
+"""
+
+
 def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Main-content extraction from raw HTML (post-fetch parse step).
     The synthetic corpus has no HTML, so a deterministic page is
@@ -6229,6 +6267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": _q_c4_clean,
         "html_extract": _q_html_extract,
         "canonical_links": _q_canonical_links,
+        "meta_robots": _q_meta_robots,
         "url_features": _q_url_features,
         "corpus_shuffle": _q_corpus_shuffle,
         "robots_sitemaps": _q_robots_sitemaps,
@@ -6364,6 +6403,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean": _C4_SQL,
         "html_extract": _HTML_EXTRACT_SQL,
         "canonical_links": _CANONICAL_LINKS_SQL,
+        "meta_robots": _META_ROBOTS_SQL,
         "url_features": _URL_FEATURES_SQL,
         "corpus_shuffle": _CORPUS_SHUFFLE_SQL,
         "robots_sitemaps": _ROBOTS_SITEMAPS_SQL,

@@ -1436,3 +1436,26 @@ def test_soft404_hosts_modal_body_share(spark):
     assert out["real.com"]["modal_share_bp"] == 2500
     assert not out["real.com"]["is_soft404"]
     assert not out["tiny.com"]["is_soft404"]  # below min_pages
+
+
+def test_meta_robots_directive_parsing(spark):
+    """noindex/nofollow/none/noarchive parse token-wise (substring
+    'noindexing' must NOT trip it); absent tag → fully allowed."""
+    from yacy_grid_crawler_spark.operators.extract import meta_robots
+
+    rows = [
+        ("u1", '<meta name="robots" content="noindex,nofollow">'),
+        ("u2", '<META NAME="robots" CONTENT="NONE">'),
+        ("u3", '<meta name="robots" content="noarchive, follow">'),
+        ("u4", '<meta name="robots" content="noindexing">'),
+        ("u5", "<html>no tag</html>"),
+    ]
+    out = {r["url"]: r for r in meta_robots(
+        spark.createDataFrame(rows, "url string, html string")
+    ).collect()}
+    assert out["u1"]["noindex"] and out["u1"]["nofollow"]
+    assert not out["u1"]["do_index"] and not out["u1"]["expand_links"]
+    assert out["u2"]["noindex"] and out["u2"]["nofollow"]  # none = both
+    assert out["u3"]["noarchive"] and out["u3"]["do_index"]
+    assert not out["u4"]["noindex"]  # token boundary respected
+    assert out["u5"]["do_index"] and out["u5"]["expand_links"]

@@ -367,3 +367,45 @@ def canonical_links(
             (F.col("url") == F.col("_keep_url")).alias("keep"),
         )
     )
+
+
+META_ROBOTS_RE = r'(?is)<meta\b[^>]*name="robots"[^>]*content="([^"]*)"'
+
+
+def meta_robots(
+    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Page-level robots directives — the in-document counterpart of
+    the host-level robots.txt gate (F-family) and the third input to
+    the reference's index/noindex split (F4): a page the profile and
+    blacklist both allow may still declare
+    <meta name="robots" content="noindex,nofollow">, which removes it
+    from the index (noindex), stops link expansion through it
+    (nofollow), and blocks archive copies (noarchive).
+
+    Output per page: noindex / nofollow / noarchive booleans plus
+    do_index = NOT noindex and expand_links = NOT nofollow — the two
+    columns the wave's F4 verdict and the frontier's link expansion
+    consume directly. 'none' is the RFC shorthand for
+    'noindex, nofollow' and sets both.
+
+    Regex subset: '(?is)' + character classes, name-before-content
+    attribute order (the canonical emission order; documented
+    simplification like html_extract's) — identical under
+    java.util.regex and RE2. Zero shuffles: one codegen map that
+    fuses with the post-fetch scan."""
+    content = F.lower(
+        F.regexp_extract(F.col(html_col), META_ROBOTS_RE, 1)
+    )
+    has = lambda d: content.rlike(rf"(^|[ ,]){d}($|[ ,])")  # noqa: E731
+    none = has("none")
+    noindex = has("noindex") | none
+    nofollow = has("nofollow") | none
+    return docs.select(
+        F.col(url_col).alias("url"),
+        noindex.alias("noindex"),
+        nofollow.alias("nofollow"),
+        has("noarchive").alias("noarchive"),
+        (~noindex).alias("do_index"),
+        (~nofollow).alias("expand_links"),
+    )
