@@ -2032,6 +2032,47 @@ _CANONICAL_LINKS_SQL = """
 """
 
 
+def _q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nofollow-aware anchor extraction over a deterministic page:
+    every doc carries one followed link to doc_id+1 and, on %2==1, a
+    second rel=nofollow link to doc_id+2 (so both branches and the
+    link_ord sequence are exercised)."""
+    from yacy_grid_crawler_spark.operators.extract import html_links
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    page = lambda n: F.concat(  # noqa: E731
+        F.lit("http://h.example.org/p/"), n.cast("string")
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="'), page(F.col("doc_id") + 1),
+        F.lit('">next</a>'),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(
+                F.lit('<a rel="nofollow" href="'),
+                page(F.col("doc_id") + 2), F.lit('">ad</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return html_links(
+        d.select(page(F.col("doc_id")).alias("url"), html.alias("html"))
+    )
+
+
+_HTML_LINKS_SQL = """
+  SELECT 'http://h.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+         'http://h.example.org/p/' || CAST(doc_id + 1 AS VARCHAR) AS href,
+         false AS nofollow, 0 AS link_ord
+  FROM documents
+  UNION ALL
+  SELECT 'http://h.example.org/p/' || CAST(doc_id AS VARCHAR),
+         'http://h.example.org/p/' || CAST(doc_id + 2 AS VARCHAR),
+         true, 1
+  FROM documents WHERE doc_id % 2 = 1
+"""
+
+
 def _q_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Meta-robots directives over a deterministic synthesis cycling
     the directive space: %5==0 → 'noindex, nofollow'; %5==1 → 'none';
@@ -6268,6 +6309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": _q_html_extract,
         "canonical_links": _q_canonical_links,
         "meta_robots": _q_meta_robots,
+        "html_links": _q_html_links,
         "url_features": _q_url_features,
         "corpus_shuffle": _q_corpus_shuffle,
         "robots_sitemaps": _q_robots_sitemaps,
@@ -6404,6 +6446,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": _HTML_EXTRACT_SQL,
         "canonical_links": _CANONICAL_LINKS_SQL,
         "meta_robots": _META_ROBOTS_SQL,
+        "html_links": _HTML_LINKS_SQL,
         "url_features": _URL_FEATURES_SQL,
         "corpus_shuffle": _CORPUS_SHUFFLE_SQL,
         "robots_sitemaps": _ROBOTS_SITEMAPS_SQL,

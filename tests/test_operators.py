@@ -1459,3 +1459,25 @@ def test_meta_robots_directive_parsing(spark):
     assert out["u3"]["noarchive"] and out["u3"]["do_index"]
     assert not out["u4"]["noindex"]  # token boundary respected
     assert out["u5"]["do_index"] and out["u5"]["expand_links"]
+
+
+def test_html_links_nofollow_and_order(spark):
+    """Anchors extract in document order with per-link nofollow; no
+    href or empty href rows are dropped."""
+    from yacy_grid_crawler_spark.operators.extract import html_links
+
+    rows = [
+        ("u1", '<a href="http://a/1">x</a>'
+               '<a rel="me nofollow" href="http://a/2">y</a>'
+               '<a href="">empty</a><a name="anchor-only">z</a>'),
+        ("u2", "<p>no links</p>"),
+    ]
+    out = html_links(
+        spark.createDataFrame(rows, "url string, html string")
+    ).collect()
+    got = sorted((r["url"], r["link_ord"], r["href"], r["nofollow"])
+                 for r in out)
+    assert got == [
+        ("u1", 0, "http://a/1", False),
+        ("u1", 1, "http://a/2", True),
+    ]

@@ -409,3 +409,49 @@ def meta_robots(
         (~noindex).alias("do_index"),
         (~nofollow).alias("expand_links"),
     )
+
+
+ANCHOR_TAG_RE = r"(?is)<a\s[^>]*>"
+HREF_RE = r'(?is)href="([^"]*)"'
+NOFOLLOW_RE = r'(?is)rel="[^"]*nofollow[^"]*"'
+
+
+def html_links(
+    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Anchor extraction with link-level rel=nofollow — the raw-HTML
+    twin of the spans-model `extract_links` (P1), carrying the one
+    attribute the frontier must honor per LINK rather than per page:
+    a nofollow edge is fetched-page evidence the target exists but is
+    NOT an endorsement, so the crawler drops it from link expansion
+    (and PageRank/TrustRank drop it from the edge list) while
+    `meta_robots`' page-level nofollow gates the whole page.
+
+    Output: one row per anchor with a non-empty href —
+    (url, href, nofollow, link_ord) in document order.
+
+    Scale shape: one regexp_extract_all + posexplode (fan-out = the
+    page's anchor count, the same factor P1's span explode pays) +
+    two per-tag codegen regex probes; no shuffle — at 100 TB this
+    fuses with the post-fetch scan exactly like html_extract. Regex
+    subset java.regex/RE2-identical; href="..." double-quoted form
+    (the canonical emission; documented simplification)."""
+    # F.lit pattern (not an expr string literal): SQL single-quote
+    # parsing would eat the '\s' backslash
+    tags = F.regexp_extract_all(
+        F.col(html_col), F.lit(ANCHOR_TAG_RE), F.lit(0)
+    )
+    d = docs.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(tags).alias("link_ord", "_tag"),
+    )
+    href = F.regexp_extract(F.col("_tag"), HREF_RE, 1)
+    return (
+        d.select(
+            "url",
+            href.alias("href"),
+            F.col("_tag").rlike(NOFOLLOW_RE).alias("nofollow"),
+            "link_ord",
+        )
+        .filter(F.col("href") != "")
+    )
