@@ -704,11 +704,16 @@ def mixture_select(
     dims = pool.groupBy(F.col(source_col)).agg(
         F.sum(F.col(token_col).cast("long")).alias("weight")
     )
+    # distributed=False: a MIXTURE source dim is tiny by definition
+    # (domains/buckets, not documents), so the two-phase distributed
+    # remainder rank would spend ~20 exchanges ranking a handful of
+    # rows — the plain window costs one
     quotas = apportion_budget(
         dims,
         int(total_budget),
         weight_col="weight",
         key_col=source_col,
+        distributed=False,
         cache_registry=cache_registry,
     )
     w = (
