@@ -2565,6 +2565,82 @@ _BM25_TOPK_SQL = """
 """
 
 
+def _q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Known-item retrieval audit: rank of each probe query's SOURCE
+    document in the BM25 top-10 (same %97 probe slice and df-cap as
+    bm25_topk), with hits@1/5/10 — misses kept as NULL-rank rows."""
+    from yacy_grid_crawler_spark.operators.textstats import (
+        known_item_eval,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    queries = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(
+                    F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"),
+                    1, 4,
+                ),
+                " ",
+            ).alias("qtext"),
+        )
+    )
+    return known_item_eval(docs, queries, k=10, df_cap=390)
+
+
+_RETRIEVAL_EVAL_SQL = """
+  WITH words AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+    FROM documents
+  ),
+  tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+  dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+  dfreq AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term HAVING count(*) <= 390
+  ),
+  tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS n
+          FROM dl),
+  q AS (
+    SELECT doc_id AS query_id,
+           array_to_string(regexp_extract_all(lower(text), '[a-z]+')[1:4], ' ')
+             AS qtext
+    FROM documents WHERE doc_id % 97 = 0
+  ),
+  qterms AS (
+    SELECT DISTINCT query_id,
+           unnest(regexp_extract_all(lower(qtext), '[a-z]+')) AS term
+    FROM q
+  ),
+  scored AS (
+    SELECT qt.query_id, f.doc_id,
+           CAST(sum(((1000000 * tot.n // d.df) * (22 * tot.t * f.tf))
+                    // (10 * tot.t * f.tf + 3 * tot.t + 9 * l.dl * tot.n))
+                AS BIGINT) AS score
+    FROM tf f JOIN qterms qt USING (term)
+              JOIN dfreq d USING (term)
+              JOIN dl l ON l.doc_id = f.doc_id
+              CROSS JOIN tot
+    GROUP BY qt.query_id, f.doc_id
+  ),
+  ranked AS (
+    SELECT query_id, doc_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id
+    ) AS rnk FROM scored
+  ),
+  selfr AS (
+    SELECT query_id, CAST(rnk AS INTEGER) AS found_rank
+    FROM ranked WHERE doc_id = query_id AND rnk <= 10
+  )
+  SELECT q.query_id, s.found_rank,
+         CAST(coalesce(s.found_rank <= 1, false) AS INTEGER) AS hit1,
+         CAST(coalesce(s.found_rank <= 5, false) AS INTEGER) AS hit5,
+         CAST(coalesce(s.found_rank <= 10, false) AS INTEGER) AS hit10
+  FROM q LEFT JOIN selfr s USING (query_id)
+"""
+
+
 _INVINDEX_SQL = """
   WITH words AS (
     SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
@@ -3446,6 +3522,92 @@ _HOST_GRAPH_SQL = f"""
          count(DISTINCT dst_url) AS n_dst_urls,
          src_host = dst_host AS is_internal
   FROM hosts GROUP BY src_host, dst_host
+"""
+
+
+def _q_link_farm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-farm detection over a sparse deterministic host graph:
+    host h links to hosts (31·h+j) mod 211 for j ≤ 1 + doc_id%3, so
+    partner counts, link weights, and reciprocity all vary per host
+    (≈4% of directed pairs happen to be reciprocated) — the flag is
+    non-degenerate at gate scale."""
+    from yacy_grid_crawler_spark.operators.graph import (
+        host_link_graph,
+        link_farm_hosts,
+    )
+
+    H = 211
+    docs = _docs(spark, sf_dir).select("doc_id")
+    url = lambda h, leaf: F.concat(  # noqa: E731
+        F.lit("http://h"), h.cast("string"),
+        F.lit(".example.org/p/"), leaf.cast("string"),
+    )
+    links = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array(F.lit(1), F.lit(2), F.lit(3))
+            ).alias("j"),
+        )
+        .filter(F.col("j") <= F.lit(1) + F.col("doc_id") % 3)
+        .select(
+            url(F.col("doc_id") % H, F.col("doc_id")).alias("src_url"),
+            url(
+                (F.col("doc_id") % H * 31 + F.col("j")) % H,
+                F.col("doc_id") * 7 + F.col("j"),
+            ).alias("dst_url"),
+        )
+    )
+    return link_farm_hosts(
+        host_link_graph(links),
+        min_partners=2,
+        recip_ppm_threshold=300_000,
+    )
+
+
+_LINK_FARM_SQL = """
+  WITH links AS (
+    SELECT 'http://h' || (doc_id % 211) || '.example.org/p/' || doc_id
+             AS src_url,
+           'http://h' || ((doc_id % 211 * 31 + j) % 211)
+             || '.example.org/p/' || (doc_id * 7 + j) AS dst_url
+    FROM documents, unnest([1, 2, 3]) t(j)
+    WHERE j <= 1 + doc_id % 3
+  ),
+  hosts AS (
+    SELECT regexp_extract(src_url, '^[a-z]+://(?:[^/@]*@)?([^/:?]+)', 1)
+             AS src_host,
+           regexp_extract(dst_url, '^[a-z]+://(?:[^/@]*@)?([^/:?]+)', 1)
+             AS dst_host
+    FROM links
+  ),
+  hg AS (
+    SELECT src_host, dst_host, count(*) AS n_links
+    FROM hosts GROUP BY 1, 2
+  ),
+  ext AS (SELECT * FROM hg WHERE src_host <> dst_host),
+  marked AS (
+    SELECT e.*,
+           CASE WHEN r.src_host IS NULL THEN 0 ELSE 1 END AS rev
+    FROM ext e LEFT JOIN ext r
+      ON r.src_host = e.dst_host AND r.dst_host = e.src_host
+  ),
+  agg AS (
+    SELECT src_host AS host,
+           CAST(sum(n_links) AS BIGINT) AS out_links,
+           CAST(count(*) AS BIGINT) AS n_partners,
+           CAST(sum(rev) AS BIGINT) AS recip_partners,
+           CAST(max(n_links) AS BIGINT) AS top
+    FROM marked GROUP BY 1
+  )
+  SELECT host, out_links, n_partners, recip_partners,
+         CAST(1000000 * recip_partners // n_partners AS BIGINT)
+           AS recip_share_ppm,
+         CAST(1000000 * top // out_links AS BIGINT) AS top_share_ppm,
+         (n_partners >= 2
+          AND 1000000 * recip_partners // n_partners >= 300000)
+           AS is_link_farm
+  FROM agg
 """
 
 
@@ -6299,6 +6461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_percentiles": _q_quality_percentiles,
         "hybrid_search": _q_hybrid_search,
         "bm25_topk": _q_bm25_topk,
+        "retrieval_eval": _q_retrieval_eval,
+        "link_farm_hosts": _q_link_farm,
         "quality_score": _q_quality_score,
         "budget_select": _q_budget_select,
         "mixture_select": _q_mixture_select,
@@ -6436,6 +6600,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_percentiles": _QUALITY_PERCENTILES_SQL,
         "hybrid_search": _HYBRID_SEARCH_SQL,
         "bm25_topk": _BM25_TOPK_SQL,
+        "retrieval_eval": _RETRIEVAL_EVAL_SQL,
+        "link_farm_hosts": _LINK_FARM_SQL,
         "quality_score": _QUALITY_SQL,
         "budget_select": _BUDGET_SELECT_SQL,
         "mixture_select": _MIXTURE_SELECT_SQL,

@@ -1481,3 +1481,93 @@ def test_html_links_nofollow_and_order(spark):
         ("u1", 0, "http://a/1", False),
         ("u1", 1, "http://a/2", True),
     ]
+
+
+def test_link_farm_hosts_reciprocal_share(spark):
+    from pyspark.sql import functions as F
+
+    from yacy_grid_crawler_spark.operators.graph import (
+        host_link_graph, link_farm_hosts,
+    )
+
+    # farm.a <-> farm.b trade links (reciprocal); cite.c links out to
+    # both farms but nobody links back to it; farm.a also links to
+    # cite.c (not reciprocated). Internal self-links must be ignored.
+    edges = [
+        ("http://farm.a/1", "http://farm.b/x"),
+        ("http://farm.a/2", "http://farm.b/y"),
+        ("http://farm.b/1", "http://farm.a/x"),
+        ("http://farm.a/3", "http://cite.c/x"),
+        ("http://cite.c/1", "http://farm.a/z"),
+        ("http://cite.c/2", "http://farm.b/z"),
+        ("http://cite.c/3", "http://cite.c/self"),  # internal
+    ]
+    links = spark.createDataFrame(edges, ["src_url", "dst_url"])
+    out = {
+        r["host"]: r
+        for r in link_farm_hosts(
+            host_link_graph(links),
+            min_partners=2,
+            recip_ppm_threshold=500_000,
+        ).collect()
+    }
+    a = out["farm.a"]
+    # partners: farm.b (2 links, reciprocal), cite.c (1 link,
+    # reciprocal since cite.c -> farm.a exists)
+    assert a["out_links"] == 3 and a["n_partners"] == 2
+    assert a["recip_partners"] == 2
+    assert a["recip_share_ppm"] == 1_000_000
+    assert a["top_share_ppm"] == 666_666
+    assert a["is_link_farm"] is True
+    b = out["farm.b"]
+    assert b["n_partners"] == 1 and b["recip_partners"] == 1
+    assert b["is_link_farm"] is False  # below min_partners
+    c = out["cite.c"]  # internal self-link excluded everywhere
+    assert c["out_links"] == 2 and c["n_partners"] == 2
+    assert c["recip_partners"] == 1 and c["recip_share_ppm"] == 500_000
+    assert c["is_link_farm"] is True  # exactly at threshold
+    # sanity: flipping the threshold above 1/2 unflags cite.c
+    strict = {
+        r["host"]: r
+        for r in link_farm_hosts(
+            host_link_graph(links),
+            min_partners=2,
+            recip_ppm_threshold=600_000,
+        ).collect()
+    }
+    assert strict["cite.c"]["is_link_farm"] is False
+    assert strict["farm.a"]["is_link_farm"] is True
+
+
+def test_known_item_eval_ranks_and_misses(spark):
+    from pyspark.sql import functions as F
+
+    from yacy_grid_crawler_spark.operators.textstats import (
+        known_item_eval,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra quokka umbrella"),      # unique terms -> rank 1
+            (2, "common common common words"),  # shared with doc 3
+            (3, "common words everywhere here"),
+            (4, "unrelated filler text body"),
+        ],
+        ["doc_id", "text"],
+    )
+    queries = spark.createDataFrame(
+        [
+            (1, "zebra quokka"),     # self-retrieves at rank 1
+            (2, "common words"),
+            (4, "absent tokens"),    # no posting matches -> miss
+        ],
+        ["query_id", "qtext"],
+    )
+    out = {r["query_id"]: r
+           for r in known_item_eval(docs, queries, k=10).collect()}
+    assert len(out) == 3  # misses kept as rows
+    assert out[1]["found_rank"] == 1 and out[1]["hit1"] == 1
+    assert out[1]["hit5"] == 1 and out[1]["hit10"] == 1
+    assert out[2]["found_rank"] in (1, 2) and out[2]["hit5"] == 1
+    assert out[4]["found_rank"] is None
+    assert (out[4]["hit1"], out[4]["hit5"], out[4]["hit10"]) == (0, 0, 0)

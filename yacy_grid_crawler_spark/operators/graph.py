@@ -602,3 +602,68 @@ def soft404_hosts(
             & (share > int(max_modal_share_bp))
         ).alias("is_soft404"),
     )
+
+
+def link_farm_hosts(
+    host_edges: DataFrame,
+    min_partners: int = 2,
+    recip_ppm_threshold: int = 300_000,
+) -> DataFrame:
+    """Nepotistic-link (link-farm) detection on the HOST graph: a host
+    whose external link partners mostly link BACK is trading links
+    rather than citing — the classic link-exchange signature (Davison
+    2000 "Recognizing nepotistic links"; the spam-mass cousin of
+    [[trustrank]]). The crawler demotes such hosts' priority lanes the
+    same way the reference demotes blacklist hits.
+
+    Input is the `host_link_graph` rollup (src_host, dst_host,
+    n_links, is_internal) — already unique on the pair key. Per host,
+    over EXTERNAL edges only:
+
+      out_links       total outbound link count
+      n_partners      distinct partner hosts (= row count here)
+      recip_partners  partners with a reverse edge partner→host
+      recip_share_ppm 1000000·recip_partners DIV n_partners
+      top_share_ppm   1000000·max(n_links) DIV out_links  (how
+                      concentrated the host's linking is)
+      is_link_farm    n_partners ≥ min_partners AND
+                      recip_share_ppm ≥ threshold
+
+    All ratios integer-ppm (DIV) so the DuckDB oracle is bit-exact.
+
+    Scale shape: the host graph is the ~100×-reduced projection, so
+    this is cheap by construction: one self-join on the flipped pair
+    key (equi-join, no expansion — both sides unique on the key) and
+    one aggregate keyed on src_host. No windows, no driver collects;
+    the Zipf head host concentrates only its own final reduce row."""
+    ext = host_edges.filter(~F.col("is_internal")).select(
+        "src_host", "dst_host", "n_links"
+    )
+    rev = ext.select(
+        F.col("dst_host").alias("src_host"),
+        F.col("src_host").alias("dst_host"),
+        F.lit(1).alias("_rev"),
+    )
+    marked = ext.join(rev, ["src_host", "dst_host"], "left")
+    agg = marked.groupBy("src_host").agg(
+        F.sum("n_links").alias("out_links"),
+        F.count("*").alias("n_partners"),
+        F.sum(F.coalesce(F.col("_rev"), F.lit(0))).alias(
+            "recip_partners"
+        ),
+        F.max("n_links").alias("_top"),
+    )
+    recip_ppm = F.expr("1000000 * recip_partners DIV n_partners")
+    top_ppm = F.expr("1000000 * _top DIV out_links")
+    return agg.select(
+        F.col("src_host").alias("host"),
+        F.col("out_links").cast("long").alias("out_links"),
+        F.col("n_partners").cast("long").alias("n_partners"),
+        F.col("recip_partners").cast("long").alias("recip_partners"),
+        recip_ppm.cast("long").alias("recip_share_ppm"),
+        top_ppm.cast("long").alias("top_share_ppm"),
+        (
+            (F.col("n_partners") >= int(min_partners))
+            & (recip_ppm >= int(recip_ppm_threshold))
+        ).alias("is_link_farm"),
+    )

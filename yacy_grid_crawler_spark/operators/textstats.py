@@ -1341,3 +1341,51 @@ def tokenizer_fertility(docs: DataFrame) -> DataFrame:
         per("chars").alias("chars_per_token_milli"),
         per("bytes").alias("bytes_per_token_milli"),
     )
+
+
+def known_item_eval(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    df_cap: int = 1000,
+) -> DataFrame:
+    """Known-item retrieval audit: each probe query is derived FROM a
+    source document (query_id = its doc_id), so the document's rank in
+    the BM25 result list is ground truth for free — the standard
+    self-retrieval eval a corpus pipeline runs to validate its index
+    before any human relevance labels exist.
+
+    Output, one row per query (misses kept, not dropped):
+
+      query_id    the source document id
+      found_rank  rank of the source doc in BM25 top-k (NULL if the
+                  doc did not make top-k — e.g. its probe terms were
+                  all above the df-cap, or boilerplate outranked it)
+      hit1 / hit5 / hit10   0/1 ints (hit_n = found_rank ≤ n)
+
+    Integer-exact by construction: ranks come from `bm25_search`'s
+    integer scoring, the hit flags are comparisons — the DuckDB twin
+    is bit-identical.
+
+    Scale shape: inherits `bm25_search`'s join geometry (corpus tf
+    aggregate + df-capped postings + broadcast-scale probe side); the
+    extra work is one filter (doc_id = query_id) and one left join
+    back to the query dim, both on the small probe side."""
+    ranked = bm25_search(docs, queries, k=k, df_cap=df_cap)
+    self_rank = ranked.filter(
+        F.col("doc_id") == F.col("query_id")
+    ).select("query_id", F.col("rnk").alias("found_rank"))
+    hit = lambda n: (  # noqa: E731
+        F.coalesce(F.col("found_rank") <= n, F.lit(False))
+    ).cast("int")
+    return (
+        queries.select("query_id")
+        .join(self_rank, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("found_rank").cast("int").alias("found_rank"),
+            hit(1).alias("hit1"),
+            hit(5).alias("hit5"),
+            hit(10).alias("hit10"),
+        )
+    )
