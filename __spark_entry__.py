@@ -2737,6 +2737,26 @@ _DATASET_SPLIT_SQL = """
 """
 
 
+def _q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-disjoint (source-keyed) train/val/test split — every doc
+    of a source lands in one split, the anti-leakage variant."""
+    from yacy_grid_crawler_spark.operators.sampling import grouped_split
+
+    return grouped_split(
+        _docs(spark, sf_dir).select("doc_id", "source"), "source"
+    )
+
+
+_GROUPED_SPLIT_SQL = """
+  SELECT doc_id, source AS grp,
+         substr(md5(source), 1, 2) AS bucket,
+         CASE WHEN substr(md5(source), 1, 2) < 'cc' THEN 'train'
+              WHEN substr(md5(source), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+"""
+
+
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yacy_grid_crawler_spark.operators.sampling import chunk_documents
 
@@ -6498,6 +6518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "pagerank_priority": _q_pagerank,
         "dataset_split": _q_dataset_split,
+        "grouped_split": _q_grouped_split,
         "pack_shards": _q_pack_shards,
         "pack_sequences": _q_pack_sequences,
         "kmeans_assign": _q_kmeans_assign,
@@ -6637,6 +6658,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRATIFIED_SQL,
         "pagerank_priority": _PAGERANK_SQL,
         "dataset_split": _DATASET_SPLIT_SQL,
+        "grouped_split": _GROUPED_SPLIT_SQL,
         "pack_shards": _PACK_SHARDS_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "kmeans_assign": _KMEANS_SQL,

@@ -1515,3 +1515,36 @@ def test_mixture_select_quota_sum_and_prefix_cut(spark):
     # 60 > 49 and 60 > 54 → only doc 1 kept either way
     assert [r["doc_id"] for r in by_src["a"]] == [1]
     assert "c" not in by_src
+
+
+def test_grouped_split_is_group_disjoint(spark):
+    from pyspark.sql import functions as F
+
+    from yacy_grid_crawler_spark.operators.sampling import (
+        dataset_split, grouped_split,
+    )
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("host"), (F.col("id") % 37)).alias("host"),
+    )
+    out = grouped_split(docs, "host").collect()
+    assert len(out) == 500
+    # leakage guarantee: every group maps to exactly ONE split
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_grp.values())
+    assert {r["split"] for r in out} == {"train", "val", "test"}
+    # determinism: same input -> same assignment
+    again = {(r["doc_id"], r["split"])
+             for r in grouped_split(docs, "host").collect()}
+    assert again == {(r["doc_id"], r["split"]) for r in out}
+    # contrast: the doc-hash split DOES scatter a group across splits
+    doc_level = dataset_split(docs).collect()
+    doc_split = {r["doc_id"]: r["split"] for r in doc_level}
+    grp_of = {r["doc_id"]: r["grp"] for r in out}
+    scattered = {}
+    for d, s in doc_split.items():
+        scattered.setdefault(grp_of[d], set()).add(s)
+    assert any(len(s) > 1 for s in scattered.values())

@@ -737,3 +737,29 @@ def mixture_select(
             "quota",
         )
     )
+
+
+def grouped_split(
+    docs: DataFrame, group_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, group, bucket, split) — GROUP-DISJOINT train/val/test
+    split: the md5 bucket is computed on the GROUP key (host, source,
+    domain), so every document of a group lands in the same split.
+    This is the anti-leakage split for web corpora — near-duplicate
+    pages live on the same site, and a doc-hash split ([[dataset_split]])
+    puts one copy in train and its sibling in test, inflating eval.
+    Same ~80/10/10 thresholds as dataset_split.
+
+    Scale shape: identical to dataset_split — pure codegen projection
+    (md5 + two comparisons), zero shuffles, no RNG state; the group
+    key is read from the row, never joined."""
+    b = F.substring(F.md5(F.col(group_col).cast("string")), 1, 2)
+    return docs.select(
+        id_col,
+        F.col(group_col).alias("grp"),
+        b.alias("bucket"),
+        F.when(b < TRAIN_LT, "train")
+        .when(b < VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
