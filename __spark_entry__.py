@@ -998,6 +998,55 @@ _SIMHASH_PAIRS_SQL = f"""
 """
 
 
+def _q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/PPJoin prefix-filter Jaccard self-join at 0.70 —
+    the df-cap-free exact-recall candidate bound."""
+    from yacy_grid_crawler_spark.operators.dedup_text import (
+        prefix_filter_pairs,
+    )
+
+    return prefix_filter_pairs(_docs(spark, sf_dir), threshold_bp=7000)
+
+
+_PREFIX_FILTER_SQL = f"""
+  WITH {_SHINGLES_CTE},
+  dfreq AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY 1),
+  ranked AS (
+    SELECT s.doc_id, s.shingle,
+           row_number() OVER (
+             PARTITION BY s.doc_id ORDER BY d.df, s.shingle
+           ) AS pos,
+           count(*) OVER (PARTITION BY s.doc_id) AS sz
+    FROM shingles s JOIN dfreq d USING (shingle)
+  ),
+  prefix AS (
+    SELECT doc_id, shingle, sz FROM ranked
+    WHERE pos <= sz - (7000 * sz + 9999) // 10000 + 1
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.sz AS size_a, b.sz AS size_b
+    FROM prefix a JOIN prefix b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  ),
+  verified AS (
+    SELECT c.doc_a, c.doc_b, c.size_a, c.size_b,
+           count(*) AS inter
+    FROM cand c
+    JOIN shingles wa ON wa.doc_id = c.doc_a
+    JOIN shingles wb ON wb.doc_id = c.doc_b AND wb.shingle = wa.shingle
+    GROUP BY 1, 2, 3, 4
+  )
+  SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+         CAST(size_a AS BIGINT) AS size_a,
+         CAST(size_b AS BIGINT) AS size_b,
+         CAST(10000 * inter // (size_a + size_b - inter) AS BIGINT)
+           AS jaccard_bp
+  FROM verified
+  WHERE 10000 * inter // (size_a + size_b - inter) >= 7000
+"""
+
+
 def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yacy_grid_crawler_spark.operators.dedup_text import ngram_jaccard_pairs
 
@@ -6467,6 +6516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "prefix_filter_pairs": _q_prefix_filter_pairs,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "dedup_recall": _q_dedup_recall,
@@ -6614,6 +6664,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,
+        "prefix_filter_pairs": _PREFIX_FILTER_SQL,
         "dedup_embedding": _DEDUP_EMBEDDING_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "lang_id": _LANG_ID_SQL,

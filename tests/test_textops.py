@@ -1548,3 +1548,47 @@ def test_grouped_split_is_group_disjoint(spark):
     for d, s in doc_split.items():
         scattered.setdefault(grp_of[d], set()).add(s)
     assert any(len(s) > 1 for s in scattered.values())
+
+
+def test_prefix_filter_pairs_exact_recall_vs_allpairs(spark):
+    from pyspark.sql import functions as F
+
+    from yacy_grid_crawler_spark.operators.dedup_text import (
+        doc_shingles, prefix_filter_pairs,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls on the quiet gray town and children play outside")
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base + " today"),                      # near-dup of 0
+            (2, base.replace("quick", "slow")),        # near-dup of 0
+            (3, "completely different words about spark shuffle "
+                "partitions and catalyst optimizer internals"),
+            (4, "another unrelated document mentioning bloom filters "
+                "politeness budgets and frontier scheduling"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard_bp"]
+           for r in prefix_filter_pairs(docs, threshold_bp=5000).collect()}
+
+    # ground truth: brute-force all-pairs jaccard over the same shingles
+    sh = doc_shingles(docs)
+    sets = {}
+    for r in sh.collect():
+        sets.setdefault(r["doc_id"], set()).add(r["shingle"])
+    want = {}
+    ids = sorted(sets)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i] | sets[j])
+                bp = 10000 * inter // union
+                if bp >= 5000:
+                    want[(i, j)] = bp
+    assert got == want          # exact recall AND exact scores
+    assert (0, 1) in got and (0, 2) in got
+    assert all(3 not in p and 4 not in p for p in got)

@@ -1071,3 +1071,108 @@ def mirror_families(
     return out.select(
         F.col("doc_id").alias("host"), F.col("cluster_id").alias("family_id")
     )
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    threshold_bp: int = 7000,
+    n: int = SHINGLE_N,
+    text_col: str = "text",
+) -> DataFrame:
+    """Set-similarity self-join at Jaccard ≥ threshold via PREFIX
+    FILTERING (AllPairs/PPJoin, Bayardo et al. 2007 / Xiao et al.
+    2008) — the df-cap-free candidate bound: order each document's
+    shingle set by ASCENDING global document frequency (rarest
+    first; ties by shingle text) and index only the first
+
+        prefix_len = s − ⌈t·s⌉ + 1
+
+    shingles. Any pair with Jaccard ≥ t must share at least one
+    prefix shingle (if the two prefixes were disjoint, the overlap
+    is at most min(s_a, s_b) − prefix overlap deficit < t·union —
+    the classic pigeonhole), so the banded equi-join on prefix
+    shingles is EXACT in recall; candidates are then verified with
+    the true intersection. Unlike `ngram_jaccard_pairs`'s df-cap,
+    no true pair can be lost to a hot shingle: hot shingles simply
+    sort to the END of every document's order and rarely enter a
+    prefix.
+
+    Output: (doc_a, doc_b, inter, size_a, size_b, jaccard_bp ≥
+    threshold_bp) with doc_a < doc_b; all integers (bp = DIV), so
+    the DuckDB twin is bit-exact.
+
+    Scale shape: one df aggregate (map-side combining), one per-doc
+    sort_array over its own shingle struct list (bounded by doc
+    length — no window, no global rank), a prefix explode whose
+    volume is Σ prefix_len ≈ (1−t)·corpus shingles, ONE self-equi-
+    join on the prefix shingle (the frequency-ascending order makes
+    those join keys the RAREST shingles — small groups by
+    construction), and a verify on candidates only via
+    array_intersect of the two bounded token arrays. At 10^10 docs
+    the verify join's right side re-broadcasts nothing: both sides
+    shuffle once on doc_id."""
+    sh = doc_shingles(docs, n)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("df", "shingle"))
+            ).alias("_toks")
+        )
+        .select(
+            "doc_id",
+            F.col("_toks.shingle").alias("toks"),
+            F.size("_toks").alias("s"),
+        )
+    )
+    t = int(threshold_bp)
+    prefix_len = (
+        F.col("s")
+        - F.expr(f"({t} * s + 9999) DIV 10000").cast("int")
+        + F.lit(1)
+    )
+    prefix = per_doc.select(
+        "doc_id",
+        "toks",
+        "s",
+        F.explode(F.slice("toks", F.lit(1), prefix_len)).alias(
+            "shingle"
+        ),
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.toks").alias("toks_a"),
+            F.col("b.toks").alias("toks_b"),
+            F.col("a.s").alias("size_a"),
+            F.col("b.s").alias("size_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = F.expr(
+        "10000 * _inter DIV (size_a + size_b - _inter)"
+    )
+    return (
+        cand.withColumn("_inter", inter)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("_inter").cast("long").alias("inter"),
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+            jac.cast("long").alias("jaccard_bp"),
+        )
+        .filter(F.col("jaccard_bp") >= t)
+    )
