@@ -536,3 +536,25 @@ def test_budget_select_no_single_partition_window(spark):
     assert "rangepartitioning" in plan.lower()
     for c in caches:
         c.unpersist()
+
+
+def test_prefix_filter_pairs_no_window_no_python(spark):
+    """The prefix-filter join must avoid the single-partition global
+    rank entirely (the rarest-first order is a per-doc sort_array,
+    not a Window), keep every surface JVM-side, and never fall back
+    to a cartesian product for the candidate or verify joins."""
+    from yacy_grid_crawler_spark.operators.dedup_text import (
+        prefix_filter_pairs,
+    )
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta eta theta "),
+            (F.col("id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    plan = _plan(prefix_filter_pairs(docs, threshold_bp=7000))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Window" not in plan
