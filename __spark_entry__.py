@@ -3680,6 +3680,55 @@ _LINK_FARM_SQL = """
 """
 
 
+def _q_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-concentration audit over a Zipf-shaped synthetic URL set
+    (host = doc_id mod 20 with quadratic repeat fan so the head host
+    dominates) — the G3 salting-decision input."""
+    from yacy_grid_crawler_spark.operators.graph import host_skew
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.col("doc_id") % 5 + 1)
+        ).alias("k"),
+    ).select(
+        F.concat(
+            F.lit("http://host"),
+            (F.col("doc_id") % N_HOSTS % (F.col("k") * 4)).cast("string"),
+            F.lit(".example.org/page/"),
+            F.col("doc_id").cast("string"),
+            F.lit("-"),
+            F.col("k").cast("string"),
+            F.lit(".html"),
+        ).alias("url")
+    )
+    return host_skew(urls)
+
+
+_HOST_SKEW_SQL = f"""
+  WITH urls AS (
+    SELECT 'http://host' || ((doc_id % {N_HOSTS}) % (k * 4))
+             || '.example.org/page/' || doc_id || '-' || k || '.html'
+             AS url
+    FROM documents, unnest(range(1, 7)) t(k)
+    WHERE k <= doc_id % 5 + 1
+  ),
+  per_host AS (
+    SELECT regexp_extract(url, '^[a-z]+://(?:[^/@]*@)?([^/:?]+)', 1)
+             AS host,
+           count(*) AS n
+    FROM urls GROUP BY 1
+  )
+  SELECT CAST(sum(n) AS BIGINT) AS n_urls,
+         CAST(count(*) AS BIGINT) AS n_hosts,
+         CAST(1000000 * max(n) // sum(n) AS BIGINT) AS top_share_ppm,
+         CAST(1000000 * sum(n * n) // (sum(n) * sum(n)) AS BIGINT)
+           AS hhi_ppm
+  FROM per_host
+"""
+
+
 def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language exact length quantiles — the curation-cutoff
     distribution snapshot."""
@@ -6585,6 +6634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": _q_trustrank,
         "span_mix": _q_span_mix,
         "host_graph": _q_host_graph,
+        "host_skew": _q_host_skew,
         "length_quantiles": _q_length_quantiles,
         "dsir_weights": _q_dsir_weights,
         "budget_apportion": _q_budget_apportion,
@@ -6726,6 +6776,7 @@ def oracle_sql() -> dict[str, str]:
         "trustrank": _TRUSTRANK_SQL,
         "span_mix": _SPAN_MIX_SQL,
         "host_graph": _HOST_GRAPH_SQL,
+        "host_skew": _HOST_SKEW_SQL,
         "length_quantiles": _LENGTH_QUANTILES_SQL,
         "dsir_weights": _DSIR_WEIGHTS_SQL,
         "budget_apportion": _BUDGET_APPORTION_SQL,

@@ -1571,3 +1571,31 @@ def test_known_item_eval_ranks_and_misses(spark):
     assert out[2]["found_rank"] in (1, 2) and out[2]["hit5"] == 1
     assert out[4]["found_rank"] is None
     assert (out[4]["hit1"], out[4]["hit5"], out[4]["hit10"]) == (0, 0, 0)
+
+
+def test_host_skew_uniform_vs_zipf(spark):
+    from pyspark.sql import functions as F
+
+    from yacy_grid_crawler_spark.operators.graph import host_skew
+
+    # uniform: 100 URLs over 10 hosts -> hhi = 10 * (0.1)^2 = 0.01
+    uniform = spark.range(100).select(
+        F.concat(
+            F.lit("http://u"), (F.col("id") % 10), F.lit(".net/p"),
+            F.col("id"),
+        ).alias("url")
+    )
+    u = host_skew(uniform).collect()[0]
+    assert (u["n_urls"], u["n_hosts"]) == (100, 10)
+    assert u["top_share_ppm"] == 100_000
+    assert u["hhi_ppm"] == 100_000
+    # zipf head: 91 URLs on one host, 9 singletons
+    zipf = spark.range(100).select(
+        F.when(F.col("id") < 91, F.lit("http://head.net/p"))
+        .otherwise(F.concat(F.lit("http://t"), F.col("id"), F.lit(".net/p")))
+        .alias("_b")
+    ).select(F.concat("_b", F.lit("x")).alias("url"))
+    z = host_skew(zipf).collect()[0]
+    assert (z["n_urls"], z["n_hosts"]) == (100, 10)
+    assert z["top_share_ppm"] == 910_000
+    assert z["hhi_ppm"] == (91 * 91 + 9) * 1_000_000 // 10_000

@@ -667,3 +667,37 @@ def link_farm_hosts(
             & (recip_ppm >= int(recip_ppm_threshold))
         ).alias("is_link_farm"),
     )
+
+
+def host_skew(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Frontier host-concentration audit — ONE summary row:
+
+      n_urls, n_hosts, top_share_ppm (largest host's URL share),
+      hhi_ppm (Herfindahl–Hirschman index, Σ share² in ppm)
+
+    This is the measured input to the G3 salting decision: a frontier
+    with hhi_ppm near 1e6/n_hosts is uniform (hash sharding is
+    enough); a Zipf head (top_share_ppm ≫ 1e6/n_hosts) is what
+    `assign_shard`'s hot-host salting defuses. Integer-exact:
+    hhi_ppm = Σ n_h² · 1000000 DIV N² computed in bigint — valid for
+    N < 3·10⁹ URLs per audited slice (n_h² ≤ N² < 2⁶³/1e6); at the
+    full 10^10 frontier run it per-shard or per-depth slice, where
+    the bound holds by construction.
+
+    Scale shape: one host aggregate (map-side combining) then a
+    single-row reduce over the host dim — the same two-level shape
+    as every host rollup here; no windows, no joins."""
+    hosts = urls.select(
+        F.regexp_extract(F.col(url_col), HOST_RE, 1).alias("host")
+    )
+    per_host = hosts.groupBy("host").agg(F.count("*").alias("n"))
+    return per_host.agg(
+        F.sum("n").cast("long").alias("n_urls"),
+        F.count("*").cast("long").alias("n_hosts"),
+        F.expr("1000000 * max(n) DIV sum(n)").cast("long").alias(
+            "top_share_ppm"
+        ),
+        F.expr("1000000 * sum(n * n) DIV (sum(n) * sum(n))")
+        .cast("long")
+        .alias("hhi_ppm"),
+    )
