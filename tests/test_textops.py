@@ -1592,3 +1592,40 @@ def test_prefix_filter_pairs_exact_recall_vs_allpairs(spark):
     assert got == want          # exact recall AND exact scores
     assert (0, 1) in got and (0, 2) in got
     assert all(3 not in p and 4 not in p for p in got)
+
+
+def test_prefix_filter_pairs_randomized_equals_bruteforce(spark):
+    import random
+
+    from yacy_grid_crawler_spark.operators.dedup_text import (
+        doc_shingles, prefix_filter_pairs,
+    )
+
+    rng = random.Random(1311)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for d in range(40):
+        n = rng.randint(5, 14)
+        rows.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+    # plant exact+near duplicates
+    rows.append((100, rows[3][1]))
+    rows.append((101, rows[3][1] + " w0"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    for t in (5000, 7000, 9000):
+        got = {(r["doc_a"], r["doc_b"]): (r["inter"], r["jaccard_bp"])
+               for r in prefix_filter_pairs(docs, threshold_bp=t).collect()}
+        sets = {}
+        for r in doc_shingles(docs).collect():
+            sets.setdefault(r["doc_id"], set()).add(r["shingle"])
+        want = {}
+        ids = sorted(sets)
+        for i in ids:
+            for j in ids:
+                if i < j:
+                    inter = len(sets[i] & sets[j])
+                    union = len(sets[i] | sets[j])
+                    bp = 10000 * inter // union
+                    if bp >= t:
+                        want[(i, j)] = (inter, bp)
+        assert got == want, f"threshold {t}"
