@@ -391,6 +391,37 @@ _ANTI_JOIN_SQL = """
 """
 
 
+def _q_anti_join_seen_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 against the BUCKETED seen mirror (sources/bucketed.py): the
+    seen side is written hash-pre-partitioned by url_id once, so the
+    anti-join plan carries a single probe-side Exchange — the
+    10^10-scale amortization path for the wave's biggest standing
+    shuffle. Semantics identical to anti_join_seen."""
+    import tempfile
+
+    from yacy_grid_crawler_spark.sources.bucketed import (
+        anti_join_bucketed, write_bucketed,
+    )
+
+    docs = _docs(spark, sf_dir)
+    seen = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.md5(F.col("doc_id").cast("string")).alias("url_id")
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    write_bucketed(
+        seen,
+        "q_seen_bucketed",
+        tempfile.mkdtemp(prefix="seen_bucketed_") + "/t",
+        n_part,
+    )
+    cand = docs.select(
+        F.md5(F.col("doc_id").cast("string")).alias("url_id"), "doc_id"
+    )
+    return anti_join_bucketed(cand, spark, "q_seen_bucketed").select(
+        "url_id", "doc_id"
+    )
+
+
 def _q_batch8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1+G2 — size-8 batching in canonical order, index split before
     noindex (CrawlerListener.java:406, 451-462, :412), through the
@@ -6538,6 +6569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexer_blacklist_split": _q_indexer_blacklist_split,
         "dedup_within_batch": _q_dedup_within_batch,
         "anti_join_seen": _q_anti_join_seen,
+        "anti_join_seen_bucketed": _q_anti_join_seen_bucketed,
         "batch8": _q_batch8,
         "priority_lane_shard": _q_priority_lane_shard,
         "politeness_slots": _q_politeness_slots,
@@ -6689,6 +6721,7 @@ def oracle_sql() -> dict[str, str]:
         "indexer_blacklist_split": _INDEXER_BLACKLIST_SQL,
         "dedup_within_batch": _DEDUP_BATCH_SQL,
         "anti_join_seen": _ANTI_JOIN_SQL,
+        "anti_join_seen_bucketed": _ANTI_JOIN_SQL,
         "batch8": _BATCH8_SQL,
         "priority_lane_shard": _LANE_SHARD_SQL,
         "politeness_slots": _POLITENESS_SQL,

@@ -558,3 +558,41 @@ def test_prefix_filter_pairs_no_window_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Window" not in plan
+
+
+def test_bucketed_seen_anti_join_drops_seen_side_exchange(spark, tmp_path):
+    """The bucketed url_seen mirror must eliminate the seen-side
+    shuffle from the D3 anti-join: with n_buckets == shuffle
+    partitions, the plan keeps exactly one Exchange (probe side) and
+    the bucketed scan feeds the ShuffledHashJoin directly. A plain
+    parquet seen table shuffles BOTH sides — that re-shuffle of the
+    static 10^10-row side every wave is what bucketing amortizes
+    away."""
+    from yacy_grid_crawler_spark.sources.bucketed import (
+        anti_join_bucketed, write_bucketed,
+    )
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    seen = spark.range(20000).select(
+        F.md5(F.col("id").cast("string")).alias("url_id")
+    )
+    write_bucketed(
+        seen, "t_seen_bucketed", str(tmp_path / "seen_b"), n_part
+    )
+    cand = spark.range(10000, 30000).select(
+        F.md5(F.col("id").cast("string")).alias("url_id")
+    )
+    out = anti_join_bucketed(cand, spark, "t_seen_bucketed")
+    plan = _plan(out)
+    # exactly one Exchange node: formatted plans list each node once
+    # in the tree and once in the details section
+    assert plan.count("Exchange") <= 2
+    # the bucketed scan side must not be re-shuffled: no Exchange
+    # between the parquet scan and the join (scan feeds join/filter
+    # directly)
+    assert "ShuffledHashJoin" in plan
+    # semantics unchanged vs the plain anti-join
+    plain = cand.join(seen, "url_id", "left_anti")
+    assert out.exceptAll(plain).isEmpty()
+    assert plain.exceptAll(out).isEmpty()
+    spark.sql("DROP TABLE IF EXISTS t_seen_bucketed")
