@@ -527,3 +527,62 @@ def test_indexer_blacklist_gates_index_lane(
     assert all(is_even(r["url"]) or on_seed_host(r["url"]) for r in flipped)
     # the index lane still has members (the gate is a split, not a drop)
     assert any(r["do_index"] for r in frontier)
+
+
+def test_bucketed_seen_equals_default(
+    spark, corpus, docs_df, robots_df, tmp_path_factory
+):
+    """bucketed_seen=True must be a pure physical-layout change: the
+    final url_seen, canonically-ordered frontier, and status tables
+    are identical to the default path; the mirror survives a second
+    crawl on the same store (S8 start-deletes force the rebuild
+    branch) and per-wave deltas keep the marker current."""
+    rules = parse_lines(blacklist_lines(corpus))
+    seed = corpus.seeds[0]
+    seed2 = corpus.seeds[1] if len(corpus.seeds) > 1 else corpus.seeds[0]
+    overrides = {"crawlingDepth": 2}
+
+    def final_state(job, cids):
+        st = job.store
+        seen = sorted(
+            (r["crawl_id"], r["url_id"])
+            for r in st.read("url_seen").collect()
+        )
+        fr = [
+            (r["crawl_id"], r["url_id"])
+            for r in st.read("frontier").orderBy(
+                "crawl_id", "depth", "lane",
+                F.col("do_index").desc(), "batch_no", "batch_pos",
+            ).collect()
+        ]
+        status = sorted(
+            (r["crawl_id"], r["url_id"], r["status"], r["comment_class"])
+            for r in st.read("crawl_status").collect()
+        )
+        return seen, fr, status
+
+    states = {}
+    for bucketed in (False, True):
+        root = str(tmp_path_factory.mktemp(f"store_b{int(bucketed)}"))
+        job = CrawlJob(
+            spark, root, docs_df, blacklist=rules, robots=robots_df,
+            n_shards=8, bucketed_seen=bucketed,
+        )
+        cids = job.start(seed, overrides)
+        job.run(cids)
+        # second crawl on the SAME store: exercises S8 deletes (store
+        # moves without a mirror append → rebuild) + cross-crawl D3
+        cids2 = job.start(seed2, overrides)
+        job.run(cids2)
+        # strip crawl ids (they embed distinct start timestamps/hash)
+        seen, fr, status = final_state(job, cids + cids2)
+        key = {c: i for i, c in enumerate(dict.fromkeys(cids + cids2))}
+        states[bucketed] = (
+            sorted((key[c], u) for c, u in seen),
+            [(key[c], u) for c, u in fr],
+            sorted((key[c], u, s, cc) for c, u, s, cc in status),
+        )
+        if bucketed:
+            # marker must track the store head (delta path exercised)
+            assert job._mirror_marker() is not None
+    assert states[True] == states[False]

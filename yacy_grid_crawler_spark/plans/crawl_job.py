@@ -49,6 +49,7 @@ class CrawlJob:
         clock=None,
         max_wave_urls: int | None = None,
         indexer_blacklist: list[BlacklistRule] | None = None,
+        bucketed_seen: bool = False,
     ):
         """`distributed_rank`: True forces the range-partitioned
         two-phase ranking (batching + politeness), False forces the
@@ -102,6 +103,25 @@ class CrawlJob:
         self.max_wave_urls = max_wave_urls
         self._prev_accepted: dict[str, int] = {}
         self.hot_host_threshold = hot_host_threshold
+        # bucketed seen mirror (sources/bucketed.py): keep url_seen +
+        # crawl_status url_ids as url_id-bucketed catalog tables so
+        # the per-wave D2/D3 anti-joins drop the seen-side Exchange
+        # (measured 5.9x at 50M rows — BASELINE.md). Derived state:
+        # appended O(delta) after each wave commit, fully rebuilt
+        # whenever the store moved without us (resume, S8 deletes,
+        # TTL sweeps, fresh session). Snapshot parquet stays the
+        # source of truth; semantics are pinned equal by
+        # tests/test_wave_oracle.py::test_bucketed_seen_equals_default.
+        self.bucketed_seen = bucketed_seen
+        self._mirror_version: int | None = None  # store version mirrored
+        import hashlib as _hashlib
+
+        tag = _hashlib.md5(store_root.encode()).hexdigest()[:8]
+        self._mirror_tables = {
+            "url_seen": f"seen_mirror_{tag}",
+            "crawl_status": f"status_mirror_{tag}",
+        }
+        self._mirror_root = store_root.rstrip("/") + "/bucketed_mirror"
         self.profiles: dict[str, dict] = {}
         # restore profiles from the last snapshot (resume path)
         meta = self.store.manifest().get("meta", {})
@@ -362,6 +382,135 @@ class CrawlJob:
             F.sum("n").alias("next_slot")
         )
 
+    # --- bucketed seen mirror (opt-in; see __init__ doc) -------------
+
+    def _mirror_marker(self) -> dict | None:
+        import os
+
+        p = os.path.join(self._mirror_root, "marker.json")
+        try:
+            with open(p) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return None
+
+    def _write_mirror_marker(self, version: int, n_buckets: int) -> None:
+        import os
+
+        os.makedirs(self._mirror_root, exist_ok=True)
+        tmp = os.path.join(self._mirror_root, "marker.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "n_buckets": n_buckets}, fh)
+        os.replace(tmp, os.path.join(self._mirror_root, "marker.json"))
+
+    def _refresh_mirror(self) -> None:
+        """Make the bucketed mirror reflect the store's CURRENT
+        version: no-op when the marker matches (the steady state —
+        per-wave deltas keep it current via _mirror_append); full
+        rebuild (one url_id shuffle per table — the same shuffle an
+        unmirrored wave pays ANYWAY) whenever the store moved without
+        us: fresh session (catalog lost), resume, S8 start-deletes,
+        TTL sweeps/compaction, or a shuffle-partition change (bucket
+        count must equal partitions for the exchange to drop)."""
+        import os
+        import shutil
+
+        from ..sources.bucketed import write_bucketed
+
+        v = self.store.current_version()
+        n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        m = self._mirror_marker()
+        if (
+            m
+            and m.get("version") == v
+            and m.get("n_buckets") == n
+            and all(
+                self.spark.catalog.tableExists(t)
+                for t in self._mirror_tables.values()
+            )
+        ):
+            self._mirror_version = v
+            return
+        write_bucketed(
+            self.store.read("url_seen"),
+            self._mirror_tables["url_seen"],
+            f"{self._mirror_root}/url_seen_v{v}",
+            n,
+        )
+        write_bucketed(
+            self.store.read("crawl_status").select("url_id"),
+            self._mirror_tables["crawl_status"],
+            f"{self._mirror_root}/crawl_status_v{v}",
+            n,
+        )
+        self._write_mirror_marker(v, n)
+        self._mirror_version = v
+        # older rebuild dirs are dead data once the catalog points at
+        # the new ones — sweep them (driver-side, bounded by rebuilds)
+        for d in os.listdir(self._mirror_root):
+            full = os.path.join(self._mirror_root, d)
+            if (
+                os.path.isdir(full)
+                and ("_v" in d)
+                and not d.endswith(f"_v{v}")
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+
+    def _seen_inputs(self, cid: str | None = None):
+        """The wave's two persistent dedup inputs (url_seen slice,
+        crawl_status url_ids) — from the bucketed mirror when enabled
+        (seen-side Exchange drops from the D2/D3 anti-joins), else
+        straight from the snapshot store. Contents are identical
+        either way (equality pinned in test_wave_oracle)."""
+        if self.bucketed_seen:
+            self._refresh_mirror()
+            seen = self.spark.table(self._mirror_tables["url_seen"])
+            status_ids = self.spark.table(
+                self._mirror_tables["crawl_status"]
+            ).select("url_id")
+        else:
+            seen = self.store.read("url_seen")
+            status_ids = self.store.read("crawl_status").select("url_id")
+        if cid is not None:
+            seen = seen.filter(F.col("crawl_id") == cid)
+        return seen, status_ids
+
+    def _mirror_append(self, version: int, seen_delta, status_delta) -> None:
+        """O(delta) mirror maintenance after a successful commit at
+        `version`: valid only when the mirror reflected version-1 at
+        read time (this step refreshed it); any other gap → leave the
+        marker stale and the next _refresh_mirror rebuilds."""
+        if not self.bucketed_seen or self._mirror_version != version - 1:
+            return
+        from ..sources.bucketed import append_bucketed
+
+        m = self._mirror_marker()
+        if not m or m.get("version") != version - 1:
+            return
+        n = int(m["n_buckets"])
+        base_v = None
+        import os
+
+        for d in os.listdir(self._mirror_root):
+            if d.startswith("url_seen_v"):
+                base_v = d[len("url_seen_v"):]
+        if base_v is None:
+            return
+        append_bucketed(
+            seen_delta,
+            self._mirror_tables["url_seen"],
+            f"{self._mirror_root}/url_seen_v{base_v}",
+            n,
+        )
+        append_bucketed(
+            status_delta.select("url_id"),
+            self._mirror_tables["crawl_status"],
+            f"{self._mirror_root}/crawl_status_v{base_v}",
+            n,
+        )
+        self._write_mirror_marker(version, n)
+        self._mirror_version = version
+
     def _rank_mode(self, prev_accepted: int | None) -> bool:
         """Resolve the per-wave ranking strategy (see __init__ doc).
         ~8 candidate links per accepted parent; the two-phase rank
@@ -444,8 +593,7 @@ class CrawlJob:
                     .groupBy("crawl_id", "do_index")
                     .agg(F.count(F.lit(1)).cast("long").alias("_base_pos"))
                 )
-        seen = self.store.read("url_seen").filter(F.col("crawl_id") == cid)
-        status_ids = self.store.read("crawl_status").select("url_id")
+        seen, status_ids = self._seen_inputs(cid)
         base_slots = self._base_slots(cid)
         seen_filter = self._load_seen_filter(cid) if self.checkpoint_filters else None
         wave_start_ms = self._wave_start_ms()
@@ -525,6 +673,7 @@ class CrawlJob:
             )
             self._update_seen_filter(cid, pc.version, meta, res.seen, n_delta)
         pc.finalize(meta=meta)
+        self._mirror_append(pc.version, res.seen, res.status)
         res.unpersist()
         for df in cap_caches:
             df.unpersist()
@@ -671,8 +820,7 @@ class CrawlJob:
         for p in parts[1:]:
             candidates = candidates.unionByName(p)
         profiles = profiles_to_df(self.spark, {c: self.profiles[c] for c in stepped})
-        seen = self.store.read("url_seen")
-        status_ids = self.store.read("crawl_status").select("url_id")
+        seen, status_ids = self._seen_inputs()
         wave_start_ms = self._wave_start_ms()
         res = run_wave_multi(
             candidates, profiles, seen=seen, status_ids=status_ids,
@@ -730,6 +878,7 @@ class CrawlJob:
                     int(stats[cid]["novel"]) if cid in stats else 0,
                 )
         pc.finalize(meta=meta2)
+        self._mirror_append(pc.version, res.seen, res.status)
         res.unpersist()
         for cid in stepped:
             self._prev_accepted[cid] = accepted.get(cid, 0)

@@ -80,3 +80,24 @@ def anti_join_bucketed(
     return candidates.join(
         seen.hint("shuffle_hash"), key, "left_anti"
     )
+
+
+def append_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int,
+    key: str = "url_id",
+) -> None:
+    """Append a (small) delta to an existing bucketed table with the
+    same bucket spec — the per-wave O(delta) maintenance write. Spark
+    validates the spec against the catalog entry; a mismatch raises
+    rather than silently degrading the layout."""
+    (
+        df.write.format("parquet")
+        .mode("append")
+        .option("path", path)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
