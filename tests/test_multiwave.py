@@ -237,3 +237,34 @@ def test_multiwave_updates_checkpointed_filters(
                  [(a.seeds[0], 2), (b.seeds[0], 2)], concurrent=False)[0]
     assert _table_state(job2, "url_seen", ("url_id",)) == \
         _table_state(ref, "url_seen", ("url_id",))
+
+
+def test_concurrent_bucketed_seen_equals_default(
+    spark, two_corpora, tmp_path_factory
+):
+    """bucketed_seen through the MULTIWAVE path (step_all): combined
+    tiers over the bucketed mirror must commit the same final state
+    as the default layout."""
+    a, b, docs_df, robots_df, rules = two_corpora
+    seeds = [(a.seeds[0], 2), (b.seeds[0], 1)]
+    states = {}
+    for bucketed in (False, True):
+        root = str(tmp_path_factory.mktemp(f"mw_b{int(bucketed)}"))
+        job = CrawlJob(
+            spark, root, docs_df, blacklist=rules, robots=robots_df,
+            n_shards=8, bucketed_seen=bucketed,
+        )
+        cids = []
+        for seed, depth in seeds:
+            cids += job.start(seed, {"crawlingDepth": depth})
+        job.run_concurrent(cids)
+        states[bucketed] = (
+            sorted(
+                r["url_id"] for r in job.store.read("url_seen").collect()
+            ),
+            sorted(
+                (r["url_id"], r["status"])
+                for r in job.store.read("crawl_status").collect()
+            ),
+        )
+    assert states[True] == states[False]
