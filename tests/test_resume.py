@@ -386,3 +386,35 @@ def test_snapshot_diff_is_o_delta_changelog(spark, corpus, docs_df, robots_df, t
     added = {r["url_id"] for r in d if r["change"] == "added"}
     removed = {r["url_id"] for r in d if r["change"] == "removed"}
     assert added == removed == full
+
+
+def test_bucketed_seen_resume_rebuilds_mirror(
+    spark, corpus, docs_df, robots_df, tmp_path
+):
+    """A fresh driver resuming a bucketed_seen store has lost the
+    session catalog (and the mirror may trail the snapshot): the
+    version-watermarked rebuild must bring it current and the resumed
+    crawl must converge to the same final state as a straight run."""
+    rules = parse_lines(blacklist_lines(corpus))
+    # reference: uninterrupted default-layout run
+    ref, cid_ref = _run(
+        spark, corpus, docs_df, robots_df, str(tmp_path / "ref"), None
+    )
+    ref_state = _final_state(ref, cid_ref)
+
+    root = str(tmp_path / "b")
+    job = CrawlJob(
+        spark, root, docs_df, blacklist=rules, robots=robots_df,
+        n_shards=8, bucketed_seen=True,
+    )
+    cids = job.start(corpus.seeds[0], {"crawlingDepth": 2})
+    job.step(cids[0])  # one wave, then "crash"
+    # simulate the fresh driver: catalog entries gone, new CrawlJob
+    for t in job._mirror_tables.values():
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    job2 = CrawlJob(
+        spark, root, docs_df, blacklist=rules, robots=robots_df,
+        n_shards=8, bucketed_seen=True,
+    )
+    job2.resume()
+    assert _final_state(job2, cids[0]) == ref_state
