@@ -5395,6 +5395,56 @@ def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume-order query — the grouped-HAVING
+    semi-join capability check: orders whose total lineitem quantity
+    exceeds a threshold, joined back to customer. Scale shape: ONE
+    lineitem aggregate keyed on orderkey (map-side combining), the
+    HAVING filter shrinks it to the rare tail, and that small
+    survivor set joins orders/customer — Catalyst broadcasts the
+    survivors onto the fact side, so neither orders nor customer
+    re-shuffles. Quantities are integer-valued (exact in double sums;
+    cast to bigint for the engine-exact compare)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    ords = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        ords.join(
+            F.broadcast(big), ords.o_orderkey == big.l_orderkey
+        )
+        .join(cust, ords.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+_LARGE_ORDERS_SQL = """
+  WITH big AS (
+    SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem GROUP BY 1 HAVING CAST(sum(l_quantity) AS BIGINT) > 150
+  )
+  SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+         round(o_totalprice, 2) AS o_totalprice, sum_qty
+  FROM orders
+  JOIN big ON o_orderkey = big.l_orderkey
+  JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def _q_order_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style shipping-priority query — the multi-table join
     capability check (dim → fact → fact): BUILDING-segment customers'
@@ -6584,6 +6634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": _q_topk_per_group,
         "lineitem_pricing": _q_lineitem_pricing,
         "order_revenue_topk": _q_order_revenue_topk,
+        "large_orders": _q_large_orders,
         "supplier_volume": _q_supplier_volume,
         # training-data ops
         "dedup_exact": _q_dedup_exact,
@@ -6735,6 +6786,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": _TOPK_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,
         "order_revenue_topk": _ORDER_REVENUE_SQL,
+        "large_orders": _LARGE_ORDERS_SQL,
         "supplier_volume": _SUPPLIER_VOLUME_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _MINHASH_SQL,
