@@ -1484,8 +1484,6 @@ def test_html_links_nofollow_and_order(spark):
 
 
 def test_link_farm_hosts_reciprocal_share(spark):
-    from pyspark.sql import functions as F
-
     from yacy_grid_crawler_spark.operators.graph import (
         host_link_graph, link_farm_hosts,
     )
@@ -1540,8 +1538,6 @@ def test_link_farm_hosts_reciprocal_share(spark):
 
 
 def test_known_item_eval_ranks_and_misses(spark):
-    from pyspark.sql import functions as F
-
     from yacy_grid_crawler_spark.operators.textstats import (
         known_item_eval,
     )

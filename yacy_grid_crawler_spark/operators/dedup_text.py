@@ -1124,25 +1124,29 @@ def prefix_filter_pairs(
         .select(
             "doc_id",
             F.col("_toks.shingle").alias("toks"),
-            F.size("_toks").alias("s"),
+            # long arithmetic throughout: 10000·inter and t·s wrap a
+            # 32-bit int around ~215k/306k shingles — real web pages
+            F.size("_toks").cast("long").alias("s"),
         )
     )
     t = int(threshold_bp)
     prefix_len = (
         F.col("s")
-        - F.expr(f"({t} * s + 9999) DIV 10000").cast("int")
+        - F.expr(f"({t}L * s + 9999) DIV 10000")
         + F.lit(1)
-    )
+    ).cast("int")
+    # the prefix explode carries ONLY (doc_id, shingle): the candidate
+    # equi-join shuffles narrow rows; the full token arrays join back
+    # on doc_id AFTER the pair set is deduped (otherwise each of the
+    # ~(1−t)·s prefix rows would ship the whole s-element array)
     prefix = per_doc.select(
         "doc_id",
-        "toks",
-        "s",
         F.explode(F.slice("toks", F.lit(1), prefix_len)).alias(
             "shingle"
         ),
     )
     a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
+    pairs = (
         a.join(
             b,
             on=[
@@ -1153,14 +1157,21 @@ def prefix_filter_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.toks").alias("toks_a"),
-            F.col("b.toks").alias("toks_b"),
-            F.col("a.s").alias("size_a"),
-            F.col("b.s").alias("size_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    ta = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("s").alias("size_a"),
+    )
+    tb = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("s").alias("size_b"),
+    )
+    cand = pairs.join(ta, "doc_a").join(tb, "doc_b")
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("long")
     jac = F.expr(
         "10000 * _inter DIV (size_a + size_b - _inter)"
     )
@@ -1169,9 +1180,9 @@ def prefix_filter_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.col("_inter").cast("long").alias("inter"),
-            F.col("size_a").cast("long").alias("size_a"),
-            F.col("size_b").cast("long").alias("size_b"),
+            F.col("_inter").alias("inter"),
+            F.col("size_a").alias("size_a"),
+            F.col("size_b").alias("size_b"),
             jac.cast("long").alias("jaccard_bp"),
         )
         .filter(F.col("jaccard_bp") >= t)

@@ -443,10 +443,9 @@ class CrawlJob:
             f"{self._mirror_root}/crawl_status_v{v}",
             n,
         )
-        self._write_mirror_marker(v, n)
-        self._mirror_version = v
-        # older rebuild dirs are dead data once the catalog points at
-        # the new ones — sweep them (driver-side, bounded by rebuilds)
+        # sweep BEFORE publishing the marker: a crash in between just
+        # forces another rebuild (safe); the reverse order could leave
+        # a current marker alongside stale _v{old} dirs forever
         for d in os.listdir(self._mirror_root):
             full = os.path.join(self._mirror_root, d)
             if (
@@ -455,6 +454,8 @@ class CrawlJob:
                 and not d.endswith(f"_v{v}")
             ):
                 shutil.rmtree(full, ignore_errors=True)
+        self._write_mirror_marker(v, n)
+        self._mirror_version = v
 
     def _seen_inputs(self, cid: str | None = None):
         """The wave's two persistent dedup inputs (url_seen slice,
@@ -488,14 +489,21 @@ class CrawlJob:
         if not m or m.get("version") != version - 1:
             return
         n = int(m["n_buckets"])
-        base_v = None
         import os
 
-        for d in os.listdir(self._mirror_root):
-            if d.startswith("url_seen_v"):
-                base_v = d[len("url_seen_v"):]
-        if base_v is None:
+        # a failed sweep can leave more than one rebuild dir: the
+        # catalog table always points at the NEWEST (highest-version)
+        # one — appending anywhere else would either AnalysisException
+        # on the location mismatch or drop the delta into a dead dir
+        versions = [
+            int(d[len("url_seen_v"):])
+            for d in os.listdir(self._mirror_root)
+            if d.startswith("url_seen_v")
+            and d[len("url_seen_v"):].isdigit()
+        ]
+        if not versions:
             return
+        base_v = max(versions)
         append_bucketed(
             seen_delta,
             self._mirror_tables["url_seen"],

@@ -33,7 +33,6 @@ probe side — and zero Exchange above the bucketed scan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 def write_bucketed(
