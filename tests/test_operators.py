@@ -1595,3 +1595,32 @@ def test_host_skew_uniform_vs_zipf(spark):
     assert (z["n_urls"], z["n_hosts"]) == (100, 10)
     assert z["top_share_ppm"] == 910_000
     assert z["hhi_ppm"] == (91 * 91 + 9) * 1_000_000 // 10_000
+
+
+def test_cli_bucketed_seen_flag(spark, corpus, docs_df, tmp_path, capsys):
+    """--bucketed-seen drives a full crawl through the CLI and the
+    final seen set matches a plain-layout CLI run of the same seed."""
+    import json as _json
+
+    from yacy_grid_crawler_spark.__main__ import main
+
+    docs_path = str(tmp_path / "docs.parquet")
+    docs_df.write.parquet(docs_path)
+    seen_sets = {}
+    for flag in ([], ["--bucketed-seen"]):
+        store = str(tmp_path / f"store{len(flag)}")
+        rc = main(
+            ["--docs", docs_path, "--store", store,
+             "--crawling-url", corpus.seeds[0],
+             "--crawling-depth", "2", "--cores", "8"] + flag
+        )
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["success"]
+        from yacy_grid_crawler_spark.sources.statestore import StateStore
+
+        seen_sets[len(flag)] = frozenset(
+            r["url_id"]
+            for r in StateStore(spark, store).read("url_seen").collect()
+        )
+    assert seen_sets[0] == seen_sets[1]
