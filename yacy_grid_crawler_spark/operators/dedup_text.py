@@ -1107,10 +1107,12 @@ def prefix_filter_pairs(
     volume is Σ prefix_len ≈ (1−t)·corpus shingles, ONE self-equi-
     join on the prefix shingle (the frequency-ascending order makes
     those join keys the RAREST shingles — small groups by
-    construction), and a verify on candidates only via
-    array_intersect of the two bounded token arrays. At 10^10 docs
-    the verify join's right side re-broadcasts nothing: both sides
-    shuffle once on doc_id."""
+    construction), PPJoin's POSITIONAL filter pruning candidates whose
+    first-shared-token positions already cap the overlap below
+    ⌈t·max(s_a,s_b)⌉ (narrow integer agg, before any array moves),
+    and a verify on the survivors only via array_intersect of the two
+    bounded token arrays. At 10^10 docs the verify join's right side
+    re-broadcasts nothing: both sides shuffle once on doc_id."""
     sh = doc_shingles(docs, n)
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     per_doc = (
@@ -1135,17 +1137,30 @@ def prefix_filter_pairs(
         - F.expr(f"({t}L * s + 9999) DIV 10000")
         + F.lit(1)
     ).cast("int")
-    # the prefix explode carries ONLY (doc_id, shingle): the candidate
-    # equi-join shuffles narrow rows; the full token arrays join back
-    # on doc_id AFTER the pair set is deduped (otherwise each of the
-    # ~(1−t)·s prefix rows would ship the whole s-element array)
+    # the prefix explode carries ONLY (doc_id, shingle, pos, s): the
+    # candidate equi-join shuffles narrow rows; the full token arrays
+    # join back on doc_id AFTER the pair set is pruned (otherwise
+    # each of the ~(1−t)·s prefix rows would ship the whole s-element
+    # array)
     prefix = per_doc.select(
         "doc_id",
-        F.explode(F.slice("toks", F.lit(1), prefix_len)).alias(
-            "shingle"
+        "s",
+        F.posexplode(F.slice("toks", F.lit(1), prefix_len)).alias(
+            "pos0", "shingle"
         ),
+    ).select(
+        "doc_id", "s", "shingle",
+        (F.col("pos0") + 1).cast("long").alias("pos"),  # 1-based
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin POSITIONAL filter (Xiao et al. 2008): the global order is
+    # consistent across documents, so the globally-FIRST shared token
+    # of a pair sits at min(pos) in BOTH lists, and every shared
+    # token lies at-or-after it — overlap ≤ 1 + min(s_a−i, s_b−j).
+    # A true pair needs overlap ≥ ⌈t·max(s_a,s_b)⌉ (inter ≥ t·union ≥
+    # t·max), so pairs whose positional bound falls short are pruned
+    # BEFORE the array-verify join — provably no true pair is lost
+    # (exact recall pinned by the randomized brute-force test).
     pairs = (
         a.join(
             b,
@@ -1154,11 +1169,21 @@ def prefix_filter_pairs(
                 F.col("a.doc_id") < F.col("b.doc_id"),
             ],
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            F.col("a.s").alias("_sa"),
+            F.col("b.s").alias("_sb"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .agg(F.min("a.pos").alias("_i"), F.min("b.pos").alias("_j"))
+        .filter(
+            F.lit(1) + F.least(F.col("_sa") - F.col("_i"),
+                               F.col("_sb") - F.col("_j"))
+            >= F.expr(
+                f"({t}L * greatest(_sa, _sb) + 9999) DIV 10000"
+            )
+        )
+        .select("doc_a", "doc_b")
     )
     ta = per_doc.select(
         F.col("doc_id").alias("doc_a"),
