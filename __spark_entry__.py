@@ -3716,6 +3716,46 @@ _LINK_FARM_SQL = """
 """
 
 
+def _q_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash fetcher affinity over a 997-host synthetic dim
+    (5 fetcher shards) — the churn-stable host→shard assignment."""
+    from yacy_grid_crawler_spark.operators.batching import (
+        rendezvous_shard,
+    )
+
+    hosts = (
+        _docs(spark, sf_dir)
+        .select(
+            F.concat(
+                F.lit("h"), (F.col("doc_id") % 997).cast("string"),
+                F.lit(".example.org"),
+            ).alias("host")
+        )
+        .distinct()
+    )
+    return rendezvous_shard(
+        hosts, "host", ["f0", "f1", "f2", "f3", "f4"]
+    )
+
+
+_RENDEZVOUS_SQL = """
+  WITH hosts AS (
+    SELECT DISTINCT 'h' || (doc_id % 997) || '.example.org' AS host
+    FROM documents
+  ),
+  scored AS (
+    SELECT host, s.shard, md5(host || '|' || s.shard) AS w
+    FROM hosts,
+         (SELECT unnest(['f0','f1','f2','f3','f4']) AS shard) s
+  )
+  SELECT host, shard FROM (
+    SELECT host, shard, row_number() OVER (
+      PARTITION BY host ORDER BY w DESC, shard DESC
+    ) AS rn FROM scored
+  ) WHERE rn = 1
+"""
+
+
 def _q_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-concentration audit over a Zipf-shaped synthetic URL set
     (host = doc_id mod 20 with quadratic repeat fan so the head host
@@ -6723,6 +6763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_mix": _q_span_mix,
         "host_graph": _q_host_graph,
         "host_skew": _q_host_skew,
+        "rendezvous_shard": _q_rendezvous_shard,
         "length_quantiles": _q_length_quantiles,
         "dsir_weights": _q_dsir_weights,
         "budget_apportion": _q_budget_apportion,
@@ -6867,6 +6908,7 @@ def oracle_sql() -> dict[str, str]:
         "span_mix": _SPAN_MIX_SQL,
         "host_graph": _HOST_GRAPH_SQL,
         "host_skew": _HOST_SKEW_SQL,
+        "rendezvous_shard": _RENDEZVOUS_SQL,
         "length_quantiles": _LENGTH_QUANTILES_SQL,
         "dsir_weights": _DSIR_WEIGHTS_SQL,
         "budget_apportion": _BUDGET_APPORTION_SQL,

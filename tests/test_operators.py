@@ -1624,3 +1624,36 @@ def test_cli_bucketed_seen_flag(spark, corpus, docs_df, tmp_path, capsys):
             for r in StateStore(spark, store).read("url_seen").collect()
         )
     assert seen_sets[0] == seen_sets[1]
+
+
+def test_rendezvous_shard_minimal_movement(spark):
+    from pyspark.sql import functions as F
+
+    from yacy_grid_crawler_spark.operators.batching import (
+        rendezvous_shard,
+    )
+
+    hosts = spark.range(2000).select(
+        F.concat(F.lit("h"), F.col("id"), F.lit(".example.org")).alias(
+            "host"
+        )
+    )
+    full = ["f0", "f1", "f2", "f3", "f4"]
+    a = {r["host"]: r["shard"]
+         for r in rendezvous_shard(hosts, "host", full).collect()}
+    # deterministic + all shards used
+    assert set(a.values()) == set(full)
+    b = {r["host"]: r["shard"]
+         for r in rendezvous_shard(hosts, "host", full).collect()}
+    assert a == b
+    # remove one shard: ONLY its hosts move, each to its runner-up
+    survivors = [s for s in full if s != "f2"]
+    c = {r["host"]: r["shard"]
+         for r in rendezvous_shard(hosts, "host", survivors).collect()}
+    moved = {h for h in a if a[h] != c[h]}
+    assert moved == {h for h in a if a[h] == "f2"}
+    # balance sanity: ~1/5 per shard, no shard starved or doubled
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert max(counts.values()) < 2.0 * min(counts.values())

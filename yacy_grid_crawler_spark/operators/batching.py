@@ -438,3 +438,37 @@ def frontier_host_lag(
         drain.alias("drain_ms"),
         (drain > F.lit(int(horizon_ms))).alias("starved"),
     )
+
+
+def rendezvous_shard(
+    df: DataFrame, host_col: str, shard_ids: list[str]
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) host→shard assignment
+    (Thaler & Ravishankar 1998) — the fetcher-affinity scheme that
+    survives fleet churn: each host goes to the shard maximizing
+    md5(host|shard). Unlike `assign_shard`'s pmod (where resizing
+    from K to K−1 shards reshuffles ~all hosts and every politeness/
+    robots/connection cache behind them goes cold), removing a shard
+    moves ONLY the hosts that lived on it, each to its second-highest
+    shard — ~1/K of the keyspace, the theoretical minimum.
+
+    Output: input columns + `shard` (string id). Deterministic (md5,
+    ties broken by shard id — md5 collisions aside, unreachable).
+
+    Scale shape: pure codegen — a K-element array of (weight, shard)
+    structs folded by array_max per row; no shuffle, no UDF, no dim
+    join. K is the fetcher-fleet size (10²-10³): the struct array is
+    built once per row in whole-stage codegen. For K beyond that,
+    switch to the explode+max_by formulation (one narrow agg)."""
+    scored = [
+        F.struct(
+            F.md5(
+                F.concat(F.col(host_col), F.lit("|" + str(s)))
+            ).alias("w"),
+            F.lit(str(s)).alias("shard"),
+        )
+        for s in shard_ids
+    ]
+    return df.withColumn(
+        "shard", F.array_max(F.array(*scored))["shard"]
+    )
