@@ -5652,6 +5652,130 @@ _MEDIA_FRAMES_SQL = """
 """
 
 
+def _q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference-hash (dHash) per media blob: 63-bit
+    adjacent-region comparison hash, real PIL path when available,
+    closed-form chunk-sum fallback here (operators/multimodal.py)."""
+    from yacy_grid_crawler_spark.operators.multimodal import (
+        perceptual_hash,
+        synth_media_from_docs,
+    )
+
+    media = synth_media_from_docs(_docs(spark, sf_dir))
+    return perceptual_hash(media).select(
+        "media_id", "kind", "phash", "decoded"
+    )
+
+
+# Closed-form replica of the fallback dHash: utf-8 code points cut at
+# floor(i*n/64) boundaries, 64 chunk sums, bit i set iff sum_i >
+# sum_{i+1}. SUM(BIGINT) is HUGEINT in DuckDB; the final value is
+# < 2^63 by construction so the BIGINT cast is lossless.
+_MEDIA_PHASH_SQL = """
+  WITH m AS (
+    SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           list_transform(str_split(text, ''), x -> ord(x)) AS v
+    FROM documents WHERE doc_id % 7 = 0
+  ),
+  sums AS (
+    SELECT media_id, kind, i,
+           COALESCE(list_sum(list_slice(
+             v, CAST((i * len(v)) // 64 AS BIGINT) + 1,
+                CAST(((i + 1) * len(v)) // 64 AS BIGINT))), 0) AS s
+    FROM m, unnest(range(64)) t(i)
+  ),
+  bits AS (
+    SELECT a.media_id, a.kind, a.i,
+           CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+    FROM sums a
+    JOIN sums b ON a.media_id = b.media_id AND b.i = a.i + 1
+    WHERE a.i < 63
+  )
+  SELECT media_id, ANY_VALUE(kind) AS kind,
+         CAST(COALESCE(SUM(bit * (1::BIGINT << CAST(i AS INTEGER))), 0)
+              AS BIGINT) AS phash,
+         FALSE AS decoded
+  FROM bits GROUP BY media_id
+"""
+
+
+def _q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs via the 7x9-bit Hamming-band LSH
+    join (exact for hamming <= 6 by pigeonhole). Each synthetic blob
+    gets a re-encode stand-in variant — the middle character replaced,
+    so one chunk sum moves and at most two hash bits flip — and the
+    banded join must recover exactly the pairs the quadratic oracle
+    finds."""
+    from yacy_grid_crawler_spark.operators.multimodal import (
+        perceptual_hash,
+        phash_near_pairs,
+        synth_media_from_docs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = synth_media_from_docs(docs).select("media_id", "kind", "content")
+    pert = docs.filter(
+        (F.col("doc_id") % 7 == 0) & (F.length("text") > 2)
+    ).select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string"), F.lit("v")).alias(
+            "media_id"
+        ),
+        F.lit("variant").alias("kind"),
+        F.encode(
+            F.expr(
+                "concat(substring(text, 1, length(text) div 2 - 1), '~', "
+                "substring(text, length(text) div 2 + 1, length(text)))"
+            ),
+            "utf-8",
+        ).alias("content"),
+    )
+    hashes = perceptual_hash(base.unionByName(pert))
+    return phash_near_pairs(hashes, max_hamming=6)
+
+
+_PHASH_NEARDUP_SQL = """
+  WITH raw AS (
+    SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id, text
+    FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT 'm' || CAST(doc_id AS VARCHAR) || 'v' AS media_id,
+           substr(text, 1, length(text) // 2 - 1) || '~' ||
+           substr(text, length(text) // 2 + 1, length(text)) AS text
+    FROM documents WHERE doc_id % 7 = 0 AND length(text) > 2
+  ),
+  m AS (
+    SELECT media_id, list_transform(str_split(text, ''), x -> ord(x)) AS v
+    FROM raw
+  ),
+  sums AS (
+    SELECT media_id, i,
+           COALESCE(list_sum(list_slice(
+             v, CAST((i * len(v)) // 64 AS BIGINT) + 1,
+                CAST(((i + 1) * len(v)) // 64 AS BIGINT))), 0) AS s
+    FROM m, unnest(range(64)) t(i)
+  ),
+  bits AS (
+    SELECT a.media_id, a.i, CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+    FROM sums a
+    JOIN sums b ON a.media_id = b.media_id AND b.i = a.i + 1
+    WHERE a.i < 63
+  ),
+  ph AS (
+    SELECT media_id,
+           CAST(COALESCE(SUM(bit * (1::BIGINT << CAST(i AS INTEGER))), 0)
+                AS BIGINT) AS phash
+    FROM bits GROUP BY media_id
+  )
+  SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+         CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+  FROM ph a JOIN ph b ON a.media_id < b.media_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 6
+"""
+
+
 def _q_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tracking-param stripping over synthesized canonical URLs:
     branches cover mixed tracking+real params (order preserved),
@@ -6803,6 +6927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "dd_quantiles": _q_dd_quantiles,
         "media_dedup": _q_media_dedup,
+        "media_phash": _q_media_phash,
+        "phash_neardup": _q_phash_neardup,
         "hll_overlap": _q_hll_overlap,
         "zorder_layout": _q_zorder_layout,
     }
@@ -6958,6 +7084,8 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": _CMS_HEAVY_HITTERS_SQL,
         "dd_quantiles": _DD_QUANTILES_SQL,
         "media_dedup": _MEDIA_DEDUP_SQL,
+        "media_phash": _MEDIA_PHASH_SQL,
+        "phash_neardup": _PHASH_NEARDUP_SQL,
         "hll_overlap": _hll_overlap_sql(),
         "zorder_layout": _zorder_sql(),
     }

@@ -410,3 +410,184 @@ def dedup_media_blobs(media: DataFrame, content_col: str = "content") -> DataFra
         F.min("media_id").over(w).alias("keeper_id"),
         (F.col("media_id") == F.min("media_id").over(w)).alias("is_keeper"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual near-dup for media blobs: dHash + Hamming-band LSH.
+#
+# Exact blob dedup (dedup_media_blobs) misses the most common web case:
+# the SAME image re-encoded (quality level, strip-EXIF, resize) under
+# different bytes. A difference hash (dHash) is the classic cheap
+# perceptual fingerprint: compare adjacent region brightnesses and keep
+# the comparison bits — re-encodes land within a few flipped bits.
+# The hash is 63 bits so it always fits a signed Spark LongType.
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = "media_id string, kind string, phash long, decoded boolean"
+
+_PHASH_REGIONS = 64  # 64 region values -> 63 adjacent-comparison bits
+PHASH_BITS = _PHASH_REGIONS - 1
+
+
+def _dhash_bits(values) -> int:
+    """63-bit dHash from a length-64 int vector: bit i set iff
+    values[i] > values[i+1]. Top bit (2^63) never used, so the result
+    is non-negative in a signed 64-bit long."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.int64)
+    bits = (v[:-1] > v[1:]).astype(np.uint64)
+    return int((bits << np.arange(PHASH_BITS, dtype=np.uint64)).sum())
+
+
+def perceptual_hash(media: DataFrame, n_partitions: int | None = None) -> DataFrame:
+    """Perceptual difference-hash over Arrow batches (mapInPandas).
+
+    Real path (PIL importable, `kind='image'`, blob decodes): grayscale
+    64x1 strip resize gives 64 region means; 63 adjacent comparisons
+    make the hash (`decoded=true`). Fallback — any blob when PIL is
+    absent (this container), non-images, or corrupt blobs — is the
+    deterministic closed-form fake the DuckDB oracle reproduces: the
+    blob's utf-8 code points (raw byte values if not valid utf-8) are
+    cut into 64 contiguous chunks with boundaries floor(i*n/64); chunk
+    SUMS are the region values, same comparison rule (`decoded=false`).
+    A corrupt blob degrades to the fallback; it never kills the job.
+
+    Scale shape: one narrow output row (8-byte hash) per blob, blob
+    bytes never shuffle (mapInPandas reads them in place); decode
+    parallelism is sized independently via `repartition(n, media_id)`.
+    """
+    if n_partitions:
+        media = media.repartition(n_partitions, "media_id")
+    have_decoders = media_decoders_available()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = []
+            for media_id, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                content = content or b""
+                if have_decoders and kind == "image":
+                    try:
+                        import io
+
+                        import PIL.Image
+
+                        img = PIL.Image.open(io.BytesIO(content))
+                        strip = np.asarray(
+                            img.convert("L").resize((_PHASH_REGIONS, 1)),
+                            dtype=np.int64,
+                        ).ravel()
+                        out.append(
+                            {
+                                "media_id": media_id,
+                                "kind": kind,
+                                "phash": _dhash_bits(strip),
+                                "decoded": True,
+                            }
+                        )
+                        continue
+                    except Exception:
+                        pass  # undecodable blob -> deterministic fallback
+                try:
+                    vals = np.frombuffer(
+                        content.decode("utf-8").encode("utf-32-le"),
+                        dtype=np.uint32,
+                    ).astype(np.int64)
+                except Exception:
+                    vals = np.frombuffer(content, dtype=np.uint8).astype(np.int64)
+                n = vals.size
+                # chunk sums with floor(i*n/64) boundaries; cumsum-diff
+                # handles empty chunks (n < 64) exactly like the
+                # oracle's COALESCE(list_sum(...), 0)
+                bounds = (np.arange(_PHASH_REGIONS + 1, dtype=np.int64) * n) // _PHASH_REGIONS
+                csum = np.concatenate([[0], np.cumsum(vals)])
+                sums = csum[bounds[1:]] - csum[bounds[:-1]]
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "kind": kind,
+                        "phash": _dhash_bits(sums),
+                        "decoded": False,
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, PHASH_SCHEMA)
+
+
+def phash_near_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    band_df_cap: int | None = None,
+) -> DataFrame:
+    """Hamming-band LSH self-join over 63-bit perceptual hashes — the
+    media analogue of the SimHash banded join (dedup_text.py).
+
+    The hash is split into 7 bands of 9 bits; candidates are pairs
+    sharing ANY band value (one equi-join, never all-pairs). By
+    pigeonhole a pair with hamming distance <= 6 cannot differ in all
+    7 bands, so the candidate set is a SUPERSET of every true pair and
+    the bit_count verify makes the result exact — hence
+    `max_hamming <= 6` is enforced.
+
+    Scale shape: 7 narrow rows (id, hash, band) per blob, one
+    shuffle on (band_no, band_val), AQE splits skewed buckets. A
+    degenerate corpus (millions of identical hashes) makes one bucket
+    quadratic — `band_df_cap` drops buckets hotter than the cap
+    (documented recall loss, same df-cap escape hatch as the n-gram
+    Jaccard join). Output: (media_id_a, media_id_b, hamming), exact
+    and duplicate-free.
+    """
+    n_bands, band_bits = 7, 9
+    if not 0 <= max_hamming < n_bands:
+        raise ValueError(
+            f"banded join is exact only for max_hamming < {n_bands}; "
+            f"got {max_hamming}"
+        )
+    bands = F.array(
+        *[
+            F.shiftright(F.col(hash_col), band_bits * b).bitwiseAND(
+                F.lit((1 << band_bits) - 1)
+            )
+            for b in range(n_bands)
+        ]
+    )
+    e = hashes.select(
+        F.col(id_col).alias("_pid"),
+        F.col(hash_col).alias("_ph"),
+        F.posexplode(bands).alias("band_no", "band_val"),
+    )
+    if band_df_cap is not None:
+        hot = (
+            e.groupBy("band_no", "band_val")
+            .count()
+            .filter(F.col("count") > band_df_cap)
+            .select("band_no", "band_val")
+        )
+        e = e.join(F.broadcast(hot), ["band_no", "band_val"], "left_anti")
+    a, b = e.alias("a"), e.alias("b")
+    ham = F.bit_count(
+        F.col("a._ph").bitwiseXOR(F.col("b._ph"))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a._pid") < F.col("b._pid")),
+        )
+        .select(
+            F.col("a._pid").alias(f"{id_col}_a"),
+            F.col("b._pid").alias(f"{id_col}_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
