@@ -5776,6 +5776,105 @@ _PHASH_NEARDUP_SQL = """
 """
 
 
+def _q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup from shared sampled frames: ASCII docs become
+    16-frame synthetic videos (text truncated to a 16-multiple so the
+    byte-proportional fake slicing yields exact 1/16 slices), each
+    with a re-upload stand-in whose middle frame is blanked — the
+    frame-signature containment join must find every (base, variant)
+    pair at 15/16 shared frames plus any coincidental chunk overlaps
+    the quadratic oracle also sees."""
+    from yacy_grid_crawler_spark.operators.multimodal import (
+        sample_frames,
+        video_near_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    d = (
+        docs.filter(
+            (F.col("doc_id") % 7 == 0)
+            & (F.length("text") >= 16)
+            & (F.octet_length("text") == F.length("text"))
+        )
+        .select(
+            "doc_id",
+            F.expr("substring(text, 1, 16 * (length(text) div 16))").alias("t"),
+        )
+        .withColumn("L", F.length("t"))
+    )
+    base = d.select(
+        F.concat(F.lit("v"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("t", "utf-8").alias("content"),
+        F.lit(16000).alias("duration_ms"),
+    )
+    trim = d.select(
+        F.concat(F.lit("v"), F.col("doc_id").cast("string"), F.lit("t")).alias(
+            "media_id"
+        ),
+        F.lit("video").alias("kind"),
+        F.encode(
+            F.expr(
+                "concat(substring(t, 1, 7 * (L div 16)), "
+                "repeat('~', L div 16), "
+                "substring(t, 8 * (L div 16) + 1, L))"
+            ),
+            "utf-8",
+        ).alias("content"),
+        F.lit(16000).alias("duration_ms"),
+    )
+    frames = sample_frames(
+        base.unionByName(trim), every_ms=1000, max_frames=16
+    )
+    return video_near_pairs(frames, min_containment=0.5)
+
+
+# Closed-form frame replica: 16 exact L/16-char slices (ASCII gate
+# makes bytes == chars, so substr reproduces the operator's
+# byte-proportional slicing), signature = md5 of the slice's hex.
+_VIDEO_NEARDUP_SQL = """
+  WITH d AS (
+    SELECT doc_id, substr(text, 1, 16 * (length(text) // 16)) AS t,
+           16 * (length(text) // 16) AS L
+    FROM documents
+    WHERE doc_id % 7 = 0 AND length(text) >= 16
+      AND octet_length(encode(text)) = length(text)
+  ),
+  vids AS (
+    SELECT 'v' || CAST(doc_id AS VARCHAR) AS media_id, t, L FROM d
+    UNION ALL
+    SELECT 'v' || CAST(doc_id AS VARCHAR) || 't' AS media_id,
+           substr(t, 1, 7 * (L // 16)) || repeat('~', L // 16) ||
+           substr(t, 8 * (L // 16) + 1, L) AS t,
+           L
+    FROM d
+  ),
+  fr AS (
+    SELECT media_id,
+           md5(upper(hex(encode(
+             substr(t, CAST(i * (L // 16) AS BIGINT) + 1, L // 16)
+           )))) AS frame_sig
+    FROM vids, unnest(range(16)) u(i)
+  ),
+  sigs AS (SELECT DISTINCT media_id, frame_sig FROM fr),
+  sizes AS (SELECT media_id, COUNT(*) AS n FROM sigs GROUP BY media_id),
+  shared AS (
+    SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+           COUNT(*) AS shared_frames
+    FROM sigs a
+    JOIN sigs b ON a.frame_sig = b.frame_sig AND a.media_id < b.media_id
+    GROUP BY 1, 2
+  )
+  SELECT media_id_a, media_id_b, shared_frames,
+         ROUND(shared_frames / CAST(least(sa.n, sb.n) AS DOUBLE), 4)
+           AS containment
+  FROM shared
+  JOIN sizes sa ON sa.media_id = media_id_a
+  JOIN sizes sb ON sb.media_id = media_id_b
+  WHERE ROUND(shared_frames / CAST(least(sa.n, sb.n) AS DOUBLE), 4) >= 0.5
+"""
+
+
 def _q_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tracking-param stripping over synthesized canonical URLs:
     branches cover mixed tracking+real params (order preserved),
@@ -6929,6 +7028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": _q_media_dedup,
         "media_phash": _q_media_phash,
         "phash_neardup": _q_phash_neardup,
+        "video_neardup": _q_video_neardup,
         "hll_overlap": _q_hll_overlap,
         "zorder_layout": _q_zorder_layout,
     }
@@ -7086,6 +7186,7 @@ def oracle_sql() -> dict[str, str]:
         "media_dedup": _MEDIA_DEDUP_SQL,
         "media_phash": _MEDIA_PHASH_SQL,
         "phash_neardup": _PHASH_NEARDUP_SQL,
+        "video_neardup": _VIDEO_NEARDUP_SQL,
         "hll_overlap": _hll_overlap_sql(),
         "zorder_layout": _zorder_sql(),
     }

@@ -150,3 +150,80 @@ def test_phash_neardup_plan_shape(hashes):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# video_near_pairs: frame-signature containment join
+# ---------------------------------------------------------------------------
+
+
+def _synth_videos(spark):
+    """3 crafted videos, 16 exact frames each: v1 base, v2 = v1 with
+    one frame blanked (15/16 shared), v3 unrelated."""
+    chunk = [("%02d" % i) * 8 for i in range(16)]  # 16 distinct 16-char frames
+    t1 = "".join(chunk)
+    t2 = "".join(chunk[:7]) + "~" * 16 + "".join(chunk[8:])
+    t3 = "".join(("z%x" % i) * 8 for i in range(16))
+    rows = [("v1", "video", t1.encode(), 16000),
+            ("v2", "video", t2.encode(), 16000),
+            ("v3", "video", t3.encode(), 16000)]
+    return spark.createDataFrame(
+        rows, "media_id string, kind string, content binary, duration_ms int"
+    )
+
+
+def test_video_near_pairs_containment(spark):
+    from yacy_grid_crawler_spark.operators.multimodal import (
+        sample_frames,
+        video_near_pairs,
+    )
+
+    frames = sample_frames(_synth_videos(spark), every_ms=1000, max_frames=16)
+    got = {
+        (r["media_id_a"], r["media_id_b"]): (
+            r["shared_frames"],
+            r["containment"],
+        )
+        for r in video_near_pairs(frames, min_containment=0.5).collect()
+    }
+    assert got == {("v1", "v2"): (15, round(15 / 16, 4))}
+
+
+def test_video_near_pairs_sig_df_cap(spark):
+    """A ubiquitous frame (shared by all videos) under the cap: pairs
+    whose ONLY overlap is the degenerate frame disappear."""
+    from pyspark.sql import functions as F
+    from yacy_grid_crawler_spark.operators.multimodal import video_near_pairs
+
+    # 5 videos all sharing frame X; v1/v2 additionally share frame Y
+    rows = []
+    for v in ["v1", "v2", "v3", "v4", "v5"]:
+        rows.append((v, 0, b"X"))
+        rows.append((v, 1, b"own-" + v.encode()))
+    rows.append(("v1", 2, b"Y"))
+    rows.append(("v2", 2, b"Y"))
+    frames = spark.createDataFrame(
+        rows, "media_id string, frame_no int, frame binary"
+    )
+    uncapped = video_near_pairs(frames, min_containment=0.3)
+    assert uncapped.count() == 10  # all C(5,2) pairs share X
+    capped = video_near_pairs(frames, min_containment=0.3, sig_df_cap=3)
+    got = {
+        (r["media_id_a"], r["media_id_b"]) for r in capped.collect()
+    }
+    assert got == {("v1", "v2")}
+
+
+def test_video_near_pairs_plan_shape(spark):
+    from yacy_grid_crawler_spark.operators.multimodal import (
+        sample_frames,
+        video_near_pairs,
+    )
+
+    pairs = video_near_pairs(
+        sample_frames(_synth_videos(spark), every_ms=1000, max_frames=16)
+    )
+    plan = _formatted(pairs)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

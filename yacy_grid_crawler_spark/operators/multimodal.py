@@ -591,3 +591,85 @@ def phash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def video_near_pairs(
+    frames: DataFrame,
+    min_containment: float = 0.5,
+    sig_df_cap: int | None = None,
+) -> DataFrame:
+    """Video near-dup from shared frames: two videos are near-dups
+    when most of the shorter one's sampled frames appear (byte-exact)
+    in the other — catches re-muxed, trimmed, and re-uploaded copies
+    whose container bytes (and so blob md5) differ while frame content
+    survives. Input is `sample_frames` output (media_id, frame bytes).
+
+    Frame signature is md5 of the frame's UPPERCASE HEX — a string
+    md5, because the DuckDB oracle has no blob md5; byte-identical
+    frames get identical signatures in both engines. Containment =
+    |shared distinct sigs| / min(n_frames_a, n_frames_b), the same
+    asymmetric measure as the shingle containment join
+    (dedup_text.py::containment_pairs), at video granularity.
+
+    Scale shape: frames collapse to (media_id, 32-char sig) BEFORE
+    anything shuffles — frame bytes never move; then the classic
+    inverted-index geometry: one equi-join on frame_sig (never
+    all-pairs), one pair agg, two broadcast-size joins for the frame
+    counts. Real corpora have degenerate ubiquitous frames (black
+    intro/outro cards shared by millions of videos) — `sig_df_cap`
+    drops signatures hotter than the cap, the same escape hatch as
+    the n-gram join's df-cap (documented recall loss on pairs whose
+    ONLY overlap is degenerate frames, which is the point).
+
+    Output: (media_id_a, media_id_b, shared_frames, containment),
+    containment rounded to 4dp, filtered to >= min_containment.
+    """
+    sigs = frames.select(
+        "media_id",
+        F.md5(F.upper(F.hex(F.col("frame")))).alias("frame_sig"),
+    ).distinct()
+    if sig_df_cap is not None:
+        hot = (
+            sigs.groupBy("frame_sig")
+            .count()
+            .filter(F.col("count") > sig_df_cap)
+            .select("frame_sig")
+        )
+        sigs = sigs.join(F.broadcast(hot), "frame_sig", "left_anti")
+    sizes = sigs.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.frame_sig") == F.col("b.frame_sig"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("media_id_a"),
+            F.col("b.media_id").alias("media_id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_frames"))
+    )
+    sa = sizes.select(
+        F.col("media_id").alias("media_id_a"), F.col("n_frames").alias("_na")
+    )
+    sb = sizes.select(
+        F.col("media_id").alias("media_id_b"), F.col("n_frames").alias("_nb")
+    )
+    return (
+        shared.join(sa, "media_id_a")
+        .join(sb, "media_id_b")
+        .select(
+            "media_id_a",
+            "media_id_b",
+            "shared_frames",
+            F.round(
+                F.col("shared_frames")
+                / F.least(F.col("_na"), F.col("_nb")).cast("double"),
+                4,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )
