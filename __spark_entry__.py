@@ -1083,6 +1083,97 @@ _PREFIX_FILTER_SQL = f"""
 """
 
 
+def _cdc_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus a footer-appended variant of every third doc —
+    the partial-overlap shape CDC exists for (same payload re-crawled
+    with a trailing edit shares every chunk but the last)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    var = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + F.lit(10000000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" (archived copy)")).alias("text"),
+    )
+    return docs.unionByName(var)
+
+
+def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: rolling-hash boundaries ride with the
+    content, so the footer-appended variants share every chunk md5
+    except the tail (operators/dedup_text.py::cdc_chunks)."""
+    from yacy_grid_crawler_spark.operators.dedup_text import cdc_chunks
+
+    return cdc_chunks(_cdc_input(spark, sf_dir))
+
+
+_CDC_CHUNKS_SQL = """
+  WITH raw AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000 AS doc_id, text || ' (archived copy)' AS text
+    FROM documents WHERE doc_id % 3 = 0
+  ),
+  d AS (
+    SELECT doc_id, text,
+           list_transform(str_split(text, ''), x -> ord(x)) AS v,
+           length(text) AS n
+    FROM raw WHERE length(text) > 0
+  ),
+  hit AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS e
+    FROM d, unnest(range(4, n + 1)) t(i)
+    WHERE (v[CAST(i AS BIGINT) - 3] * 29791 + v[CAST(i AS BIGINT) - 2] * 961
+           + v[CAST(i AS BIGINT) - 1] * 31 + v[CAST(i AS BIGINT)]) % 64 = 0
+  ),
+  ends AS (
+    SELECT doc_id, e FROM hit
+    UNION
+    SELECT doc_id, n AS e FROM d
+  ),
+  ch AS (
+    SELECT doc_id, e,
+           COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS s,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1
+                AS INTEGER) AS chunk_no
+    FROM ends
+  )
+  SELECT ch.doc_id, chunk_no,
+         md5(substr(text, CAST(s + 1 AS BIGINT), CAST(e - s AS BIGINT)))
+           AS chunk_md5,
+         CAST(e - s AS INTEGER) AS chunk_len
+  FROM ch JOIN d ON d.doc_id = ch.doc_id
+"""
+
+
+def _q_cdc_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-dedup estimate over the CDC chunk table (one-row
+    rollup, integer-ppm dup share)."""
+    from yacy_grid_crawler_spark.operators.dedup_text import (
+        cdc_chunks,
+        cdc_savings,
+    )
+
+    return cdc_savings(cdc_chunks(_cdc_input(spark, sf_dir)))
+
+
+_CDC_SAVINGS_SQL = f"""
+  WITH chunks AS ({_CDC_CHUNKS_SQL}),
+  per AS (
+    SELECT chunk_md5, COUNT(*) AS n_refs, MIN(chunk_len) AS chunk_len
+    FROM chunks GROUP BY chunk_md5
+  ),
+  tot AS (
+    SELECT CAST(SUM(n_refs) AS BIGINT) AS total_chunks,
+           CAST(COUNT(*) AS BIGINT) AS unique_chunks,
+           CAST(SUM(n_refs * chunk_len) AS BIGINT) AS total_chars,
+           CAST(SUM(chunk_len) AS BIGINT) AS unique_chars
+    FROM per
+  )
+  SELECT total_chunks, unique_chunks, total_chars, unique_chars,
+         CAST((total_chars - unique_chars) * 1000000 // total_chars
+              AS BIGINT) AS dup_char_ppm
+  FROM tot
+"""
+
+
 def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yacy_grid_crawler_spark.operators.dedup_text import ngram_jaccard_pairs
 
@@ -6916,6 +7007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "cdc_chunks": _q_cdc_chunks,
+        "cdc_savings": _q_cdc_savings,
         "prefix_filter_pairs": _q_prefix_filter_pairs,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -7071,6 +7164,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,
+        "cdc_chunks": _CDC_CHUNKS_SQL,
+        "cdc_savings": _CDC_SAVINGS_SQL,
         "prefix_filter_pairs": _PREFIX_FILTER_SQL,
         "dedup_embedding": _DEDUP_EMBEDDING_SQL,
         "ann_cosine_topk": _ANN_SQL,

@@ -1212,3 +1212,129 @@ def prefix_filter_pairs(
         )
         .filter(F.col("jaccard_bp") >= t)
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC): storage-layer dedup below the
+# document. Exact dedup needs identical documents; near-dup finds
+# *similar* ones but keeps both copies' bytes. CDC splits each text at
+# content-derived boundaries (a rolling-hash condition), so two
+# payloads sharing a long run — the same article re-crawled with a new
+# footer, a page with one edited paragraph — share most chunk hashes
+# verbatim and the store keeps each chunk once. The boundary positions
+# move WITH the content (unlike fixed-size blocks, an insertion only
+# reshuffles the chunks it touches), which is the whole point of CDC
+# (Muthitacharoen et al., LBFS SOSP'01).
+# ---------------------------------------------------------------------------
+
+CDC_WINDOW = 4  # code points in the boundary hash
+CDC_MASK = 64  # boundary when hash % CDC_MASK == 0 -> ~64-char chunks
+# polynomial rolling-hash coefficients: base 31, window 4
+_CDC_COEF = (29791, 961, 31, 1)  # 31^3, 31^2, 31, 1
+
+
+def cdc_chunks(docs: DataFrame, mask: int = CDC_MASK) -> DataFrame:
+    """Per-document content-defined chunk table.
+
+    Boundary rule (deterministic, closed-form — the DuckDB oracle
+    restates it): with v = the text's code points (1-based), a chunk
+    ends after position i (i >= 4) whenever
+    ``(v[i-3]*31^3 + v[i-2]*31^2 + v[i-1]*31 + v[i]) % mask == 0``;
+    the final chunk always ends at the text end. A pointwise 4-gram
+    polynomial stands in for a gear hash: same chunking behavior
+    (boundaries ride with content, expected chunk length ~mask), but
+    every position's test depends only on its own 4-gram, so BOTH
+    engines compute it exactly. No min/max chunk clamp — a clamp makes
+    the split stateful (each boundary depends on the previous one) and
+    breaks the closed form; mask sizing bounds expected length.
+
+    Output: (doc_id, chunk_no, chunk_md5, chunk_len) — one row per
+    chunk, chunk_no 0-based in text order, md5 over the chunk's utf-8.
+    Zero-length texts emit no rows.
+
+    Scale shape: chunking is a stateless per-row Arrow kernel
+    (mapInPandas — numpy does the rolling hash, the only per-chunk
+    Python is the md5 of each ~64-char slice); output rows are narrow
+    (32-hex + 2 ints), the text itself never shuffles. Downstream
+    dedup is a plain chunk_md5 aggregate — uniform key, no salting.
+    """
+    out_schema = "doc_id long, chunk_no int, chunk_md5 string, chunk_len int"
+
+    def batches(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        c3, c2, c1, c0 = _CDC_COEF
+        for pdf in it:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                text = text or ""
+                n = len(text)
+                if n == 0:
+                    continue
+                v = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                if n >= CDC_WINDOW:
+                    h = c3 * v[:-3] + c2 * v[1:-2] + c1 * v[2:-1] + c0 * v[3:]
+                    # h[j] hashes the 4-gram ENDING at 0-based index
+                    # j+3; boundary AFTER 1-based position j+4
+                    ends = (np.flatnonzero(h % mask == 0) + 4).tolist()
+                else:
+                    ends = []
+                if not ends or ends[-1] != n:
+                    ends.append(n)
+                start = 0
+                for chunk_no, e in enumerate(ends):
+                    piece = text[start:e]
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "chunk_no": chunk_no,
+                            "chunk_md5": hashlib.md5(
+                                piece.encode("utf-8")
+                            ).hexdigest(),
+                            "chunk_len": e - start,
+                        }
+                    )
+                    start = e
+            if out:
+                yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(batches, out_schema)
+
+
+def cdc_savings(chunks: DataFrame) -> DataFrame:
+    """Storage-dedup estimate over a cdc_chunks table: how many chars
+    the chunk store keeps vs what the raw corpus holds. One map-side-
+    combining aggregate on chunk_md5 (uniform key), then a one-row
+    fold; dup_char_ppm is integer parts-per-million so the number is
+    engine-exact.
+
+    Output (single row): total_chunks, unique_chunks, total_chars,
+    unique_chars, dup_char_ppm.
+    """
+    per = chunks.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.first("chunk_len").alias("chunk_len"),
+    )
+    return per.agg(
+        F.sum("n_refs").cast("long").alias("total_chunks"),
+        F.count(F.lit(1)).cast("long").alias("unique_chunks"),
+        F.sum(F.col("n_refs") * F.col("chunk_len")).cast("long").alias(
+            "total_chars"
+        ),
+        F.sum("chunk_len").cast("long").alias("unique_chars"),
+    ).select(
+        "total_chunks",
+        "unique_chunks",
+        "total_chars",
+        "unique_chars",
+        # integer div end-to-end: a double divide + cast would truncate
+        # in Spark but round in DuckDB
+        F.expr(
+            "((total_chars - unique_chars) * 1000000L) div total_chars"
+        ).alias("dup_char_ppm"),
+    )
