@@ -3497,15 +3497,12 @@ _ANCHOR_STATS_SQL = f"""
 """
 
 
-def _q_span_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interleaved-span composition profile over a synthesized spans
-    table with VARIABLE mix: doc d carries m = d % 4 media spans
-    between two text spans, and every 3rd doc with media LEADS with
-    it (first_media_offset = 0 path). The oracle is the closed form
-    of the same synthesis, so the array-codegen kernel (size/filter/
-    aggregate over spans) is checked value-exactly."""
-    from yacy_grid_crawler_spark.operators.extract import span_mix
-
+def _synth_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared interleaved-spans synthesis (input_hint table shape)
+    with VARIABLE mix: doc d carries m = d % 4 media spans between
+    two 40-char text spans, and every 3rd doc with media LEADS with
+    it (first offset 0). Used by span_mix and pack_interleaved; each
+    consumer's oracle restates this closed form."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
     rid = F.col("doc_id").cast("string")
     m = (F.col("doc_id") % 4).cast("int")
@@ -3559,7 +3556,48 @@ def _q_span_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(txt(t1, F.col("_m") + 1)),
         )
     )
-    return span_mix(base.select("doc_id", spans.alias("spans")))
+    return base.select("doc_id", spans.alias("spans"))
+
+
+def _q_span_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-span composition profile over the shared synthetic
+    spans table — the array-codegen kernel (size/filter/aggregate
+    over spans) checked value-exactly against the closed form."""
+    from yacy_grid_crawler_spark.operators.extract import span_mix
+
+    return span_mix(_synth_spans(spark, sf_dir))
+
+
+def _q_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-aware shard packing over the shared synthetic spans
+    table: text tokens by the chars-per-token estimate plus a fixed
+    576-token charge per media span (a 24x24 ViT patch grid), packed
+    whole-document by the two-phase prefix sum."""
+    from yacy_grid_crawler_spark.operators.sampling import pack_interleaved
+
+    return pack_interleaved(_synth_spans(spark, sf_dir), budget=8192)
+
+
+_PACK_INTERLEAVED_SQL = """
+  WITH c AS (
+    SELECT doc_id,
+           CAST((length(substr(text, 1, 40)) + length(substr(text, 41, 40))
+                 + 3) // 4 AS BIGINT) AS n_text_tokens,
+           CAST(576 * (doc_id % 4) AS BIGINT) AS n_media_tokens
+    FROM documents
+  ),
+  k AS (
+    SELECT doc_id, n_text_tokens, n_media_tokens,
+           n_text_tokens + n_media_tokens AS cost
+    FROM c
+  )
+  SELECT doc_id, n_text_tokens, n_media_tokens, cost,
+         CAST(COALESCE(SUM(cost) OVER (
+                ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ), 0) // 8192 AS BIGINT) AS shard_id
+  FROM k
+"""
 
 
 _SPAN_MIX_SQL = """
@@ -7063,6 +7101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": _q_dataset_split,
         "grouped_split": _q_grouped_split,
         "pack_shards": _q_pack_shards,
+        "pack_interleaved": _q_pack_interleaved,
         "pack_sequences": _q_pack_sequences,
         "kmeans_assign": _q_kmeans_assign,
         "cluster_outliers": _q_cluster_outliers,
@@ -7213,6 +7252,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": _DATASET_SPLIT_SQL,
         "grouped_split": _GROUPED_SPLIT_SQL,
         "pack_shards": _PACK_SHARDS_SQL,
+        "pack_interleaved": _PACK_INTERLEAVED_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "kmeans_assign": _KMEANS_SQL,
         "cluster_outliers": _CLUSTER_OUTLIERS_SQL,

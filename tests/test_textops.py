@@ -1629,3 +1629,54 @@ def test_prefix_filter_pairs_randomized_equals_bruteforce(spark):
                     if bp >= t:
                         want[(i, j)] = (inter, bp)
         assert got == want, f"threshold {t}"
+
+
+def test_pack_interleaved_costs_and_atomicity(spark):
+    """Span-derived costs (ceil chars/4 + 576/media), whole-document
+    packing (one row per doc), prefix-sum shard law, and the
+    distributed == window equality."""
+    from yacy_grid_crawler_spark.operators.sampling import pack_interleaved
+
+    spans_schema = (
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    rows = [
+        (1, [("text", "x" * 10, "", 0)]),                    # 3 tokens
+        (2, [("text", "y" * 9, "", 0), ("media", "", "m1", 1)]),  # 3+576
+        (3, [("media", "", "m2", 0), ("media", "", "m3", 1)]),    # 1152
+        (4, [("text", "z" * 4000, "", 0)]),                  # 1000 (oversized)
+        (5, [("text", "", "", 0)]),                          # 0 tokens
+    ]
+    docs = spark.createDataFrame(rows, spans_schema)
+    got = {
+        r["doc_id"]: r
+        for r in pack_interleaved(
+            docs, budget=600, distributed=False
+        ).collect()
+    }
+    assert len(got) == 5  # atomic: one row per document, never split
+    assert got[1]["n_text_tokens"] == 3 and got[1]["n_media_tokens"] == 0
+    assert got[2]["cost"] == 3 + 576
+    assert got[3]["cost"] == 1152
+    assert got[4]["cost"] == 1000
+    assert got[5]["cost"] == 0
+    # prefix-sum shard law: shard_id = floor(exclusive prefix / 600)
+    starts, acc = {}, 0
+    for d in sorted(got):
+        starts[d] = acc
+        acc += got[d]["cost"]
+    for d, r in got.items():
+        assert r["shard_id"] == starts[d] // 600, d
+    caches = []
+    dist = {
+        r["doc_id"]: (r["cost"], r["shard_id"])
+        for r in pack_interleaved(
+            docs, budget=600, distributed=True, cache_registry=caches
+        ).collect()
+    }
+    for c in caches:
+        c.unpersist()
+    assert dist == {
+        d: (r["cost"], r["shard_id"]) for d, r in got.items()
+    }

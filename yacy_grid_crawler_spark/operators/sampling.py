@@ -763,3 +763,69 @@ def grouped_split(
         .otherwise("test")
         .alias("split"),
     )
+
+
+def pack_interleaved(
+    spans_docs: DataFrame,
+    budget: int,
+    tokens_per_media: int = 576,
+    chars_per_token: int = 4,
+    order_col: str = "doc_id",
+    distributed: bool = True,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Token-budget packing for INTERLEAVED text+media documents (the
+    input_hint table shape): each document's cost is its text tokens
+    (ceil(chars / chars_per_token) — the standard chars-per-token
+    estimate) plus a FIXED per-media charge (`tokens_per_media`, e.g.
+    a 24x24 ViT patch grid = 576), because media spans enter the
+    training sequence as a fixed-size embedding block regardless of
+    blob bytes. Documents stay whole (media blocks are atomic — a
+    split image is garbage), so this is the pack_shards geometry with
+    a span-derived cost: shard_id = floor(exclusive-prefix-sum(cost)
+    / budget); an oversized single document overflows its own shard
+    rather than splitting.
+
+    Cost extraction is pure array codegen (filter/aggregate over the
+    spans column — no explode, no UDF); the global prefix sum is the
+    same two-phase no-global-window machinery as pack_shards.
+
+    Output: (order_col, n_text_tokens, n_media_tokens, cost,
+    shard_id).
+    """
+    text_chars = F.aggregate(
+        F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text")),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.length(s["text"]),
+    )
+    n_media = F.size(
+        F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("media"))
+    )
+    costed = (
+        spans_docs.select(
+            F.col(order_col),
+            text_chars.alias("_tc"),
+            n_media.cast("long").alias("_nm"),
+        )
+        .select(
+            order_col,
+            F.expr(
+                f"CAST((_tc + {chars_per_token - 1}) div {chars_per_token}"
+                " AS BIGINT)"
+            ).alias("n_text_tokens"),
+            (F.col("_nm") * tokens_per_media).alias("n_media_tokens"),
+        )
+        .withColumn(
+            "cost", F.col("n_text_tokens") + F.col("n_media_tokens")
+        )
+    )
+    pref = _token_prefix_sum(
+        costed, "cost", order_col, distributed, cache_registry
+    )
+    return pref.select(
+        order_col,
+        "n_text_tokens",
+        "n_media_tokens",
+        "cost",
+        F.floor(F.col("_start") / budget).cast("long").alias("shard_id"),
+    )
