@@ -3568,6 +3568,58 @@ def _q_span_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_mix(_synth_spans(spark, sf_dir))
 
 
+def _q_span_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-schema lint over the shared synthetic spans table with
+    planted corruption: every 13th doc gains a ref-less media span at
+    a non-dense offset (offsets_ok + n_missing_ref both fire); every
+    17th (not also 13th) gains an unknown-kind span at the NEXT dense
+    offset, so ONLY n_bad_kind fires. Docs with <= 40 chars of text
+    legitimately carry empty text spans — the lint reports them and
+    the oracle restates the same closed form."""
+    from yacy_grid_crawler_spark.operators.extract import span_lint
+
+    base = _synth_spans(spark, sf_dir)
+    d = F.col("doc_id")
+    spans = F.col("spans")
+    bad_media = F.struct(
+        F.lit("media").alias("kind"),
+        F.lit("").alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(99).alias("offset"),
+    )
+    bad_kind = F.struct(
+        F.lit("blob").alias("kind"),
+        F.lit("").alias("text"),
+        F.lit("x").alias("media_ref"),
+        F.size(spans).cast("int").alias("offset"),
+    )
+    mutated = (
+        F.when(d % 13 == 0, F.concat(spans, F.array(bad_media)))
+        .when(d % 17 == 0, F.concat(spans, F.array(bad_kind)))
+        .otherwise(spans)
+    )
+    return span_lint(base.select("doc_id", mutated.alias("spans")))
+
+
+_SPAN_LINT_SQL = """
+  SELECT doc_id,
+         CAST(doc_id % 4 + 2 + CASE WHEN doc_id % 13 = 0
+                                      OR doc_id % 17 = 0
+                                    THEN 1 ELSE 0 END AS int) AS n_spans,
+         (doc_id % 13 <> 0) AS offsets_ok,
+         CAST((CASE WHEN length(text) = 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN length(text) <= 40 THEN 1 ELSE 0 END)
+              AS int) AS n_empty_text,
+         CAST(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS int)
+           AS n_missing_ref,
+         CAST(CASE WHEN doc_id % 13 <> 0 AND doc_id % 17 = 0
+                   THEN 1 ELSE 0 END AS int) AS n_bad_kind,
+         (doc_id % 13 <> 0 AND doc_id % 17 <> 0
+          AND length(text) > 40) AS lint_ok
+  FROM documents
+"""
+
+
 def _q_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal-aware shard packing over the shared synthetic spans
     table: text tokens by the chars-per-token estimate plus a fixed
@@ -7116,6 +7168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": _q_hits,
         "trustrank": _q_trustrank,
         "span_mix": _q_span_mix,
+        "span_lint": _q_span_lint,
         "host_graph": _q_host_graph,
         "host_skew": _q_host_skew,
         "rendezvous_shard": _q_rendezvous_shard,
@@ -7267,6 +7320,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": _HITS_SQL,
         "trustrank": _TRUSTRANK_SQL,
         "span_mix": _SPAN_MIX_SQL,
+        "span_lint": _SPAN_LINT_SQL,
         "host_graph": _HOST_GRAPH_SQL,
         "host_skew": _HOST_SKEW_SQL,
         "rendezvous_shard": _RENDEZVOUS_SQL,

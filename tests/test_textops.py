@@ -1680,3 +1680,36 @@ def test_pack_interleaved_costs_and_atomicity(spark):
     assert dist == {
         d: (r["cost"], r["shard_id"]) for d, r in got.items()
     }
+
+
+def test_span_lint_pure_codegen(spark):
+    """Lint is a single narrow projection: no exchange, no Python."""
+    from yacy_grid_crawler_spark.operators.extract import span_lint
+
+    rows = [
+        (1, [("text", "hi", "", 0), ("media", "", "m1", 1)]),
+        (2, [("text", "", "", 0), ("media", "", "", 2)]),  # all four fire
+        (3, [("blob", "x", "", 0)]),
+        (4, []),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got = {r["doc_id"]: r for r in span_lint(docs).collect()}
+    assert got[1]["lint_ok"]
+    r2 = got[2]
+    assert (
+        not r2["offsets_ok"]
+        and r2["n_empty_text"] == 1
+        and r2["n_missing_ref"] == 1
+        and not r2["lint_ok"]
+    )
+    assert got[3]["n_bad_kind"] == 1 and not got[3]["lint_ok"]
+    assert got[4]["offsets_ok"] and got[4]["lint_ok"]  # empty doc is clean
+    plan = span_lint(docs)._sc._jvm.PythonSQLUtils.explainString(
+        span_lint(docs)._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

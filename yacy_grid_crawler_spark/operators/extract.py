@@ -455,3 +455,67 @@ def html_links(
         )
         .filter(F.col("href") != "")
     )
+
+
+def span_lint(docs: DataFrame) -> DataFrame:
+    """Interleaved-span schema lint — the ingest gate for the engine's
+    native payload (BASELINE.json input_hint): before any downstream
+    operator trusts a spans array, verify the invariants the format
+    promises. Checks per document:
+
+    * `offsets_ok` — span offsets are exactly the dense 0..n-1
+      sequence (in any array order): the per-row span-sequence
+      invariant's precondition, and what assemble_text's sort relies
+      on;
+    * `n_empty_text` — text spans carrying no text (payload loss);
+    * `n_missing_ref` — media spans with a NULL/empty media_ref
+      (a span that can never resolve to a blob);
+    * `n_bad_kind` — spans whose kind is neither 'text' nor 'media';
+    * `lint_ok` — the conjunction.
+
+    Scale shape: one narrow codegen projection (array sort/transform/
+    filter/aggregate), zero shuffles, zero Python — fuses with the
+    scan like span_mix; blobs never touched.
+    """
+    spans = F.col("spans")
+    n = F.size(spans)
+    offsets_ok = (
+        F.sort_array(F.transform(spans, lambda s: s["offset"]))
+        == F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+            F.expr("array()").cast("array<int>")
+        )
+    )
+    n_empty_text = F.size(
+        F.filter(
+            spans,
+            lambda s: (s["kind"] == F.lit("text"))
+            & (F.coalesce(F.length(s["text"]), F.lit(0)) == 0),
+        )
+    )
+    n_missing_ref = F.size(
+        F.filter(
+            spans,
+            lambda s: (s["kind"] == F.lit("media"))
+            & (F.coalesce(F.length(s["media_ref"]), F.lit(0)) == 0),
+        )
+    )
+    n_bad_kind = F.size(
+        F.filter(
+            spans,
+            lambda s: ~s["kind"].isin("text", "media"),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_spans"),
+        offsets_ok.alias("offsets_ok"),
+        n_empty_text.alias("n_empty_text"),
+        n_missing_ref.alias("n_missing_ref"),
+        n_bad_kind.alias("n_bad_kind"),
+        (
+            offsets_ok
+            & (n_empty_text == 0)
+            & (n_missing_ref == 0)
+            & (n_bad_kind == 0)
+        ).alias("lint_ok"),
+    )
