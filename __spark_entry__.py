@@ -6056,6 +6056,124 @@ _VIDEO_NEARDUP_SQL = """
 """
 
 
+def _q_curate_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MEDIA curation as one composition — the asset-side
+    twin of curate_pipeline: exact blob dedup (md5 keeper) removes
+    byte-identical re-crawls, then perceptual near-dup (dHash +
+    Hamming-band LSH) removes re-encodes, keeping the smallest id per
+    near-dup pair. The synthetic corpus plants both: byte-identical
+    copies (doc_id % 77) die at the exact stage, one-char re-encode
+    stand-ins (doc_id % 7, middle char) survive md5 but die at the
+    perceptual stage."""
+    from yacy_grid_crawler_spark.operators.multimodal import (
+        dedup_media_blobs,
+        perceptual_hash,
+        phash_near_pairs,
+        synth_media_from_docs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = synth_media_from_docs(docs).select("media_id", "kind", "content")
+    pert = docs.filter(
+        (F.col("doc_id") % 7 == 0) & (F.length("text") > 2)
+    ).select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string"), F.lit("v")).alias(
+            "media_id"
+        ),
+        F.lit("variant").alias("kind"),
+        F.encode(
+            F.expr(
+                "concat(substring(text, 1, length(text) div 2 - 1), '~', "
+                "substring(text, length(text) div 2 + 1, length(text)))"
+            ),
+            "utf-8",
+        ).alias("content"),
+    )
+    copy = docs.filter(F.col("doc_id") % 77 == 0).select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string"), F.lit("c")).alias(
+            "media_id"
+        ),
+        F.lit("copy").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    media = base.unionByName(pert).unionByName(copy)
+    keep = dedup_media_blobs(media).filter(F.col("is_keeper")).select(
+        "media_id", "n_bytes"
+    )
+    kept_media = media.join(keep.select("media_id"), "media_id")
+    hashes = perceptual_hash(kept_media)
+    drop = (
+        phash_near_pairs(hashes, max_hamming=6)
+        .select(F.col("media_id_b").alias("media_id"))
+        .distinct()
+    )
+    return (
+        hashes.join(drop, "media_id", "left_anti")
+        .join(keep, "media_id")
+        .select("media_id", "kind", "phash", "n_bytes")
+    )
+
+
+_CURATE_MEDIA_SQL = """
+  WITH raw AS (
+    SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           text
+    FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT 'm' || CAST(doc_id AS VARCHAR) || 'v', 'variant',
+           substr(text, 1, length(text) // 2 - 1) || '~' ||
+           substr(text, length(text) // 2 + 1, length(text))
+    FROM documents WHERE doc_id % 7 = 0 AND length(text) > 2
+    UNION ALL
+    SELECT 'm' || CAST(doc_id AS VARCHAR) || 'c', 'copy', text
+    FROM documents WHERE doc_id % 77 = 0
+  ),
+  keep AS (
+    SELECT media_id, kind, text FROM (
+      SELECT *, MIN(media_id) OVER (PARTITION BY md5(text)) AS _k
+      FROM raw
+    ) WHERE media_id = _k
+  ),
+  m AS (
+    SELECT media_id, kind, text,
+           list_transform(str_split(text, ''), x -> ord(x)) AS v
+    FROM keep
+  ),
+  sums AS (
+    SELECT media_id, i,
+           COALESCE(list_sum(list_slice(
+             v, CAST((i * len(v)) // 64 AS BIGINT) + 1,
+                CAST(((i + 1) * len(v)) // 64 AS BIGINT))), 0) AS s
+    FROM m, unnest(range(64)) t(i)
+  ),
+  bits AS (
+    SELECT a.media_id, a.i, CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+    FROM sums a
+    JOIN sums b ON a.media_id = b.media_id AND b.i = a.i + 1
+    WHERE a.i < 63
+  ),
+  ph AS (
+    SELECT media_id,
+           CAST(COALESCE(SUM(bit * (1::BIGINT << CAST(i AS INTEGER))), 0)
+                AS BIGINT) AS phash
+    FROM bits GROUP BY media_id
+  ),
+  drops AS (
+    SELECT DISTINCT b.media_id AS media_id
+    FROM ph a JOIN ph b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 6
+  )
+  SELECT p.media_id, m.kind, p.phash,
+         CAST(octet_length(encode(m.text)) AS BIGINT) AS n_bytes
+  FROM ph p
+  JOIN m ON m.media_id = p.media_id
+  WHERE p.media_id NOT IN (SELECT media_id FROM drops)
+"""
+
+
 def _q_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tracking-param stripping over synthesized canonical URLs:
     branches cover mixed tracking+real params (order preserved),
@@ -7213,6 +7331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": _q_media_dedup,
         "media_phash": _q_media_phash,
         "phash_neardup": _q_phash_neardup,
+        "curate_media": _q_curate_media,
         "video_neardup": _q_video_neardup,
         "hll_overlap": _q_hll_overlap,
         "zorder_layout": _q_zorder_layout,
@@ -7375,6 +7494,7 @@ def oracle_sql() -> dict[str, str]:
         "media_dedup": _MEDIA_DEDUP_SQL,
         "media_phash": _MEDIA_PHASH_SQL,
         "phash_neardup": _PHASH_NEARDUP_SQL,
+        "curate_media": _CURATE_MEDIA_SQL,
         "video_neardup": _VIDEO_NEARDUP_SQL,
         "hll_overlap": _hll_overlap_sql(),
         "zorder_layout": _zorder_sql(),
