@@ -1019,6 +1019,84 @@ def _q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+def _q_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-candidate near-dup pairs verified by exact edit
+    distance. ASCII-gated corpus (Spark levenshtein counts characters,
+    DuckDB counts bytes — on ASCII they agree) with planted one-char
+    variants that survive banding and pass the 20% ratio gate."""
+    from yacy_grid_crawler_spark.operators.dedup_text import (
+        edit_verified_pairs,
+    )
+
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .filter(
+            (F.octet_length("text") == F.length("text"))
+            & (F.length("text") > 12)
+        )
+    )
+    var = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + F.lit(10000000)).alias("doc_id"),
+        F.expr(
+            "concat(substring(text, 1, 10), '~', "
+            "substring(text, 12, length(text)))"
+        ).alias("text"),
+    )
+    return edit_verified_pairs(docs.unionByName(var), max_ratio_bp=2000)
+
+
+_EDIT_VERIFIED_SQL = """
+  WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    WHERE octet_length(encode(text)) = length(text) AND length(text) > 12
+    UNION ALL
+    SELECT doc_id + 10000000 AS doc_id,
+           substr(text, 1, 10) || '~' || substr(text, 12, length(text))
+             AS text
+    FROM documents
+    WHERE octet_length(encode(text)) = length(text) AND length(text) > 12
+      AND doc_id % 9 = 0
+  ),
+  words AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM corpus
+  ),
+  bits AS (
+    SELECT doc_id, i AS bit_ord,
+           (position(substr(md5(word), i, 1) IN '0123456789abcdef') - 1) % 2
+             AS bit
+    FROM words, generate_series(1, 16) t(i)
+  ),
+  sums AS (
+    SELECT doc_id, bit_ord, sum(bit * 2 - 1) AS s
+    FROM bits GROUP BY doc_id, bit_ord
+  ),
+  sh AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s >= 0 THEN power(2, bit_ord - 1) ELSE 0 END)
+                AS bigint) AS simhash
+    FROM sums GROUP BY doc_id
+  ),
+  cands AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS int) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+  )
+  SELECT doc_a, doc_b, hamming,
+         CAST(levenshtein(ta.text, tb.text) AS INT) AS edit_distance,
+         CAST(levenshtein(ta.text, tb.text) * 10000
+              // greatest(length(ta.text), length(tb.text)) AS INT)
+           AS ratio_bp
+  FROM cands
+  JOIN corpus ta ON ta.doc_id = doc_a
+  JOIN corpus tb ON tb.doc_id = doc_b
+  WHERE levenshtein(ta.text, tb.text) * 10000
+        // greatest(length(ta.text), length(tb.text)) <= 2000
+"""
+
+
 # All-pairs reference for the banded join: pigeonhole makes the banded
 # equi-join exact for hamming <= 3, so the quadratic oracle and the
 # Spark plan must agree bit-for-bit (500 docs at sf0.01 -> 125k pairs,
@@ -7214,6 +7292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_text": _q_assemble_text,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "edit_verified_pairs": _q_edit_verified,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "cdc_chunks": _q_cdc_chunks,
         "cdc_savings": _q_cdc_savings,
@@ -7374,6 +7453,7 @@ def oracle_sql() -> dict[str, str]:
         "assemble_text": _ASSEMBLE_TEXT_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
+        "edit_verified_pairs": _EDIT_VERIFIED_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "cdc_chunks": _CDC_CHUNKS_SQL,
         "cdc_savings": _CDC_SAVINGS_SQL,

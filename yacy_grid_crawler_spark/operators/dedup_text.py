@@ -1338,3 +1338,49 @@ def cdc_savings(chunks: DataFrame) -> DataFrame:
             "((total_chars - unique_chars) * 1000000L) div total_chars"
         ).alias("dup_char_ppm"),
     )
+
+
+def edit_verified_pairs(
+    docs: DataFrame,
+    max_ratio_bp: int = 2000,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Candidate near-dup pairs verified by EXACT edit distance — the
+    highest-precision verify stage in the dedup family. Banded simhash
+    proposes candidates (never all-pairs); each candidate is then
+    scored with JVM `levenshtein` and kept when the distance is within
+    `max_ratio_bp` basis points of the longer text (integer math, so
+    the threshold is engine-exact).
+
+    Edit distance is O(len_a * len_b) per pair — it can never run on
+    all pairs at corpus scale; this operator IS the production
+    geometry: cheap banding bounds the candidate set, the quadratic
+    scorer touches only survivors, and text joins back by doc_id AFTER
+    pruning (two narrow hash joins; the full text column never fans
+    out through the band explode).
+
+    Output: (doc_a, doc_b, hamming, edit_distance, ratio_bp) with
+    doc_a < doc_b, ratio_bp = distance * 10000 div max(len) (0 for
+    two empty texts).
+    """
+    cands = simhash_near_pairs(docs, bits=bits, max_hamming=max_hamming)
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+    lev = F.levenshtein("_ta", "_tb")
+    longest = F.greatest(F.length("_ta"), F.length("_tb"))
+    return (
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            lev.cast("int").alias("edit_distance"),
+            F.when(longest > 0, F.expr(
+                f"CAST(levenshtein(_ta, _tb) * 10000 div "
+                f"greatest(length(_ta), length(_tb)) AS INT)"
+            )).otherwise(F.lit(0)).alias("ratio_bp"),
+        )
+        .filter(F.col("ratio_bp") <= max_ratio_bp)
+    )
