@@ -1086,13 +1086,13 @@ _EDIT_VERIFIED_SQL = """
   )
   SELECT doc_a, doc_b, hamming,
          CAST(levenshtein(ta.text, tb.text) AS INT) AS edit_distance,
-         CAST(levenshtein(ta.text, tb.text) * 10000
+         CAST(CAST(levenshtein(ta.text, tb.text) AS BIGINT) * 10000
               // greatest(length(ta.text), length(tb.text)) AS INT)
            AS ratio_bp
   FROM cands
   JOIN corpus ta ON ta.doc_id = doc_a
   JOIN corpus tb ON tb.doc_id = doc_b
-  WHERE levenshtein(ta.text, tb.text) * 10000
+  WHERE CAST(levenshtein(ta.text, tb.text) AS BIGINT) * 10000
         // greatest(length(ta.text), length(tb.text)) <= 2000
 """
 
@@ -5926,89 +5926,14 @@ def _q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Closed-form replica of the fallback dHash: utf-8 code points cut at
-# floor(i*n/64) boundaries, 64 chunk sums, bit i set iff sum_i >
-# sum_{i+1}. SUM(BIGINT) is HUGEINT in DuckDB; the final value is
-# < 2^63 by construction so the BIGINT cast is lossless.
-_MEDIA_PHASH_SQL = """
-  WITH m AS (
-    SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
-           CASE WHEN doc_id % 3 = 0 THEN 'image'
-                WHEN doc_id % 3 = 1 THEN 'audio'
-                ELSE 'video' END AS kind,
-           list_transform(str_split(text, ''), x -> ord(x)) AS v
-    FROM documents WHERE doc_id % 7 = 0
-  ),
-  sums AS (
-    SELECT media_id, kind, i,
-           COALESCE(list_sum(list_slice(
-             v, CAST((i * len(v)) // 64 AS BIGINT) + 1,
-                CAST(((i + 1) * len(v)) // 64 AS BIGINT))), 0) AS s
-    FROM m, unnest(range(64)) t(i)
-  ),
-  bits AS (
-    SELECT a.media_id, a.kind, a.i,
-           CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
-    FROM sums a
-    JOIN sums b ON a.media_id = b.media_id AND b.i = a.i + 1
-    WHERE a.i < 63
-  )
-  SELECT media_id, ANY_VALUE(kind) AS kind,
-         CAST(COALESCE(SUM(bit * (1::BIGINT << CAST(i AS INTEGER))), 0)
-              AS BIGINT) AS phash,
-         FALSE AS decoded
-  FROM bits GROUP BY media_id
-"""
-
-
-def _q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual near-dup pairs via the 7x9-bit Hamming-band LSH
-    join (exact for hamming <= 6 by pigeonhole). Each synthetic blob
-    gets a re-encode stand-in variant — the middle character replaced,
-    so one chunk sum moves and at most two hash bits flip — and the
-    banded join must recover exactly the pairs the quadratic oracle
-    finds."""
-    from yacy_grid_crawler_spark.operators.multimodal import (
-        perceptual_hash,
-        phash_near_pairs,
-        synth_media_from_docs,
-    )
-
-    docs = _docs(spark, sf_dir)
-    base = synth_media_from_docs(docs).select("media_id", "kind", "content")
-    pert = docs.filter(
-        (F.col("doc_id") % 7 == 0) & (F.length("text") > 2)
-    ).select(
-        F.concat(F.lit("m"), F.col("doc_id").cast("string"), F.lit("v")).alias(
-            "media_id"
-        ),
-        F.lit("variant").alias("kind"),
-        F.encode(
-            F.expr(
-                "concat(substring(text, 1, length(text) div 2 - 1), '~', "
-                "substring(text, length(text) div 2 + 1, length(text)))"
-            ),
-            "utf-8",
-        ).alias("content"),
-    )
-    hashes = perceptual_hash(base.unionByName(pert))
-    return phash_near_pairs(hashes, max_hamming=6)
-
-
-_PHASH_NEARDUP_SQL = """
-  WITH raw AS (
-    SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id, text
-    FROM documents WHERE doc_id % 7 = 0
-    UNION ALL
-    SELECT 'm' || CAST(doc_id AS VARCHAR) || 'v' AS media_id,
-           substr(text, 1, length(text) // 2 - 1) || '~' ||
-           substr(text, length(text) // 2 + 1, length(text)) AS text
-    FROM documents WHERE doc_id % 7 = 0 AND length(text) > 2
-  ),
-  m AS (
-    SELECT media_id, list_transform(str_split(text, ''), x -> ord(x)) AS v
-    FROM raw
-  ),
+# Closed-form replica of the fallback dHash, shared by every phash
+# oracle (media_phash / phash_neardup / curate_media — ONE copy, so a
+# one-sided edit can't silently drift the cross-engine closed form):
+# utf-8 code points cut at floor(i*n/64) boundaries, 64 chunk sums,
+# bit i set iff sum_i > sum_{i+1}. Expects a prior CTE
+# `m(media_id, v)`. SUM(BIGINT) is HUGEINT in DuckDB; the final value
+# is < 2^63 by construction so the BIGINT cast is lossless.
+_DHASH_FROM_M_SQL = """
   sums AS (
     SELECT media_id, i,
            COALESCE(list_sum(list_slice(
@@ -6028,6 +5953,89 @@ _PHASH_NEARDUP_SQL = """
                 AS BIGINT) AS phash
     FROM bits GROUP BY media_id
   )
+"""
+
+# the re-encode stand-in's perturbation (middle char replaced) — one
+# copy shared by the phash_neardup and curate_media oracles
+_PERTURB_SQL = (
+    "substr(text, 1, length(text) // 2 - 1) || '~' || "
+    "substr(text, length(text) // 2 + 1, length(text))"
+)
+
+_MEDIA_PHASH_SQL = f"""
+  WITH m0 AS (
+    SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           text
+    FROM documents WHERE doc_id % 7 = 0
+  ),
+  m AS (
+    SELECT media_id, list_transform(str_split(text, ''), x -> ord(x)) AS v
+    FROM m0
+  ),
+  {_DHASH_FROM_M_SQL}
+  SELECT ph.media_id, m0.kind, ph.phash, FALSE AS decoded
+  FROM ph JOIN m0 USING (media_id)
+"""
+
+
+def _phash_variant_media(docs: DataFrame) -> DataFrame:
+    """Re-encode stand-in blobs shared by the phash_neardup and
+    curate_media corpora: the middle character of every 7th doc's text
+    replaced, so one chunk sum moves and at most two hash bits flip
+    (the _PERTURB_SQL closed form restates this)."""
+    return docs.filter(
+        (F.col("doc_id") % 7 == 0) & (F.length("text") > 2)
+    ).select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string"), F.lit("v")).alias(
+            "media_id"
+        ),
+        F.lit("variant").alias("kind"),
+        F.encode(
+            F.expr(
+                "concat(substring(text, 1, length(text) div 2 - 1), '~', "
+                "substring(text, length(text) div 2 + 1, length(text)))"
+            ),
+            "utf-8",
+        ).alias("content"),
+    )
+
+
+def _q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs via the 7x9-bit Hamming-band LSH
+    join (exact for hamming <= 6 by pigeonhole). Each synthetic blob
+    gets a re-encode stand-in variant — the middle character replaced,
+    so one chunk sum moves and at most two hash bits flip — and the
+    banded join must recover exactly the pairs the quadratic oracle
+    finds."""
+    from yacy_grid_crawler_spark.operators.multimodal import (
+        perceptual_hash,
+        phash_near_pairs,
+        synth_media_from_docs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = synth_media_from_docs(docs).select("media_id", "kind", "content")
+    hashes = perceptual_hash(base.unionByName(_phash_variant_media(docs)))
+    return phash_near_pairs(hashes, max_hamming=6)
+
+
+_PHASH_NEARDUP_SQL = f"""
+  WITH raw AS (
+    SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id, text
+    FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT 'm' || CAST(doc_id AS VARCHAR) || 'v' AS media_id,
+           {_PERTURB_SQL} AS text
+    FROM documents WHERE doc_id % 7 = 0 AND length(text) > 2
+  ),
+  m AS (
+    SELECT media_id, list_transform(str_split(text, ''), x -> ord(x)) AS v
+    FROM raw
+  ),
+  {_DHASH_FROM_M_SQL}
   SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
          CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
   FROM ph a JOIN ph b ON a.media_id < b.media_id
@@ -6152,21 +6160,6 @@ def _q_curate_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     base = synth_media_from_docs(docs).select("media_id", "kind", "content")
-    pert = docs.filter(
-        (F.col("doc_id") % 7 == 0) & (F.length("text") > 2)
-    ).select(
-        F.concat(F.lit("m"), F.col("doc_id").cast("string"), F.lit("v")).alias(
-            "media_id"
-        ),
-        F.lit("variant").alias("kind"),
-        F.encode(
-            F.expr(
-                "concat(substring(text, 1, length(text) div 2 - 1), '~', "
-                "substring(text, length(text) div 2 + 1, length(text)))"
-            ),
-            "utf-8",
-        ).alias("content"),
-    )
     copy = docs.filter(F.col("doc_id") % 77 == 0).select(
         F.concat(F.lit("m"), F.col("doc_id").cast("string"), F.lit("c")).alias(
             "media_id"
@@ -6174,12 +6167,16 @@ def _q_curate_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("copy").alias("kind"),
         F.encode(F.col("text"), "utf-8").alias("content"),
     )
-    media = base.unionByName(pert).unionByName(copy)
+    media = base.unionByName(_phash_variant_media(docs)).unionByName(copy)
     keep = dedup_media_blobs(media).filter(F.col("is_keeper")).select(
         "media_id", "n_bytes"
     )
     kept_media = media.join(keep.select("media_id"), "media_id")
-    hashes = perceptual_hash(kept_media)
+    # persist: the hash kernel feeds both sides of the LSH self-join
+    # AND the final projection — without it the mapInPandas decode
+    # runs 3-4x per execution (swept by the entry-point registry)
+    hashes = perceptual_hash(kept_media).persist()
+    _QUERY_CACHES.append(hashes)
     drop = (
         phash_near_pairs(hashes, max_hamming=6)
         .select(F.col("media_id_b").alias("media_id"))
@@ -6192,7 +6189,7 @@ def _q_curate_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CURATE_MEDIA_SQL = """
+_CURATE_MEDIA_SQL = f"""
   WITH raw AS (
     SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
            CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -6202,8 +6199,7 @@ _CURATE_MEDIA_SQL = """
     FROM documents WHERE doc_id % 7 = 0
     UNION ALL
     SELECT 'm' || CAST(doc_id AS VARCHAR) || 'v', 'variant',
-           substr(text, 1, length(text) // 2 - 1) || '~' ||
-           substr(text, length(text) // 2 + 1, length(text))
+           {_PERTURB_SQL}
     FROM documents WHERE doc_id % 7 = 0 AND length(text) > 2
     UNION ALL
     SELECT 'm' || CAST(doc_id AS VARCHAR) || 'c', 'copy', text
@@ -6216,38 +6212,19 @@ _CURATE_MEDIA_SQL = """
     ) WHERE media_id = _k
   ),
   m AS (
-    SELECT media_id, kind, text,
-           list_transform(str_split(text, ''), x -> ord(x)) AS v
+    SELECT media_id, list_transform(str_split(text, ''), x -> ord(x)) AS v
     FROM keep
   ),
-  sums AS (
-    SELECT media_id, i,
-           COALESCE(list_sum(list_slice(
-             v, CAST((i * len(v)) // 64 AS BIGINT) + 1,
-                CAST(((i + 1) * len(v)) // 64 AS BIGINT))), 0) AS s
-    FROM m, unnest(range(64)) t(i)
-  ),
-  bits AS (
-    SELECT a.media_id, a.i, CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
-    FROM sums a
-    JOIN sums b ON a.media_id = b.media_id AND b.i = a.i + 1
-    WHERE a.i < 63
-  ),
-  ph AS (
-    SELECT media_id,
-           CAST(COALESCE(SUM(bit * (1::BIGINT << CAST(i AS INTEGER))), 0)
-                AS BIGINT) AS phash
-    FROM bits GROUP BY media_id
-  ),
+  {_DHASH_FROM_M_SQL},
   drops AS (
     SELECT DISTINCT b.media_id AS media_id
     FROM ph a JOIN ph b ON a.media_id < b.media_id
     WHERE bit_count(xor(a.phash, b.phash)) <= 6
   )
-  SELECT p.media_id, m.kind, p.phash,
-         CAST(octet_length(encode(m.text)) AS BIGINT) AS n_bytes
+  SELECT p.media_id, k.kind, p.phash,
+         CAST(octet_length(encode(k.text)) AS BIGINT) AS n_bytes
   FROM ph p
-  JOIN m ON m.media_id = p.media_id
+  JOIN keep k ON k.media_id = p.media_id
   WHERE p.media_id NOT IN (SELECT media_id FROM drops)
 """
 

@@ -231,16 +231,68 @@ def simhash_near_pairs(
     short docs) are AQE skew-join territory, same as the minhash LSH
     operator above.
     """
-    n_bands = max_hamming + 1
-    band_bits = (bits + n_bands - 1) // n_bands
     sh = simhash_docs(docs, bits)
-    bands = sh.select(
-        "doc_id",
-        "simhash",
+    return banded_hamming_pairs(
+        sh,
+        bits=bits,
+        max_hamming=max_hamming,
+        id_col="doc_id",
+        hash_col="simhash",
+        out_a="doc_a",
+        out_b="doc_b",
+    )
+
+
+def banded_hamming_pairs(
+    hashes: DataFrame,
+    bits: int,
+    max_hamming: int,
+    id_col: str,
+    hash_col: str,
+    out_a: str,
+    out_b: str,
+    n_bands: int | None = None,
+    band_df_cap: int | None = None,
+) -> DataFrame:
+    """The shared pigeonhole banded-Hamming self-join — ONE
+    exactness-critical geometry serving both the 16-bit simhash text
+    path and the 63-bit perceptual-hash media path
+    (multimodal.py::phash_near_pairs).
+
+    The `bits`-bit hash splits into `n_bands` contiguous bands
+    (default max_hamming + 1, each ceil(bits / n_bands) wide). A pair
+    within hamming <= max_hamming differs in at most max_hamming
+    bits, so with n_bands > max_hamming at least one band is
+    bit-identical (pigeonhole) — the banded equi-self-join is a
+    SUPERSET of every true pair and the bit_count verify makes the
+    result exact.
+
+    Scale shape: n_bands narrow (id, hash, band) rows per input, one
+    shuffle on (band_no, band_val), the true-hamming filter runs
+    JVM-side on candidates only, one map-side-combining pair
+    collapse. A degenerate corpus (many identical hashes) makes one
+    bucket quadratic — `band_df_cap` drops buckets hotter than the
+    cap (documented recall loss on pairs whose ONLY collision is a
+    degenerate band); AQE's skew split handles milder cases.
+
+    Output: (out_a, out_b, hamming) with out_a < out_b, exact and
+    duplicate-free.
+    """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if not 0 <= max_hamming < n_bands:
+        raise ValueError(
+            f"banded join is exact only for max_hamming < n_bands "
+            f"({n_bands}); got {max_hamming}"
+        )
+    band_bits = (bits + n_bands - 1) // n_bands
+    e = hashes.select(
+        F.col(id_col).alias("_pid"),
+        F.col(hash_col).alias("_ph"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright("simhash", b * band_bits).bitwiseAND(
+                    F.shiftright(F.col(hash_col), b * band_bits).bitwiseAND(
                         F.lit((1 << band_bits) - 1)
                     )
                     for b in range(n_bands)
@@ -248,25 +300,32 @@ def simhash_near_pairs(
             )
         ).alias("band_no", "band_val"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    if band_df_cap is not None:
+        hot = (
+            e.groupBy("band_no", "band_val")
+            .count()
+            .filter(F.col("count") > band_df_cap)
+            .select("band_no", "band_val")
+        )
+        e = e.join(F.broadcast(hot), ["band_no", "band_val"], "left_anti")
+    a, b = e.alias("a"), e.alias("b")
     cand = a.join(
         b,
         on=[
             F.col("a.band_no") == F.col("b.band_no"),
             F.col("a.band_val") == F.col("b.band_val"),
-            F.col("a.doc_id") < F.col("b.doc_id"),
+            F.col("a._pid") < F.col("b._pid"),
         ],
     ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.bit_count(
-            F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-        ).cast("int").alias("hamming"),
+        F.col("a._pid").alias(out_a),
+        F.col("b._pid").alias(out_b),
+        F.bit_count(F.col("a._ph").bitwiseXOR(F.col("b._ph")))
+        .cast("int")
+        .alias("hamming"),
     )
     return (
         cand.filter(F.col("hamming") <= max_hamming)
-        .groupBy("doc_a", "doc_b")
+        .groupBy(out_a, out_b)
         .agg(F.min("hamming").alias("hamming"))
     )
 
@@ -1367,20 +1426,30 @@ def edit_verified_pairs(
     cands = simhash_near_pairs(docs, bits=bits, max_hamming=max_hamming)
     ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
     tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
-    lev = F.levenshtein("_ta", "_tb")
-    longest = F.greatest(F.length("_ta"), F.length("_tb"))
-    return (
+    scored = (
         cands.join(ta, "doc_a")
         .join(tb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             "hamming",
-            lev.cast("int").alias("edit_distance"),
-            F.when(longest > 0, F.expr(
-                f"CAST(levenshtein(_ta, _tb) * 10000 div "
-                f"greatest(length(_ta), length(_tb)) AS INT)"
-            )).otherwise(F.lit(0)).alias("ratio_bp"),
+            F.levenshtein("_ta", "_tb").cast("int").alias("edit_distance"),
+            F.greatest(F.length("_ta"), F.length("_tb"))
+            .cast("long")
+            .alias("_len"),
+        )
+    )
+    # distance * 10000 as BIGINT: a 32-bit product overflows at
+    # ~215k-char texts (ANSI mode aborts the job; non-ANSI wraps
+    # negative and falsely verifies dissimilar pairs)
+    ratio = F.when(
+        F.col("_len") > 0,
+        F.expr("CAST(CAST(edit_distance AS BIGINT) * 10000 div _len AS INT)"),
+    ).otherwise(F.lit(0))
+    return (
+        scored.select(
+            "doc_a", "doc_b", "hamming", "edit_distance",
+            ratio.alias("ratio_bp"),
         )
         .filter(F.col("ratio_bp") <= max_ratio_bp)
     )

@@ -545,51 +545,20 @@ def phash_near_pairs(
     Jaccard join). Output: (media_id_a, media_id_b, hamming), exact
     and duplicate-free.
     """
-    n_bands, band_bits = 7, 9
-    if not 0 <= max_hamming < n_bands:
-        raise ValueError(
-            f"banded join is exact only for max_hamming < {n_bands}; "
-            f"got {max_hamming}"
-        )
-    bands = F.array(
-        *[
-            F.shiftright(F.col(hash_col), band_bits * b).bitwiseAND(
-                F.lit((1 << band_bits) - 1)
-            )
-            for b in range(n_bands)
-        ]
+    from yacy_grid_crawler_spark.operators.dedup_text import (
+        banded_hamming_pairs,
     )
-    e = hashes.select(
-        F.col(id_col).alias("_pid"),
-        F.col(hash_col).alias("_ph"),
-        F.posexplode(bands).alias("band_no", "band_val"),
-    )
-    if band_df_cap is not None:
-        hot = (
-            e.groupBy("band_no", "band_val")
-            .count()
-            .filter(F.col("count") > band_df_cap)
-            .select("band_no", "band_val")
-        )
-        e = e.join(F.broadcast(hot), ["band_no", "band_val"], "left_anti")
-    a, b = e.alias("a"), e.alias("b")
-    ham = F.bit_count(
-        F.col("a._ph").bitwiseXOR(F.col("b._ph"))
-    ).cast("int")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a._pid") < F.col("b._pid")),
-        )
-        .select(
-            F.col("a._pid").alias(f"{id_col}_a"),
-            F.col("b._pid").alias(f"{id_col}_b"),
-            ham.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+
+    return banded_hamming_pairs(
+        hashes,
+        bits=PHASH_BITS,
+        max_hamming=max_hamming,
+        id_col=id_col,
+        hash_col=hash_col,
+        out_a=f"{id_col}_a",
+        out_b=f"{id_col}_b",
+        n_bands=7,
+        band_df_cap=band_df_cap,
     )
 
 

@@ -796,7 +796,10 @@ def pack_interleaved(
     text_chars = F.aggregate(
         F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text")),
         F.lit(0).cast("long"),
-        lambda acc, s: acc + F.length(s["text"]),
+        # coalesce: one NULL-text span must not null the document's
+        # whole cost (a NULL cost silently drops the doc from the
+        # prefix sum and shifts every later shard boundary)
+        lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)),
     )
     n_media = F.size(
         F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("media"))
