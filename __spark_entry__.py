@@ -1182,13 +1182,21 @@ def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunks(_cdc_input(spark, sf_dir))
 
 
-_CDC_CHUNKS_SQL = """
-  WITH raw AS (
-    SELECT doc_id, text FROM documents
-    UNION ALL
-    SELECT doc_id + 10000000 AS doc_id, text || ' (archived copy)' AS text
-    FROM documents WHERE doc_id % 3 = 0
-  ),
+# the re-encode/edit perturbation (middle char replaced) shared by
+# the phash, curate_media, and cdc_change_rate oracles — ONE copy
+_PERTURB_SQL = (
+    "substr(text, 1, length(text) // 2 - 1) || '~' || "
+    "substr(text, length(text) // 2 + 1, length(text))"
+)
+
+
+def _cdc_sql(raw_body: str) -> str:
+    """The CDC chunk pipeline (boundary rule + chunk table) over any
+    `raw(doc_id, text)` corpus body — ONE copy of the closed form,
+    shared by the cdc_chunks, cdc_savings, and cdc_change_rate
+    oracles."""
+    return f"""
+  WITH raw AS ({raw_body}),
   d AS (
     SELECT doc_id, text,
            list_transform(str_split(text, ''), x -> ord(x)) AS v,
@@ -1221,6 +1229,16 @@ _CDC_CHUNKS_SQL = """
 """
 
 
+_CDC_CHUNKS_SQL = _cdc_sql(
+    """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000 AS doc_id, text || ' (archived copy)' AS text
+    FROM documents WHERE doc_id % 3 = 0
+  """
+)
+
+
 def _q_cdc_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Storage-dedup estimate over the CDC chunk table (one-row
     rollup, integer-ppm dup share)."""
@@ -1230,6 +1248,76 @@ def _q_cdc_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return cdc_savings(cdc_chunks(_cdc_input(spark, sf_dir)))
+
+
+def _q_cdc_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document content-change fraction between two crawls,
+    measured on CDC chunks — the signal adaptive recrawl consumes.
+    The 'new crawl' appends a paragraph to every 4th doc and edits
+    the middle character of every 4k+1th; the rest are unchanged and
+    must score changed_bp = 0."""
+    from yacy_grid_crawler_spark.operators.dedup_text import (
+        cdc_change_rate,
+        cdc_chunks,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    d = F.col("doc_id")
+    new = docs.select(
+        "doc_id",
+        F.when(
+            d % 4 == 0,
+            F.concat("text", F.lit(" updated paragraph with fresh details")),
+        )
+        .when(
+            (d % 4 == 1) & (F.length("text") > 2),
+            F.expr(
+                "concat(substring(text, 1, length(text) div 2 - 1), '~', "
+                "substring(text, length(text) div 2 + 1, length(text)))"
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return cdc_change_rate(cdc_chunks(docs), cdc_chunks(new))
+
+
+_CDC_CHANGE_SQL = f"""
+  WITH oldc AS ({_cdc_sql("SELECT doc_id, text FROM documents")}),
+  newc AS ({_cdc_sql(f'''
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0
+                  THEN text || ' updated paragraph with fresh details'
+                WHEN doc_id % 4 = 1 AND length(text) > 2
+                  THEN {_PERTURB_SQL}
+                ELSE text END AS text
+    FROM documents
+  ''')}),
+  o AS (
+    SELECT doc_id, chunk_md5, CAST(SUM(chunk_len) AS BIGINT) AS _o
+    FROM oldc GROUP BY 1, 2
+  ),
+  n AS (
+    SELECT doc_id, chunk_md5, CAST(SUM(chunk_len) AS BIGINT) AS _n
+    FROM newc GROUP BY 1, 2
+  ),
+  j AS (
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           COALESCE(_o, 0) AS _o, COALESCE(_n, 0) AS _n
+    FROM o FULL OUTER JOIN n
+      ON o.doc_id = n.doc_id AND o.chunk_md5 = n.chunk_md5
+  ),
+  a AS (
+    SELECT doc_id, CAST(SUM(_o) AS BIGINT) AS old_chars,
+           CAST(SUM(_n) AS BIGINT) AS new_chars,
+           CAST(SUM(least(_o, _n)) AS BIGINT) AS shared_chars
+    FROM j GROUP BY 1
+  )
+  SELECT doc_id, old_chars, new_chars, shared_chars,
+         CAST(10000 - (10000 * shared_chars)
+              // greatest(old_chars, new_chars) AS INT) AS changed_bp
+  FROM a
+"""
 
 
 _CDC_SAVINGS_SQL = f"""
@@ -5955,13 +6043,6 @@ _DHASH_FROM_M_SQL = """
   )
 """
 
-# the re-encode stand-in's perturbation (middle char replaced) — one
-# copy shared by the phash_neardup and curate_media oracles
-_PERTURB_SQL = (
-    "substr(text, 1, length(text) // 2 - 1) || '~' || "
-    "substr(text, length(text) // 2 + 1, length(text))"
-)
-
 _MEDIA_PHASH_SQL = f"""
   WITH m0 AS (
     SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
@@ -7273,6 +7354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "cdc_chunks": _q_cdc_chunks,
         "cdc_savings": _q_cdc_savings,
+        "cdc_change_rate": _q_cdc_change_rate,
         "prefix_filter_pairs": _q_prefix_filter_pairs,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -7434,6 +7516,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "cdc_chunks": _CDC_CHUNKS_SQL,
         "cdc_savings": _CDC_SAVINGS_SQL,
+        "cdc_change_rate": _CDC_CHANGE_SQL,
         "prefix_filter_pairs": _PREFIX_FILTER_SQL,
         "dedup_embedding": _DEDUP_EMBEDDING_SQL,
         "ann_cosine_topk": _ANN_SQL,

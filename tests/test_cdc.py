@@ -148,3 +148,43 @@ def test_cdc_plan_shape(spark):
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("MapInPandas (") <= 1
+
+
+def test_cdc_change_rate_semantics(spark):
+    """Unchanged -> 0 bp; disjoint rewrite -> 10000 bp; a small append
+    scores low; deleted/new docs score 10000 against an empty side."""
+    from yacy_grid_crawler_spark.operators.dedup_text import (
+        cdc_change_rate,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog. " * 30
+    old = spark.createDataFrame(
+        [(1, base), (2, base), (3, base), (4, base), (5, "")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),                      # unchanged
+            (2, base + " EDIT-FOOTER"),     # small append
+            (3, "Z" * len(base)),           # full rewrite, same size
+            # 4 deleted (no new row), 5 empty both sides
+            (5, ""),
+            (6, base),                      # newly discovered doc
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in cdc_change_rate(cdc_chunks(old), cdc_chunks(new)).collect()
+    }
+    assert got[1]["changed_bp"] == 0
+    assert 0 < got[2]["changed_bp"] < 2000
+    assert got[3]["changed_bp"] == 10000
+    assert got[4]["changed_bp"] == 10000 and got[4]["new_chars"] == 0
+    assert got[6]["changed_bp"] == 10000 and got[6]["old_chars"] == 0
+    assert 5 not in got  # empty in both versions -> no chunks, no row
+    # integer law: bp = 10000 - 10000*shared // max(old, new)
+    for r in got.values():
+        assert r["changed_bp"] == 10000 - (10000 * r["shared_chars"]) // max(
+            r["old_chars"], r["new_chars"]
+        )

@@ -1453,3 +1453,52 @@ def edit_verified_pairs(
         )
         .filter(F.col("ratio_bp") <= max_ratio_bp)
     )
+
+
+def cdc_change_rate(
+    old_chunks: DataFrame, new_chunks: DataFrame
+) -> DataFrame:
+    """Per-document change fraction between two crawls of the same
+    corpus, measured on CDC chunks — the content-change signal an
+    adaptive recrawl scheduler consumes (a doc whose chunks barely
+    moved gets a longer revisit interval; boilerplate-only churn
+    scores near 0 because CDC boundaries ride with the content).
+
+    shared_chars = Σ over chunk_md5 of min(old_len, new_len) per doc
+    (multiplicity-aware: a chunk repeated 3× old / 2× new shares 2×);
+    changed_bp = 10000 − 10000·shared div max(old_chars, new_chars) —
+    integer basis points, engine-exact. Docs empty in BOTH versions
+    emit nothing (no chunks on either side).
+
+    Scale shape: two per-(doc, md5) map-side-combining aggs, ONE
+    full-outer equi-join on (doc_id, chunk_md5) — narrow 32-hex keys,
+    text never moves — then one per-doc agg.
+    """
+
+    def per(df, side):
+        return df.groupBy("doc_id", "chunk_md5").agg(
+            F.sum("chunk_len").cast("long").alias(side)
+        )
+
+    o = per(old_chunks, "_o")
+    n = per(new_chunks, "_n")
+    j = o.join(n, ["doc_id", "chunk_md5"], "full_outer").select(
+        "doc_id",
+        F.coalesce("_o", F.lit(0)).alias("_o"),
+        F.coalesce("_n", F.lit(0)).alias("_n"),
+    )
+    agg = j.groupBy("doc_id").agg(
+        F.sum("_o").alias("old_chars"),
+        F.sum("_n").alias("new_chars"),
+        F.sum(F.least("_o", "_n")).alias("shared_chars"),
+    )
+    return agg.select(
+        "doc_id",
+        "old_chars",
+        "new_chars",
+        "shared_chars",
+        F.expr(
+            "CAST(10000 - (10000 * shared_chars)"
+            " div greatest(old_chars, new_chars) AS INT)"
+        ).alias("changed_bp"),
+    )
