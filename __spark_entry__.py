@@ -860,6 +860,23 @@ _ASSEMBLE_TEXT_SQL = """
 """
 
 
+def _q_corpus_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (lang x source) grouping combinations in one CUBE pass —
+    cells, both marginals, and the grand total, with the ANSI
+    grouping bitmask (operators/textstats.py::corpus_cube)."""
+    from yacy_grid_crawler_spark.operators.textstats import corpus_cube
+
+    return corpus_cube(_docs(spark, sf_dir))
+
+
+_CORPUS_CUBE_SQL = """
+  SELECT lang, source, CAST(GROUPING(lang, source) AS INT) AS gid,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(length(text)) AS BIGINT) AS n_chars
+  FROM documents GROUP BY CUBE (lang, source)
+"""
+
+
 def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus profile with exact quantiles (Spark and
     DuckDB interpolate identically — value-hash-exact)."""
@@ -7345,6 +7362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_verified": _q_dedup_verified,
         "incremental_novelty": _q_incremental_novelty,
         "corpus_stats": _q_corpus_stats,
+        "corpus_cube": _q_corpus_cube,
         "span_diff": _q_span_diff,
         "caption_pairs": _q_caption_pairs,
         "assemble_text": _q_assemble_text,
@@ -7507,6 +7525,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_verified": _DEDUP_VERIFIED_SQL,
         "incremental_novelty": _INCREMENTAL_SQL,
         "corpus_stats": _CORPUS_STATS_SQL,
+        "corpus_cube": _CORPUS_CUBE_SQL,
         "span_diff": _SPAN_DIFF_SQL,
         "caption_pairs": _CAPTION_PAIRS_SQL,
         "assemble_text": _ASSEMBLE_TEXT_SQL,

@@ -1389,3 +1389,28 @@ def known_item_eval(
             hit(10).alias("hit10"),
         )
     )
+
+
+def corpus_cube(docs: DataFrame) -> DataFrame:
+    """Multi-dimensional corpus composition in ONE pass: doc counts
+    and char volume for every (lang x source) grouping combination —
+    the (lang, source) cells, per-lang and per-source marginals, and
+    the grand total — via CUBE. `gid` is the standard grouping
+    bitmask (Spark grouping_id == ANSI GROUPING(lang, source)), which
+    is what lets a consumer tell an aggregate-level NULL from a data
+    NULL in the dimension columns.
+
+    Scale shape: CUBE compiles to one Expand (x4 rows, each tagged
+    with its grouping set) feeding a single map-side-combining
+    aggregate — one shuffle total, vs four separate jobs for the four
+    group-bys. The x4 pre-shuffle expansion is the trade; with many
+    more dimensions, re-aggregating marginals from the finest-level
+    result is the cheaper shape.
+
+    Output: (lang, source, gid, n_docs, n_chars).
+    """
+    return docs.cube("lang", "source").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+    )
