@@ -6,7 +6,6 @@ plan shape. Cross-engine value equality is pinned by the oracle gate
 
 import hashlib
 
-import pytest
 from pyspark.sql import functions as F
 
 from yacy_grid_crawler_spark.operators.dedup_text import (
