@@ -210,6 +210,7 @@ def simhash_near_pairs(
     docs: DataFrame,
     bits: int = SIMHASH_BITS,
     max_hamming: int = 3,
+    band_df_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs at simhash hamming distance <= max_hamming,
     via pigeonhole band blocking. Output: (doc_a, doc_b, hamming) with
@@ -229,7 +230,8 @@ def simhash_near_pairs(
     final pair collapse (a pair can collide on several bands) is one
     map-side-combining agg. Hot bands (e.g. the all-zeros band over
     short docs) are AQE skew-join territory, same as the minhash LSH
-    operator above.
+    operator above; `band_df_cap` drops degenerate buckets outright
+    (documented recall loss — see banded_hamming_pairs).
     """
     sh = simhash_docs(docs, bits)
     return banded_hamming_pairs(
@@ -240,6 +242,7 @@ def simhash_near_pairs(
         hash_col="simhash",
         out_a="doc_a",
         out_b="doc_b",
+        band_df_cap=band_df_cap,
     )
 
 
@@ -1404,6 +1407,7 @@ def edit_verified_pairs(
     max_ratio_bp: int = 2000,
     max_hamming: int = 3,
     bits: int = SIMHASH_BITS,
+    band_df_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs verified by EXACT edit distance — the
     highest-precision verify stage in the dedup family. Banded simhash
@@ -1423,7 +1427,9 @@ def edit_verified_pairs(
     doc_a < doc_b, ratio_bp = distance * 10000 div max(len) (0 for
     two empty texts).
     """
-    cands = simhash_near_pairs(docs, bits=bits, max_hamming=max_hamming)
+    cands = simhash_near_pairs(
+        docs, bits=bits, max_hamming=max_hamming, band_df_cap=band_df_cap
+    )
     ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
     tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
     scored = (
