@@ -1490,6 +1490,107 @@ _ANN_SQ8_SQL = """
 """
 
 
+def _q_ann_pq_topk(spark, sf_dir):
+    """Product-quantized ADC top-k (Jegou et al. 2011): global int
+    quantization -> deterministic md5-seeded 8x16 codebook -> argmin
+    codes (zero-shuffle projection) -> per-query LUT + broadcast ADC
+    scan over 8 ints/vector. Exact long distances: bit-reproducible."""
+    from yacy_grid_crawler_spark.operators.similarity import pq_topk
+
+    return pq_topk(_emb(spark, sf_dir))
+
+
+_ANN_PQ_SQL = """
+  WITH qv AS (
+    SELECT vec_id,
+           list_transform(embedding::double[],
+                          x -> CAST(floor(x * 1000 + 0.5) AS bigint)) AS qvec
+    FROM embeddings
+  ),
+  ss AS (SELECT unnest(range(8)) AS s),
+  seeds AS (
+    SELECT qvec,
+           row_number() OVER (
+             ORDER BY md5(CAST(vec_id AS varchar)), vec_id) - 1 AS code
+    FROM qv QUALIFY code < 16
+  ),
+  cents AS (
+    SELECT s, code, qvec[(8*s + 1):(8*s + 8)] AS cent
+    FROM seeds CROSS JOIN ss
+  ),
+  subs AS (
+    SELECT vec_id, s, qvec[(8*s + 1):(8*s + 8)] AS sub
+    FROM qv CROSS JOIN ss
+  ),
+  enc AS (
+    SELECT vec_id, s, code FROM (
+      SELECT q.vec_id, q.s, c.code,
+             row_number() OVER (
+               PARTITION BY q.vec_id, q.s
+               ORDER BY list_sum(list_transform(list_zip(q.sub, c.cent),
+                                                p -> (p[1]-p[2])*(p[1]-p[2]))),
+                        c.code
+             ) AS rn
+      FROM subs q JOIN cents c ON c.s = q.s
+    ) WHERE rn = 1
+  ),
+  terms AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           list_sum(list_transform(list_zip(q.sub, c.cent),
+                                   p -> (p[1]-p[2])*(p[1]-p[2]))) AS term
+    FROM subs q
+    JOIN enc e ON e.s = q.s AND e.vec_id <> q.vec_id
+    JOIN cents c ON c.s = q.s AND c.code = e.code
+    WHERE q.vec_id % 50 = 0
+  ),
+  adc AS (
+    SELECT query_id, neighbor_id, CAST(sum(term) AS bigint) AS adc_dist
+    FROM terms GROUP BY 1, 2
+  )
+  SELECT query_id, rank, neighbor_id, adc_dist FROM (
+    SELECT query_id, neighbor_id, adc_dist,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist, neighbor_id) AS rank
+    FROM adc
+  ) WHERE rank <= 5
+"""
+
+
+def _q_corpus_drift(spark, sf_dir):
+    """Unigram drift between the doc_id-parity crawl halves, ranked by
+    the exact-BIGINT cross-multiplied |p_a - p_b|."""
+    from yacy_grid_crawler_spark.operators.textstats import corpus_drift
+
+    return corpus_drift(_docs(spark, sf_dir))
+
+
+_CORPUS_DRIFT_SQL = """
+  WITH w AS (
+    SELECT doc_id % 2 AS crawl,
+           unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents
+  ),
+  counts AS (
+    SELECT word,
+           CAST(sum(CASE WHEN crawl = 0 THEN 1 ELSE 0 END) AS bigint) AS cnt_a,
+           CAST(sum(CASE WHEN crawl = 1 THEN 1 ELSE 0 END) AS bigint) AS cnt_b
+    FROM w GROUP BY word
+  ),
+  tot AS (
+    SELECT CAST(sum(cnt_a) AS bigint) AS ta, CAST(sum(cnt_b) AS bigint) AS tb
+    FROM counts
+  )
+  SELECT word, cnt_a, cnt_b,
+         round(cnt_a / ta, 6) AS p_a,
+         round(cnt_b / tb, 6) AS p_b,
+         abs(cnt_a * tb - cnt_b * ta) AS drift_score
+  FROM counts, tot
+  ORDER BY drift_score DESC, word ASC
+  LIMIT 50
+"""
+
+
+
 def _q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based Jaccard estimates on the LSH candidate pairs —
     j_est = agreeing minhash components / 8."""
@@ -7382,6 +7483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_sq8_topk": _q_ann_sq8_topk,
+        "ann_pq_topk": _q_ann_pq_topk,
+        "corpus_drift": _q_corpus_drift,
         "minhash_jaccard_est": _q_minhash_jaccard_est,
         "lang_id": _q_lang_id,
         "lang_confusion": _q_lang_confusion,
@@ -7629,6 +7732,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall": _ANN_RECALL_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
         "ann_sq8_topk": _ANN_SQ8_SQL,
+        "ann_pq_topk": _ANN_PQ_SQL,
+        "corpus_drift": _CORPUS_DRIFT_SQL,
         "minhash_jaccard_est": _MINHASH_JEST_SQL,
         "dedup_embedding_lsh": _DEDUP_EMBEDDING_LSH_SQL,
         "dedup_recall": _DEDUP_RECALL_SQL,

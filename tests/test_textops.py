@@ -1713,3 +1713,35 @@ def test_span_lint_pure_codegen(spark):
     )
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_corpus_drift_ranks_shifted_words_first(spark):
+    """Hand-built two-snapshot corpus: 'alpha' only in crawl A (even
+    doc_ids), 'beta' only in crawl B, 'common' everywhere. The
+    drifted words outrank the common one, counts and exact BIGINT
+    drift scores match the hand computation, and probabilities sum
+    to ~1 per side over the full vocab."""
+    from yacy_grid_crawler_spark.operators.textstats import corpus_drift
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha alpha common"),
+            (2, "alpha common"),
+            (1, "beta common common"),
+            (3, "beta beta common"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["word"]: r for r in corpus_drift(docs, top_n=10).collect()}
+    # totals: A = 5 words (3 alpha + 2 common), B = 6 (3 beta + 3 common)
+    assert rows["alpha"]["cnt_a"] == 3 and rows["alpha"]["cnt_b"] == 0
+    assert rows["beta"]["cnt_a"] == 0 and rows["beta"]["cnt_b"] == 3
+    assert rows["alpha"]["drift_score"] == abs(3 * 6 - 0 * 5)
+    assert rows["beta"]["drift_score"] == abs(0 * 6 - 3 * 5)
+    assert rows["common"]["drift_score"] == abs(2 * 6 - 3 * 5)
+    order = sorted(
+        rows.values(), key=lambda r: (-r["drift_score"], r["word"])
+    )
+    assert [r["word"] for r in order] == ["alpha", "beta", "common"]
+    assert abs(sum(r["p_a"] for r in rows.values()) - 1.0) < 1e-4
+    assert abs(sum(r["p_b"] for r in rows.values()) - 1.0) < 1e-4

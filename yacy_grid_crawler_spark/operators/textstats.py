@@ -1414,3 +1414,55 @@ def corpus_cube(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.length("text")).cast("long").alias("n_chars"),
     )
+
+
+def corpus_drift(docs: DataFrame, top_n: int = 50) -> DataFrame:
+    """Unigram distribution shift between two crawl snapshots — the
+    drift monitor a recrawl pipeline runs before retraining on a new
+    dump (did the token mix move?). Snapshots here are the
+    deterministic doc_id-parity halves of the corpus (crawl A =
+    even ids, B = odd); in production the two sides are two crawl
+    partitions of the same table.
+
+    Per-word drift is ranked by |cnt_a * tot_b - cnt_b * tot_a| — the
+    cross-multiplied form of |p_a - p_b| that stays in exact BIGINT
+    arithmetic, so the top-n cut is bit-stable across engines; the
+    probabilities themselves are emitted rounded for reporting.
+
+    Scale shape: one word-key shuffle with map-side combine (the
+    explode collapses into partial counts before exchange), a 1-row
+    totals aggregate broadcast back, and a global top-n that Spark
+    executes as per-partition partial TakeOrdered — no full sort of
+    the vocabulary. Output: (word, cnt_a, cnt_b, p_a, p_b,
+    drift_score).
+    """
+    words = docs.select(
+        (F.col("doc_id") % 2).alias("_crawl"),
+        F.explode(_words()).alias("word"),
+    )
+    counts = words.groupBy("word").agg(
+        F.sum(F.when(F.col("_crawl") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("cnt_a"),
+        F.sum(F.when(F.col("_crawl") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("cnt_b"),
+    )
+    tot = counts.agg(
+        F.sum("cnt_a").alias("_ta"), F.sum("cnt_b").alias("_tb")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "word",
+            "cnt_a",
+            "cnt_b",
+            F.round(F.col("cnt_a") / F.col("_ta"), 6).alias("p_a"),
+            F.round(F.col("cnt_b") / F.col("_tb"), 6).alias("p_b"),
+            F.abs(
+                F.col("cnt_a") * F.col("_tb") - F.col("cnt_b") * F.col("_ta")
+            ).alias("drift_score"),
+        )
+        .orderBy(F.desc("drift_score"), F.asc("word"))
+        .limit(top_n)
+    )
