@@ -1589,6 +1589,94 @@ _CORPUS_DRIFT_SQL = """
   LIMIT 50
 """
 
+def _q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ: coarse stride-seeded inverted file (n_probe=3) pruning
+    + PQ/ADC lookup scoring — both codebooks as broadcast literals,
+    zero-shuffle encode, bucket equi-join probe. Exact long math."""
+    from yacy_grid_crawler_spark.operators.similarity import ivfpq_topk
+
+    return ivfpq_topk(_emb(spark, sf_dir))
+
+
+_ANN_IVFPQ_SQL = """
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding::double[],
+                        x -> CAST(floor(x * 1000 + 0.5) AS bigint)) AS qvec
+  FROM embeddings
+),
+ss AS (SELECT unnest(range(8)) AS s),
+seeds AS (
+  SELECT qvec,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS varchar)), vec_id) - 1 AS code
+  FROM qv QUALIFY code < 16
+),
+cents AS (
+  SELECT s, code, qvec[(8*s + 1):(8*s + 8)] AS cent
+  FROM seeds CROSS JOIN ss
+),
+subs AS (
+  SELECT vec_id, s, qvec[(8*s + 1):(8*s + 8)] AS sub
+  FROM qv CROSS JOIN ss
+),
+enc AS (
+  SELECT vec_id, s, code FROM (
+    SELECT q.vec_id, q.s, c.code,
+           row_number() OVER (
+             PARTITION BY q.vec_id, q.s
+             ORDER BY list_sum(list_transform(list_zip(q.sub, c.cent),
+                                              p -> (p[1]-p[2])*(p[1]-p[2]))),
+                      c.code
+           ) AS rn
+    FROM subs q JOIN cents c ON c.s = q.s
+  ) WHERE rn = 1
+),
+nrow AS (SELECT count(*) AS n FROM qv),
+coarse AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qvec AS cvec
+  FROM qv, nrow WHERE vec_id % greatest(n // 8, 1) = 0
+  QUALIFY cid < 8
+),
+cass AS (
+  SELECT vec_id, cid, row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_sum(list_transform(list_zip(q.qvec, c.cvec),
+                                            p -> (p[1]-p[2])*(p[1]-p[2]))),
+                    c.cid
+         ) AS rn
+  FROM qv q CROSS JOIN coarse c
+),
+assign AS (SELECT vec_id, cid AS bucket FROM cass WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS query_id, cid AS bucket FROM cass
+  WHERE rn <= 3 AND vec_id % 50 = 0
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM qprobe p JOIN assign a ON a.bucket = p.bucket
+  WHERE a.vec_id <> p.query_id
+),
+adc AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(sum(list_sum(list_transform(list_zip(q.sub, ct.cent),
+                                          p -> (p[1]-p[2])*(p[1]-p[2])))) AS bigint)
+           AS adc_dist
+  FROM cand c
+  JOIN subs q ON q.vec_id = c.query_id
+  JOIN enc e ON e.vec_id = c.neighbor_id AND e.s = q.s
+  JOIN cents ct ON ct.s = e.s AND ct.code = e.code
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, neighbor_id, adc_dist FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS rank
+  FROM adc
+) WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 
 
 def _q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7485,6 +7573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq8_topk": _q_ann_sq8_topk,
         "ann_pq_topk": _q_ann_pq_topk,
         "corpus_drift": _q_corpus_drift,
+        "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "minhash_jaccard_est": _q_minhash_jaccard_est,
         "lang_id": _q_lang_id,
         "lang_confusion": _q_lang_confusion,
@@ -7734,6 +7823,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_sq8_topk": _ANN_SQ8_SQL,
         "ann_pq_topk": _ANN_PQ_SQL,
         "corpus_drift": _CORPUS_DRIFT_SQL,
+        "ann_ivfpq_topk": _ANN_IVFPQ_SQL,
         "minhash_jaccard_est": _MINHASH_JEST_SQL,
         "dedup_embedding_lsh": _DEDUP_EMBEDDING_LSH_SQL,
         "dedup_recall": _DEDUP_RECALL_SQL,

@@ -419,3 +419,52 @@ def test_pq_adc_distance_is_exact_python_replica(spark, emb):
             l2(qsub[s], cents[s][codes[r["neighbor_id"]][s]]) for s in range(8)
         )
         assert r["adc_dist"] == expect
+
+
+def test_ivfpq_bucket_consistency_and_plan(spark, emb):
+    """Every IVF-PQ neighbor must live in one of its query's n_probe
+    coarse buckets (computed independently in Python with the same
+    stride + exact-L2 argmin rule); encode+assign stays zero-shuffle;
+    the probe join broadcasts the query side. ADC distances agree
+    with flat pq_topk wherever both return the same pair (same
+    codebook, so identical lookup sums)."""
+    from yacy_grid_crawler_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    out = ivfpq_topk(emb, top_k=5, query_mod=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, plan
+
+    vecs = {
+        r["vec_id"]: [math.floor(x * 1000 + 0.5) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    n = len(vecs)
+    stride = max(n // 8, 1)
+    coarse = [vecs[v] for v in sorted(v for v in vecs if v % stride == 0)[:8]]
+
+    def ranked(vid):
+        return sorted(range(8), key=lambda c: (l2(vecs[vid], coarse[c]), c))
+
+    assign = {v: ranked(v)[0] for v in vecs}
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        probes = ranked(r["query_id"])[:3]
+        assert assign[r["neighbor_id"]] in probes, r
+
+    flat = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in pq_topk(emb, top_k=5, query_mod=100).collect()
+    }
+    for r in rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in flat:
+            assert flat[key] == r["adc_dist"]

@@ -522,7 +522,9 @@ def pq_codebook(
 
 
 def pq_encode(
-    quantized: DataFrame, cents: list[list[list[int]]]
+    quantized: DataFrame,
+    cents: list[list[list[int]]],
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode each vector as m one-byte-range codes: per subspace,
     argmin squared-L2 against the 16 centroid literals (first-min =
@@ -551,7 +553,9 @@ def pq_encode(
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
     return quantized.select(
-        "vec_id", F.array(*[code_expr(s) for s in range(m)]).alias("codes")
+        "vec_id",
+        F.array(*[code_expr(s) for s in range(m)]).alias("codes"),
+        *keep,
     )
 
 
@@ -611,6 +615,116 @@ def pq_topk(
     )
     pairs = (
         coded.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "rank", "neighbor_id", "adc_dist")
+    )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    top_k: int = TOP_K,
+    query_mod: int = QUERY_MOD,
+    n_coarse: int = 8,
+    n_probe: int = 3,
+    m: int = PQ_M,
+    k: int = PQ_K,
+) -> DataFrame:
+    """IVF-PQ — the production ANN stack at 10^10 vectors: a coarse
+    inverted file prunes the scan to `n_probe` buckets, and PQ/ADC
+    scores what remains with m table lookups per candidate. Coarse
+    centroids use the same deterministic vec_id-stride rule as
+    ivf_bucket_topk (`similarity.py:140-150`); assignment is argmin
+    exact integer L2 (consistent with ADC's metric, unlike the cosine
+    flat-IVF variant), tie-break on centroid id.
+
+    Scale shape: BOTH codebooks ride as broadcast literals — coarse
+    assignment and PQ encoding are one zero-shuffle projection over
+    the base table; the probe is an equi-join on the bucket id
+    against a broadcast exploded query side (queries x n_probe rows);
+    scoring touches only (bucket, codes) — 8 ints/vector. The only
+    shuffle is the per-query top-k window. All distances exact longs.
+    """
+    from pyspark.sql import Window
+
+    qv = pq_quantize(vectors)
+    cents = pq_codebook(qv, m=m, k=k)
+    dsub = len(cents[0][0])
+
+    n = qv.count()  # bounded metadata read, same as ivf_bucket_topk
+    stride = max(n // n_coarse, 1)
+    coarse = [
+        list(r.qvec)
+        for r in qv.filter(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .limit(n_coarse)
+        .select("qvec")
+        .collect()
+    ]
+    coarse_lit = F.array(
+        *[F.array(*[F.lit(int(x)) for x in c]) for c in coarse]
+    )
+    cdists = F.transform(coarse_lit, lambda cv: _int_l2(F.col("qvec"), cv))
+    # argsort by (dist, cid): zip dists with their index, array_sort
+    # orders structs lexicographically — exact-integer tie-break.
+    ranked_buckets = F.array_sort(
+        F.transform(
+            cdists,
+            lambda d, i: F.struct(d.alias("d"), i.cast("int").alias("c")),
+        )
+    )
+    bucket = F.element_at(ranked_buckets, 1)["c"]
+
+    coded = pq_encode(
+        qv.withColumn("bucket", bucket), cents, keep=("bucket",)
+    )
+
+    def cent_lit(s):
+        return F.array(
+            *[
+                F.array(*[F.lit(int(v)) for v in cents[s][c]])
+                for c in range(k)
+            ]
+        )
+
+    def lut_sub(s):
+        return F.transform(
+            cent_lit(s),
+            lambda cv: _int_l2(F.slice("qvec", dsub * s + 1, dsub), cv),
+        )
+
+    lut = F.array(*[lut_sub(s) for s in range(m)])
+    probes = F.transform(
+        F.slice(ranked_buckets, 1, n_probe), lambda x: x["c"]
+    )
+    queries = (
+        qv.filter(F.col("vec_id") % query_mod == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            lut.alias("_lut"),
+            F.explode(probes).alias("bucket"),
+        )
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("_lut"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        ),
+    )
+    pairs = (
+        coded.join(F.broadcast(queries), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
