@@ -468,3 +468,26 @@ def test_ivfpq_bucket_consistency_and_plan(spark, emb):
         key = (r["query_id"], r["neighbor_id"])
         if key in flat:
             assert flat[key] == r["adc_dist"]
+
+
+def test_pq_encode_arrow_equals_expr(spark, emb):
+    """The numpy Arrow encoder is pinned bit-for-bit to the pure-JVM
+    expression form (both exact int64, same first-min tie-break) —
+    the fast path can never drift from the executable spec."""
+    from yacy_grid_crawler_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+        pq_quantize,
+    )
+
+    qv = pq_quantize(emb).withColumn("tag", F.col("vec_id") % 7)
+    cents = pq_codebook(qv, m=8, k=16)
+    a = {
+        r["vec_id"]: (list(r["codes"]), r["tag"])
+        for r in pq_encode(qv, cents, keep=("tag",), impl="arrow").collect()
+    }
+    b = {
+        r["vec_id"]: (list(r["codes"]), r["tag"])
+        for r in pq_encode(qv, cents, keep=("tag",), impl="expr").collect()
+    }
+    assert a == b
