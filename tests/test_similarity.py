@@ -491,3 +491,40 @@ def test_pq_encode_arrow_equals_expr(spark, emb):
         for r in pq_encode(qv, cents, keep=("tag",), impl="expr").collect()
     }
     assert a == b
+
+
+def test_pq_codebook_guards(spark):
+    """Empty input and non-divisible dim fail loudly instead of
+    silently dropping trailing dimensions."""
+    from yacy_grid_crawler_spark.operators.similarity import (
+        pq_codebook,
+        pq_quantize,
+    )
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="at least 1 vector"):
+        pq_codebook(pq_quantize(empty))
+    seven = spark.createDataFrame(
+        [(1, [0.1] * 63)], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebook(pq_quantize(seven), m=8)
+
+
+def test_ivfpq_cache_registry_sweeps(spark, emb):
+    """cache_registry persists the quantized table for the setup
+    passes; results are identical with and without it."""
+    from yacy_grid_crawler_spark.operators.similarity import ivfpq_topk
+
+    caches = []
+    with_cache = sorted(
+        tuple(r)
+        for r in ivfpq_topk(emb, query_mod=100, cache_registry=caches).collect()
+    )
+    assert len(caches) == 1 and caches[0].is_cached
+    without = sorted(
+        tuple(r) for r in ivfpq_topk(emb, query_mod=100).collect()
+    )
+    for c in caches:
+        c.unpersist()
+    assert with_cache == without

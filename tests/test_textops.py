@@ -1739,9 +1739,11 @@ def test_corpus_drift_ranks_shifted_words_first(spark):
     assert rows["alpha"]["drift_score"] == abs(3 * 6 - 0 * 5)
     assert rows["beta"]["drift_score"] == abs(0 * 6 - 3 * 5)
     assert rows["common"]["drift_score"] == abs(2 * 6 - 3 * 5)
-    order = sorted(
-        rows.values(), key=lambda r: (-r["drift_score"], r["word"])
-    )
-    assert [r["word"] for r in order] == ["alpha", "beta", "common"]
+    # the operator's OWN row order: drift desc, word asc
+    ordered = [r["word"] for r in corpus_drift(docs, top_n=10).collect()]
+    assert ordered == ["alpha", "beta", "common"]
+    # top_n cuts after ordering
+    cut = [r["word"] for r in corpus_drift(docs, top_n=2).collect()]
+    assert cut == ["alpha", "beta"]
     assert abs(sum(r["p_a"] for r in rows.values()) - 1.0) < 1e-4
     assert abs(sum(r["p_b"] for r in rows.values()) - 1.0) < 1e-4

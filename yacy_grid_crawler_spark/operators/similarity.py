@@ -513,12 +513,72 @@ def pq_codebook(
         .select("qvec")
         .collect()
     )
+    if not rows:
+        raise ValueError("pq_codebook: need at least 1 vector to seed")
     dim = len(rows[0].qvec)
+    if dim % m != 0:
+        raise ValueError(
+            f"pq_codebook: dim {dim} not divisible by m={m} subspaces — "
+            "trailing dimensions would be silently dropped"
+        )
     dsub = dim // m
     return [
         [list(r.qvec[dsub * s : dsub * s + dsub]) for r in rows]
         for s in range(m)
     ]
+
+
+def _cent_lit(cents: list[list[list[int]]], s: int):
+    """Subspace s's k centroids as a nested array literal."""
+    return F.array(
+        *[
+            F.array(*[F.lit(int(v)) for v in cents[s][c]])
+            for c in range(len(cents[s]))
+        ]
+    )
+
+
+def _pq_lut(cents: list[list[list[int]]]):
+    """Per-query m x k ADC lookup table over the `qvec` column: exact
+    subspace squared-L2 to every centroid. NOTE: the transform lambda
+    must stay single-argument — a second arg would make Spark pass the
+    ELEMENT INDEX into it."""
+    dsub = len(cents[0][0])
+
+    def lut_sub(s):
+        return F.transform(
+            _cent_lit(cents, s),
+            lambda cv: _int_l2(F.slice("qvec", dsub * s + 1, dsub), cv),
+        )
+
+    return F.array(*[lut_sub(s) for s in range(len(cents))])
+
+
+def _adc_expr(m: int):
+    """Sum of m LUT lookups: `_lut[s][codes[s]]` over s in [0, m)."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("_lut"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        ),
+    )
+
+
+def _rank_topk(pairs: DataFrame, top_k: int) -> DataFrame:
+    """Per-query top-k by (adc_dist, neighbor_id) — the only shuffle
+    in either PQ plan (tiny: queries x candidates rows keyed on
+    query_id)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "rank", "neighbor_id", "adc_dist")
+    )
 
 
 def pq_encode(
@@ -553,20 +613,11 @@ def pq_encode(
     if impl == "arrow":
         return _pq_encode_arrow(quantized, cents, keep=keep)
     m = len(cents)
-    k = len(cents[0])
     dsub = len(cents[0][0])
-
-    def cent_lit(s):
-        return F.array(
-            *[
-                F.array(*[F.lit(int(v)) for v in cents[s][c]])
-                for c in range(k)
-            ]
-        )
 
     def code_expr(s):
         sub = F.slice("qvec", dsub * s + 1, dsub)
-        dists = F.transform(cent_lit(s), lambda cv: _int_l2(sub, cv))
+        dists = F.transform(_cent_lit(cents, s), lambda cv: _int_l2(sub, cv))
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
     return quantized.select(
@@ -639,55 +690,22 @@ def pq_topk(
     IVF bucket join for the production IVF-PQ stack. All distances
     are exact longs — bit-reproducible vs the DuckDB oracle.
     """
-    from pyspark.sql import Window
-
     qv = pq_quantize(vectors)
     cents = pq_codebook(qv, m=m, k=k)
-    dsub = len(cents[0][0])
     coded = pq_encode(qv, cents)
 
-    def cent_lit(s):
-        return F.array(
-            *[
-                F.array(*[F.lit(int(v)) for v in cents[s][c]])
-                for c in range(k)
-            ]
-        )
-
-    def lut_sub(s):
-        # NOTE: the transform lambda must stay single-argument — a
-        # second arg would make Spark pass the ELEMENT INDEX into it.
-        return F.transform(
-            cent_lit(s), lambda cv: _int_l2(F.slice("qvec", dsub * s + 1, dsub), cv)
-        )
-
-    lut = F.array(*[lut_sub(s) for s in range(m)])
     queries = qv.filter(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("query_id"), lut.alias("_lut")
-    )
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at(F.col("_lut"), s + 1),
-            F.element_at(F.col("codes"), s + 1) + 1,
-        ),
+        F.col("vec_id").alias("query_id"), _pq_lut(cents).alias("_lut")
     )
     pairs = (
         coded.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            adc.alias("adc_dist"),
+            _adc_expr(m).alias("adc_dist"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
-        .select("query_id", "rank", "neighbor_id", "adc_dist")
-    )
+    return _rank_topk(pairs, top_k)
 
 
 def ivfpq_topk(
@@ -698,6 +716,7 @@ def ivfpq_topk(
     n_probe: int = 3,
     m: int = PQ_M,
     k: int = PQ_K,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """IVF-PQ — the production ANN stack at 10^10 vectors: a coarse
     inverted file prunes the scan to `n_probe` buckets, and PQ/ADC
@@ -709,16 +728,26 @@ def ivfpq_topk(
 
     Scale shape: BOTH codebooks ride as broadcast literals — coarse
     assignment and PQ encoding are one zero-shuffle projection over
-    the base table; the probe is an equi-join on the bucket id
-    against a broadcast exploded query side (queries x n_probe rows);
-    scoring touches only (bucket, codes) — 8 ints/vector. The only
-    shuffle is the per-query top-k window. All distances exact longs.
-    """
-    from pyspark.sql import Window
+    the base table; the probe is a broadcast equi-join on the bucket
+    id against a SKINNY (query_id, bucket) relation — the m x k LUTs
+    join in separately, one row per query, so they are never
+    duplicated per probe; scoring touches only (bucket, codes) —
+    8 ints/vector. The only shuffle is the per-query top-k window.
+    All distances exact longs.
 
+    Setup runs three bounded driver actions (codebook, count, coarse
+    seeds) over the quantized input; pass `cache_registry` (a list the
+    CALLER sweeps with .unpersist(), same contract as
+    minhash_lsh_pairs) to persist the quantized table so those setup
+    passes and the main scan read the cache instead of rescanning the
+    source — at 10^10 rows that is the difference between one and
+    four full input scans.
+    """
     qv = pq_quantize(vectors)
+    if cache_registry is not None:
+        qv = qv.persist()
+        cache_registry.append(qv)
     cents = pq_codebook(qv, m=m, k=k)
-    dsub = len(cents[0][0])
 
     n = qv.count()  # bounded metadata read, same as ivf_bucket_topk
     stride = max(n // n_coarse, 1)
@@ -748,56 +777,28 @@ def ivfpq_topk(
         qv.withColumn("bucket", bucket), cents, keep=("bucket",)
     )
 
-    def cent_lit(s):
-        return F.array(
-            *[
-                F.array(*[F.lit(int(v)) for v in cents[s][c]])
-                for c in range(k)
-            ]
-        )
-
-    def lut_sub(s):
-        return F.transform(
-            cent_lit(s),
-            lambda cv: _int_l2(F.slice("qvec", dsub * s + 1, dsub), cv),
-        )
-
-    lut = F.array(*[lut_sub(s) for s in range(m)])
+    qside = qv.filter(F.col("vec_id") % query_mod == 0)
+    qluts = qside.select(
+        F.col("vec_id").alias("query_id"), _pq_lut(cents).alias("_lut")
+    )
     probes = F.transform(
         F.slice(ranked_buckets, 1, n_probe), lambda x: x["c"]
     )
-    queries = (
-        qv.filter(F.col("vec_id") % query_mod == 0)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            lut.alias("_lut"),
-            F.explode(probes).alias("bucket"),
-        )
-    )
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at(F.col("_lut"), s + 1),
-            F.element_at(F.col("codes"), s + 1) + 1,
-        ),
+    qprobes = qside.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(probes).alias("bucket"),
     )
     pairs = (
-        coded.join(F.broadcast(queries), "bucket")
+        coded.join(F.broadcast(qprobes), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qluts), "query_id")
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            adc.alias("adc_dist"),
+            _adc_expr(m).alias("adc_dist"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
-        .select("query_id", "rank", "neighbor_id", "adc_dist")
-    )
+    return _rank_topk(pairs, top_k)
 
 
 RRF_K = 60  # Cormack et al. 2009's constant
