@@ -1676,6 +1676,68 @@ SELECT query_id, rank, neighbor_id, adc_dist FROM (
 ORDER BY query_id, rank
 """
 
+def _q_span_chunks(spark, sf_dir):
+    """Greedy media-atomic context-window chunking of the shared
+    interleaved spans table at budget 600: per-span cost (text
+    ceil(chars/4), media 576), zero-shuffle per-doc aggregate fold."""
+    from yacy_grid_crawler_spark.operators.sampling import span_chunks
+
+    return span_chunks(_synth_spans(spark, sf_dir), budget=600)
+
+
+_SPAN_CHUNKS_SQL = """
+WITH RECURSIVE p AS (
+  SELECT doc_id,
+         CAST(doc_id % 4 AS int) AS m,
+         (doc_id % 3 = 0 AND doc_id % 4 > 0) AS lead,
+         CAST((length(substr(text,1,40)) + 3) // 4 AS bigint) AS c0,
+         CAST((length(substr(text,41,40)) + 3) // 4 AS bigint) AS c1
+  FROM documents
+),
+costs AS (
+  SELECT doc_id,
+         CASE WHEN lead THEN
+           list_concat(list_concat(
+             [struct_pack(c := CAST(576 AS bigint), k := 1),
+              struct_pack(c := c0, k := 0)],
+             [struct_pack(c := CAST(576 AS bigint), k := 1)
+              FOR i IN range(m - 1)]),
+             [struct_pack(c := c1, k := 0)])
+         ELSE
+           list_concat(list_concat(
+             [struct_pack(c := c0, k := 0)],
+             [struct_pack(c := CAST(576 AS bigint), k := 1)
+              FOR i IN range(m)]),
+             [struct_pack(c := c1, k := 0)])
+         END AS sp
+  FROM p
+),
+s AS (
+  SELECT doc_id, i AS idx, sp[i + 1].c AS cost, sp[i + 1].k AS k
+  FROM costs, (SELECT unnest(range(8)) AS i)
+  WHERE i < len(sp)
+),
+g AS (
+  SELECT doc_id, idx, cost, k, cost AS acc, 0 AS chunk
+  FROM s WHERE idx = 0
+  UNION ALL
+  SELECT s.doc_id, s.idx, s.cost, s.k,
+         CASE WHEN g.acc + s.cost > 600 THEN s.cost ELSE g.acc + s.cost END,
+         CASE WHEN g.acc + s.cost > 600 THEN g.chunk + 1 ELSE g.chunk END
+  FROM g JOIN s ON s.doc_id = g.doc_id AND s.idx = g.idx + 1
+)
+SELECT doc_id, chunk AS chunk_no,
+       CAST(count(*) AS int) AS n_spans,
+       CAST(sum(cost) AS bigint) AS chunk_cost,
+       CAST(sum(1 - k) AS int) AS n_text,
+       CAST(sum(k) AS int) AS n_media,
+       sum(cost) > 600 AS oversize
+FROM g
+GROUP BY doc_id, chunk
+ORDER BY doc_id, chunk_no
+"""
+
+
 
 
 
@@ -7574,6 +7636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _q_ann_pq_topk,
         "corpus_drift": _q_corpus_drift,
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
+        "span_chunks": _q_span_chunks,
         "minhash_jaccard_est": _q_minhash_jaccard_est,
         "lang_id": _q_lang_id,
         "lang_confusion": _q_lang_confusion,
@@ -7824,6 +7887,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": _ANN_PQ_SQL,
         "corpus_drift": _CORPUS_DRIFT_SQL,
         "ann_ivfpq_topk": _ANN_IVFPQ_SQL,
+        "span_chunks": _SPAN_CHUNKS_SQL,
         "minhash_jaccard_est": _MINHASH_JEST_SQL,
         "dedup_embedding_lsh": _DEDUP_EMBEDDING_LSH_SQL,
         "dedup_recall": _DEDUP_RECALL_SQL,

@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "tfidf_topk",
     "lm_score",
     "curate_pipeline",
+    "ann_ivfpq_topk",
+    "corpus_drift",
 ]
 
 

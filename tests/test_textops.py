@@ -1747,3 +1747,67 @@ def test_corpus_drift_ranks_shifted_words_first(spark):
     assert cut == ["alpha", "beta"]
     assert abs(sum(r["p_a"] for r in rows.values()) - 1.0) < 1e-4
     assert abs(sum(r["p_b"] for r in rows.values()) - 1.0) < 1e-4
+
+
+def test_span_chunks_greedy_boundaries_and_oversize(spark):
+    """Hand-built interleaved doc, budget 500: spans [text 400t,
+    media 576t, text 100t, text 100t, media 576t] must chunk as
+    [text400] [media576 oversize] [text100+text100] [media576
+    oversize] — the 576 media can never share (576 > 500) and is
+    flagged oversize, not split or dropped; text spans pack
+    greedily. Spans arrive offset-SHUFFLED to prove the operator
+    re-sorts. Plan pin: zero Exchange (pure projection + explode)."""
+    from yacy_grid_crawler_spark.operators.sampling import span_chunks
+
+    def t(chars, off):
+        return ("text", "x" * chars, "", off)
+
+    def m(off):
+        return ("media", "", f"img://1/{off}", off)
+
+    # offsets deliberately out of order in the array
+    spans = [t(400, 2), m(1), t(1600, 0), t(400, 3), m(4)]
+    df = spark.createDataFrame(
+        [(1, spans)],
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = span_chunks(df, budget=500)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    rows = [tuple(r) for r in out.orderBy("chunk_no").collect()]
+    assert rows == [
+        (1, 0, 1, 400, 1, 0, False),
+        (1, 1, 1, 576, 0, 1, True),
+        (1, 2, 2, 200, 2, 0, False),
+        (1, 3, 1, 576, 0, 1, True),
+    ]
+
+
+def test_span_chunks_reassembles_to_whole_doc(spark):
+    """Conservation: over the shared synthetic spans table, summing
+    chunk costs and span counts per doc reproduces the document's
+    whole-doc totals, chunk_no is dense from 0, and every
+    non-oversize chunk respects the budget."""
+    import __spark_entry__ as e
+    from yacy_grid_crawler_spark.operators.sampling import span_chunks
+
+    spans = e._synth_spans(spark, "/root/testdata/sf0.01")
+    out = span_chunks(spans, budget=600).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+        if not r["oversize"]:
+            assert r["chunk_cost"] <= 600
+    whole = {
+        r["doc_id"]: (len(r["spans"]),
+                      sum(1 for s in r["spans"] if s["kind"] == "media"))
+        for r in spans.collect()
+    }
+    for doc_id, chunks in per_doc.items():
+        assert sorted(c["chunk_no"] for c in chunks) == list(
+            range(len(chunks))
+        )
+        n_spans = sum(c["n_spans"] for c in chunks)
+        n_media = sum(c["n_media"] for c in chunks)
+        assert (n_spans, n_media) == whole[doc_id]

@@ -832,3 +832,99 @@ def pack_interleaved(
         "cost",
         F.floor(F.col("_start") / budget).cast("long").alias("shard_id"),
     )
+
+
+def span_chunks(
+    spans_docs: DataFrame,
+    budget: int,
+    tokens_per_media: int = 576,
+    chars_per_token: int = 4,
+) -> DataFrame:
+    """Greedy context-window chunking WITHIN an interleaved document:
+    split each doc's span sequence (offset order) into consecutive
+    chunks whose summed span cost stays <= budget, never splitting a
+    span (media blocks are atomic — the same invariant as
+    pack_interleaved, applied one level down: that operator packs
+    whole DOCUMENTS into shards, this one cuts an over-long document
+    into trainable windows at span boundaries). Per-span cost: text =
+    ceil(chars / chars_per_token), media = tokens_per_media. A single
+    span costlier than the budget gets its own oversize chunk
+    (flagged) rather than being dropped or split.
+
+    Scale shape: ZERO shuffle — the greedy fold is one `aggregate`
+    expression per document (sequential within a doc, as greedy
+    semantics demand; embarrassingly parallel across docs), chunk
+    rollups accumulate inside the same fold, and the result explodes
+    straight out of the projection. No window, no Python, no join.
+
+    Output: (doc_id, chunk_no, n_spans, chunk_cost, n_text, n_media,
+    oversize), one row per (doc, chunk).
+    """
+    chunk_t = (
+        "array<struct<chunk_no:int,n_spans:int,chunk_cost:bigint,"
+        "n_text:int,n_media:int>>"
+    )
+    ordered = F.array_sort(
+        F.col("spans"),
+        lambda a, b: F.when(a["offset"] < b["offset"], -1)
+        .when(a["offset"] > b["offset"], 1)
+        .otherwise(0),
+    )
+
+    def span_cost(s):
+        return (
+            F.when(s["kind"] == "media", F.lit(tokens_per_media))
+            .otherwise(
+                F.ceil(
+                    F.coalesce(F.length(s["text"]), F.lit(0))
+                    / F.lit(chars_per_token)
+                )
+            )
+            .cast("long")
+        )
+
+    def step(acc, s):
+        c = span_cost(s)
+        is_media = (s["kind"] == "media").cast("int")
+        last = F.element_at(acc, -1)
+        fresh = F.struct(
+            F.size(acc).cast("int").alias("chunk_no"),
+            F.lit(1).alias("n_spans"),
+            c.alias("chunk_cost"),
+            (1 - is_media).alias("n_text"),
+            is_media.alias("n_media"),
+        )
+        updated = F.struct(
+            last["chunk_no"].alias("chunk_no"),
+            (last["n_spans"] + 1).alias("n_spans"),
+            (last["chunk_cost"] + c).alias("chunk_cost"),
+            (last["n_text"] + 1 - is_media).alias("n_text"),
+            (last["n_media"] + is_media).alias("n_media"),
+        )
+        return F.when(
+            (F.size(acc) == 0) | (last["chunk_cost"] + c > budget),
+            F.concat(acc, F.array(fresh)),
+        ).otherwise(
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(updated)
+            )
+        )
+
+    folded = spans_docs.select(
+        "doc_id",
+        F.aggregate(
+            ordered, F.expr(f"cast(array() as {chunk_t})"), step
+        ).alias("_chunks"),
+    )
+    return (
+        folded.select("doc_id", F.explode("_chunks").alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_no").alias("chunk_no"),
+            F.col("c.n_spans").alias("n_spans"),
+            F.col("c.chunk_cost").alias("chunk_cost"),
+            F.col("c.n_text").alias("n_text"),
+            F.col("c.n_media").alias("n_media"),
+            (F.col("c.chunk_cost") > budget).alias("oversize"),
+        )
+    )
