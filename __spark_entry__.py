@@ -7120,6 +7120,91 @@ _PHRASE_SEARCH_SQL = """
 """
 
 
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merges learned over the corpus (distributed
+    tokenizer training: word-frequency table -> per-round adjacent
+    pair count -> argmax with (count desc, left, right) tie-break ->
+    literal space-delimited replace). All-integer, so the DuckDB
+    unrolled-CTE twin is bit-identical."""
+    from yacy_grid_crawler_spark.operators.bpe import bpe_train
+
+    merge_df, _vocab = bpe_train(
+        _docs(spark, sf_dir), k=8, cache_registry=_QUERY_CACHES
+    )
+    return merge_df
+
+
+def _q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 subword tokens by corpus frequency after the 8 learned
+    BPE merges — the induced-vocabulary rollup (freq desc, token asc)."""
+    from yacy_grid_crawler_spark.operators.bpe import bpe_vocab
+
+    return bpe_vocab(
+        _docs(spark, sf_dir), k=8, top=30, cache_registry=_QUERY_CACHES
+    )
+
+
+def _bpe_ctes(k: int) -> str:
+    """Unrolled DuckDB CTE chain replaying k BPE merge rounds.
+    MATERIALIZED is load-bearing: v{i} references v{i-1} three times
+    (FROM + two scalar subqueries through b{i}/p{i}); DuckDB inlines
+    plain CTEs, which blows up 3^k without it."""
+    parts = [
+        r"""w AS (
+    SELECT word, count(*)::BIGINT AS cnt FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents)
+    GROUP BY word
+  ),
+  v0 AS MATERIALIZED (
+    SELECT word, cnt,
+           regexp_replace(word, '(.)', '\1 ', 'g') || '_' AS seq
+    FROM w)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+    SELECT split_part(b, ' ', 1) AS left_sym,
+           split_part(b, ' ', 2) AS right_sym,
+           sum(cnt)::BIGINT AS c
+    FROM (SELECT cnt,
+                 unnest([s[j] || ' ' || s[j+1]
+                         for j in generate_series(1, len(s) - 1)]) AS b
+          FROM (SELECT cnt, string_split(seq, ' ') AS s FROM v{i - 1}))
+    GROUP BY 1, 2
+  ),
+  b{i} AS MATERIALIZED (
+    SELECT {i} AS step, left_sym, right_sym,
+           left_sym || right_sym AS merged, c
+    FROM p{i} ORDER BY c DESC, left_sym, right_sym LIMIT 1
+  ),
+  v{i} AS MATERIALIZED (
+    SELECT word, cnt,
+           trim(replace(' ' || seq || ' ',
+                (SELECT ' ' || left_sym || ' ' || right_sym || ' ' FROM b{i}),
+                (SELECT ' ' || merged || ' ' FROM b{i}))) AS seq
+    FROM v{i - 1})"""
+        )
+    return ",\n  ".join(parts)
+
+
+_BPE_MERGES_SQL = f"""
+  WITH {_bpe_ctes(8)}
+  SELECT step, left_sym, right_sym, merged, c AS pair_count
+  FROM ({" UNION ALL ".join(f"SELECT * FROM b{i}" for i in range(1, 9))})
+  ORDER BY step
+"""
+
+_BPE_VOCAB_SQL = f"""
+  WITH {_bpe_ctes(8)}
+  SELECT token, sum(cnt)::BIGINT AS freq
+  FROM (SELECT cnt, unnest(string_split(seq, ' ')) AS token FROM v8)
+  GROUP BY token
+  ORDER BY freq DESC, token
+  LIMIT 30
+"""
+
+
 def _q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 PMI collocations over corpus word bigrams (min_count=5;
     pmi rounded to 4dp BEFORE the rank on both engines)."""
@@ -7672,6 +7757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition,
         "dup_ngram_fractions": _q_dup_ngram_fractions,
         "tokenizer_fertility": _q_tokenizer_fertility,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_vocab": _q_bpe_vocab,
         "line_dedup": _q_line_dedup,
         "tfidf_topk": _q_tfidf,
         "inverted_index": _q_inverted_index,
@@ -7828,6 +7915,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _REPETITION_SQL,
         "dup_ngram_fractions": _DUP_NGRAM_SQL,
         "tokenizer_fertility": _TOKENIZER_FERTILITY_SQL,
+        "bpe_merges": _BPE_MERGES_SQL,
+        "bpe_vocab": _BPE_VOCAB_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
         "tfidf_topk": _TFIDF_SQL,
         "inverted_index": _INVINDEX_SQL,

@@ -1,0 +1,91 @@
+"""BPE tokenizer training vs a pure-Python executable spec."""
+
+import re
+from collections import Counter
+
+import pytest
+
+from yacy_grid_crawler_spark.operators.bpe import bpe_train, bpe_vocab
+
+
+def _ref_bpe(texts, k):
+    """Pure-Python BPE with the module's exact rules: [a-z]+ words,
+    char+'_' init, overlap-inclusive pair counting, argmax with
+    (count desc, left asc, right asc), non-overlapping left-to-right
+    merge application."""
+    words = Counter()
+    for t in texts:
+        words.update(re.findall(r"[a-z]+", t.lower()))
+    vocab = {
+        " ".join(list(w)) + " _": c for w, c in words.items()
+    }
+    merges = []
+    for step in range(1, k + 1):
+        pairs = Counter()
+        for seq, c in vocab.items():
+            s = seq.split(" ")
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (l, r), c = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, l, r, l + r, c))
+        vocab = {
+            (" " + seq + " ").replace(f" {l} {r} ", f" {l}{r} ").strip(): c
+            for seq, c in vocab.items()
+        }
+    return merges, vocab
+
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the cats chatter that the hat is flat",
+    "that cat and that hat chat",
+    "lower lowest newer newest wider widest",
+    "lower newer lower newer lowest newest",
+]
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    return spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(TEXTS)], "doc_id string, text string"
+    )
+
+
+def test_bpe_train_matches_reference(spark, tiny_docs):
+    merge_df, _vocab = bpe_train(tiny_docs, k=10)
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in merge_df.orderBy("step").collect()
+    ]
+    want, _ = _ref_bpe(TEXTS, 10)
+    assert got == want
+
+
+def test_bpe_vocab_matches_reference(spark, tiny_docs):
+    want_merges, want_vocab = _ref_bpe(TEXTS, 6)
+    freq = Counter()
+    for seq, c in want_vocab.items():
+        for tok in seq.split(" "):
+            freq[tok] += c
+    want = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = [
+        (r["token"], r["freq"])
+        for r in bpe_vocab(tiny_docs, k=6, top=15).collect()
+    ]
+    assert got == want
+
+
+def test_bpe_merged_vocab_sequences_match_reference(spark, tiny_docs):
+    """The returned vocab's post-merge symbol sequences equal the
+    pure-Python spec's word-by-word (application semantics, not just
+    the merge table)."""
+    _merge_df, vocab = bpe_train(tiny_docs, k=5)
+    got = {(r["seq"], r["cnt"]) for r in vocab.collect()}
+    _, want_vocab = _ref_bpe(TEXTS, 5)
+    # a seq determines its word (strip spaces, drop the marker), so the
+    # (seq, cnt) set comparison is exact per-word
+    assert got == set(want_vocab.items())
