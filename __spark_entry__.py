@@ -7205,6 +7205,37 @@ _BPE_VOCAB_SQL = f"""
 """
 
 
+def _q_bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts under the 8-merge induced vocabulary —
+    tokenization as a broadcast dictionary lookup (corpus side never
+    shuffles; one doc_id hash agg)."""
+    from yacy_grid_crawler_spark.operators.bpe import bpe_doc_tokens
+
+    return bpe_doc_tokens(
+        _docs(spark, sf_dir), k=8, cache_registry=_QUERY_CACHES
+    )
+
+
+_BPE_DOC_TOKENS_SQL = f"""
+  WITH {_bpe_ctes(8)},
+  wt AS (
+    SELECT word, len(string_split(seq, ' '))::BIGINT AS word_tokens FROM v8
+  ),
+  dw AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents
+  ),
+  agg AS (
+    SELECT doc_id, count(*)::BIGINT AS n_words,
+           sum(word_tokens)::BIGINT AS n_tokens
+    FROM dw JOIN wt USING (word) GROUP BY doc_id
+  )
+  SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+         coalesce(n_tokens, 0) AS n_tokens
+  FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 def _q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 PMI collocations over corpus word bigrams (min_count=5;
     pmi rounded to 4dp BEFORE the rank on both engines)."""
@@ -7759,6 +7790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": _q_tokenizer_fertility,
         "bpe_merges": _q_bpe_merges,
         "bpe_vocab": _q_bpe_vocab,
+        "bpe_doc_tokens": _q_bpe_doc_tokens,
         "line_dedup": _q_line_dedup,
         "tfidf_topk": _q_tfidf,
         "inverted_index": _q_inverted_index,
@@ -7917,6 +7949,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": _TOKENIZER_FERTILITY_SQL,
         "bpe_merges": _BPE_MERGES_SQL,
         "bpe_vocab": _BPE_VOCAB_SQL,
+        "bpe_doc_tokens": _BPE_DOC_TOKENS_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
         "tfidf_topk": _TFIDF_SQL,
         "inverted_index": _INVINDEX_SQL,

@@ -198,7 +198,7 @@ def wait_for_quiet(max_wait_s: float, probe_interval_s: float = 45.0) -> dict:
 
 def crawl_bench(
     cores: int, n_docs: int, wave_only: bool = False, master: str | None = None,
-    warmup: bool = True,
+    warmup: bool = True, extra_conf: dict | None = None,
 ) -> dict:
     """The headline: one full WAVE over every candidate link of the
     synthetic corpus (~n_docs × 7 URLs) through the complete pipeline
@@ -215,6 +215,7 @@ def crawl_bench(
 
     local_dir = tempfile.mkdtemp(prefix="spark_local_", dir=SINK_BASE)
     extra = {"spark.local.dir": local_dir}
+    extra.update(extra_conf or {})
     if master:
         # local-cluster: executors do the work — small driver heap,
         # per-executor heaps; workers put shuffle dirs on tmpfs via

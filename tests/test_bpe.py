@@ -79,6 +79,25 @@ def test_bpe_vocab_matches_reference(spark, tiny_docs):
     assert got == want
 
 
+def test_bpe_doc_tokens_matches_reference(spark, tiny_docs):
+    from yacy_grid_crawler_spark.operators.bpe import bpe_doc_tokens
+
+    _, want_vocab = _ref_bpe(TEXTS, 6)
+    tok_per_word = {
+        seq.replace(" ", "")[:-1]: len(seq.split(" "))
+        for seq in want_vocab
+    }
+    want = {}
+    for i, t in enumerate(TEXTS):
+        ws = re.findall(r"[a-z]+", t.lower())
+        want[str(i)] = (len(ws), sum(tok_per_word[w] for w in ws))
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_doc_tokens(tiny_docs, k=6).collect()
+    }
+    assert got == want
+
+
 def test_bpe_merged_vocab_sequences_match_reference(spark, tiny_docs):
     """The returned vocab's post-merge symbol sequences equal the
     pure-Python spec's word-by-word (application semantics, not just

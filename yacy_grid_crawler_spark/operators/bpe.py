@@ -165,6 +165,52 @@ def bpe_train(
     return merge_df, final_vocab
 
 
+def bpe_doc_tokens(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Tokenize the corpus under the induced vocabulary: per doc,
+    n_words and n_tokens after the k learned merges — the number the
+    pretraining budget is actually costed in (`tokenizer_fertility`
+    estimates it with a fixed regex; this is the real count under the
+    trained tokenizer).
+
+    Production shape: tokenization is a BROADCAST dictionary lookup —
+    the per-word token count is precomputed once on the (bounded)
+    vocab table and broadcast-joined to the corpus word explode, so
+    the corpus side never shuffles; the only wide op is the final
+    doc_id aggregate (map-side combined). Docs with no words keep a
+    zero row (left join from the doc spine)."""
+    _merge_df, final_vocab = bpe_train(
+        docs, k=k, text_col=text_col, cache_registry=cache_registry
+    )
+    word_tokens = final_vocab.select(
+        "word", F.size(F.split("seq", " ")).cast("long").alias("word_tokens")
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("word"),
+    )
+    agg = (
+        words.join(F.broadcast(word_tokens), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("word_tokens").alias("n_tokens"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_words", zero).alias("n_words"),
+        F.coalesce("n_tokens", zero).alias("n_tokens"),
+    )
+
+
 def bpe_vocab(
     docs: DataFrame,
     k: int = 8,
