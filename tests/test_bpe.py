@@ -98,6 +98,27 @@ def test_bpe_doc_tokens_matches_reference(spark, tiny_docs):
     assert got == want
 
 
+def test_bpe_overlapping_run_merges_match_reference(spark):
+    """l==r merges on odd runs: counting includes overlaps but
+    application is non-overlapping left-to-right ('a a a' -> 'aa a'),
+    and both engines plus the spec must agree on the asymmetry."""
+    texts = ["aaa aaaa aaaaa bbb abab", "aaa aaa bbbb baab"]
+    docs = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)],
+        "doc_id string, text string",
+    )
+    merge_df, vocab = bpe_train(docs, k=6)
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in merge_df.orderBy("step").collect()
+    ]
+    want_merges, want_vocab = _ref_bpe(texts, 6)
+    assert got == want_merges
+    assert {(r["seq"], r["cnt"]) for r in vocab.collect()} == set(
+        want_vocab.items()
+    )
+
+
 def test_bpe_merged_vocab_sequences_match_reference(spark, tiny_docs):
     """The returned vocab's post-merge symbol sequences equal the
     pure-Python spec's word-by-word (application semantics, not just
