@@ -5088,6 +5088,73 @@ _RESOLVE_REDIRECTS_SQL = """
 """
 
 
+def _q_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus suffix array by prefix doubling (doc-local suffixes,
+    lexicographic rank with (doc_id, pos) tie-break) — integer-rank
+    recursion, so the DuckDB twin (materialized suffixes + window
+    row_number) is value-exact."""
+    from yacy_grid_crawler_spark.operators.suffix import suffix_array
+
+    return suffix_array(_docs(spark, sf_dir), cache_registry=_QUERY_CACHES)
+
+
+_SUFFIX_ARRAY_SQL = """
+  WITH s AS (
+    SELECT doc_id, unnest(generate_series(1, length(text))) AS pos, text
+    FROM documents
+  )
+  SELECT (row_number() OVER (ORDER BY substr(text, pos), doc_id, pos) - 1)
+           AS sa_rank,
+         doc_id, pos::INTEGER AS pos
+  FROM s
+  ORDER BY sa_rank
+"""
+
+
+def _q_sa_longest_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 repeated substrings via the LCP of adjacent suffix-array
+    entries (LCP[i] = lcp(SA[i-1], SA[i]), capped at 64 chars), ordered
+    (lcp desc, sa_rank asc)."""
+    from yacy_grid_crawler_spark.operators.suffix import longest_repeats
+
+    return longest_repeats(
+        _docs(spark, sf_dir), top=30, cap=64, cache_registry=_QUERY_CACHES
+    )
+
+
+_SA_REPEATS_SQL = """
+  WITH s AS (
+    SELECT doc_id, unnest(generate_series(1, length(text))) AS pos, text
+    FROM documents
+  ),
+  sa AS (
+    SELECT (row_number() OVER (ORDER BY substr(text, pos), doc_id, pos) - 1)
+             AS sa_rank,
+           substr(text, pos, 64) AS s64,
+           least(length(text) - pos + 1, 64) AS slen
+    FROM s
+  ),
+  p AS (
+    SELECT sa_rank, s64, slen,
+           lag(s64) OVER (ORDER BY sa_rank) AS sb,
+           lag(slen) OVER (ORDER BY sa_rank) AS lenb
+    FROM sa
+  ),
+  l AS (
+    SELECT sa_rank,
+           least(len([j for j in generate_series(1, 64)
+                      if substr(s64, 1, j) = substr(sb, 1, j)]),
+                 slen, lenb)::INTEGER AS lcp,
+           s64
+    FROM p WHERE sb IS NOT NULL
+  )
+  SELECT sa_rank, lcp, substr(s64, 1, lcp) AS prefix
+  FROM l
+  ORDER BY lcp DESC, sa_rank
+  LIMIT 30
+"""
+
+
 def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring dedup spans (Lee et al. 2022): maximal token
     spans covered by corpus-duplicated word 5-grams — the spans an
@@ -7780,6 +7847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "trap_hosts": _q_trap_hosts,
         "dup_spans": _q_dup_spans,
+        "suffix_array": _q_suffix_array,
+        "sa_longest_repeats": _q_sa_longest_repeats,
         "cut_dup_spans": _q_cut_dup_spans,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_clusters": _q_dedup_clusters,
@@ -7939,6 +8008,8 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_sql(),
         "trap_hosts": _TRAP_HOSTS_SQL,
         "dup_spans": _DUP_SPANS_SQL,
+        "suffix_array": _SUFFIX_ARRAY_SQL,
+        "sa_longest_repeats": _SA_REPEATS_SQL,
         "cut_dup_spans": _CUT_DUP_SPANS_SQL,
         "doc_fingerprint": _FINGERPRINT_SQL,
         "dedup_clusters": _CLUSTERS_SQL,

@@ -1,0 +1,201 @@
+"""Distributed suffix array over the document corpus — the exact-
+substring index behind fine-grained training-data dedup (Lee et al.
+2022 build one over the whole corpus to cut verbatim repeats;
+infini-gram-style lookups ride the same structure). `dedup_text.py::
+dup_spans` approximates the same goal with word 5-grams; the suffix
+array is the character-exact instrument.
+
+Semantics: suffixes are DOC-LOCAL (doc boundaries are never crossed —
+the corpus is a set of documents, not one concatenated string), ranked
+jointly across the corpus in lexicographic order with ties (identical
+suffixes in different docs) broken by (doc_id, pos). Comparison is
+plain string order, which for UTF-8 is byte order == code-point order
+in both Spark and DuckDB, so the oracle (`ORDER BY suffix, doc_id,
+pos` over materialized doc-local suffixes) is value-exact.
+
+Algorithm: prefix doubling (Manber-Myers), the classic distributed
+suffix-array construction — all comparisons after the first round are
+on INTEGER rank pairs, never on long strings:
+
+  round 0:  rank = dense rank of the 1-char prefix
+  round h:  rank = dense rank of (rank[pos], rank[pos+h]) with -1 when
+            pos+h runs off the doc (the shorter suffix sorts first,
+            matching lexicographic order); h doubles 1,2,4,... until
+            h >= max doc length, i.e. ceil(log2(max_len)) rounds.
+
+Plan shape per round: the shifted-rank lookup is a self equi-join on
+(doc_id, pos) — co-partitioned both sides, ONE shuffle; the dense rank
+runs on the DISTINCT (r1, r2) pair set through `batching.py::
+global_positions` (range partition + per-partition count + broadcast
+prefix offsets — no single-partition window anywhere), then joins back
+by the pair. `localCheckpoint` per round keeps the plan O(1) in the
+round count exactly like `graph.py::pagerank_scaled`. The per-row
+payload is (doc_id, pos, rank) — 3 scalars; the corpus text is touched
+only in round 0 (one char per row) and never shuffled as strings.
+At 100 TB the position table is ~10^14 rows — every suffix-array
+build is per-character; the byte-per-row discipline and the integer
+rank recursion are what make the log-round schedule feasible, and the
+range partitioner re-balances every round so rank-space skew (long
+shared prefixes) cannot pin a partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from yacy_grid_crawler_spark.operators.batching import global_positions
+
+
+def _positions(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, pos, c1): one row per 1-based character position with
+    its single-char prefix. `sequence(1, n)` would DESCEND for n=0, so
+    empty texts are guarded to an empty array."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.length(text_col) > 0,
+                F.sequence(F.lit(1), F.length(text_col)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+        F.col(text_col).alias("_t"),
+    ).select(
+        "doc_id", "pos", F.expr("substr(_t, pos, 1)").alias("c1")
+    )
+
+
+def _dense_rank_join(
+    df: DataFrame, cols: tuple[str, ...], out: str, caches: list
+) -> tuple[DataFrame, DataFrame]:
+    """Dense rank of `cols` tuples: global_positions over the DISTINCT
+    tuple set (range shuffle, broadcast offsets), joined back. Rank
+    VALUES are engine-internal — only their order matters, so the
+    distinct-set row_number is exactly a dense rank. Also returns the
+    ranked distinct set so callers can count rank classes cheaply (it
+    is persisted inside global_positions)."""
+    distinct = df.select(*cols).distinct()
+    ranked = global_positions(
+        distinct, (), cols, out=out, cache_registry=caches,
+        broadcast_offsets=False,
+    )
+    return df.join(ranked, list(cols)), ranked
+
+
+def suffix_array(
+    docs: DataFrame,
+    text_col: str = "text",
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """(sa_rank, doc_id, pos): the corpus suffix array — sa_rank is the
+    0-based lexicographic position of the suffix starting at `pos`
+    (1-based) in doc `doc_id`, ties by (doc_id, pos)."""
+    caches: list = cache_registry if cache_registry is not None else []
+    max_len_row = docs.agg(
+        F.max(F.length(text_col)).alias("m")
+    ).collect()  # bounded metadata: one scalar, like k-means centroids
+    max_len = max_len_row[0]["m"] or 0
+    if max_len == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "sa_rank bigint, doc_id string, pos int"
+        )
+    joined, ranked0 = _dense_rank_join(
+        _positions(docs, text_col), ("c1",), "r", caches
+    )
+    sa = joined.select(
+        "doc_id", "pos", F.col("r").cast("long").alias("r")
+    ).localCheckpoint()
+    # Early termination: if a doubling round does not refine the rank
+    # partition (class count unchanged), no later round can — classes
+    # equal on h chars are then equal on 2h, and by induction on any
+    # length (the standard prefix-doubling fixed point, which also
+    # covers cross-doc identical suffixes that never separate). One
+    # tiny count per round on the persisted distinct set.
+    prev_classes = ranked0.count()
+    h = 1
+    while h < max_len:
+        shifted = sa.select(
+            "doc_id",
+            (F.col("pos") - F.lit(h)).alias("pos"),
+            F.col("r").alias("_r2"),
+        )
+        cur = sa.join(shifted, ["doc_id", "pos"], "left").select(
+            "doc_id",
+            "pos",
+            F.col("r").alias("_r1"),
+            F.coalesce("_r2", F.lit(-1)).alias("_r2"),
+        )
+        joined, ranked = _dense_rank_join(cur, ("_r1", "_r2"), "r", caches)
+        sa = joined.select(
+            "doc_id", "pos", F.col("r").cast("long").alias("r")
+        ).localCheckpoint()
+        n_classes = ranked.count()
+        if n_classes == prev_classes:
+            break
+        prev_classes = n_classes
+        h *= 2
+    out = global_positions(
+        sa, (), ("r", "doc_id", "pos"), out="sa_rank",
+        cache_registry=caches, broadcast_offsets=False,
+    ).select(F.col("sa_rank").cast("long").alias("sa_rank"), "doc_id", "pos")
+    if cache_registry is None:
+        for c in caches:
+            c.unpersist()
+    return out
+
+
+def longest_repeats(
+    docs: DataFrame,
+    text_col: str = "text",
+    top: int = 30,
+    cap: int = 64,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """(sa_rank, lcp, prefix): top repeated substrings via the LCP of
+    lexicographically ADJACENT suffixes — the suffix array's classic
+    application (a substring repeats in the corpus iff two adjacent
+    suffixes share it as a prefix). lcp is capped at `cap` chars and
+    computed as min(#{j <= cap : prefix_j(a) = prefix_j(b)}, len(a),
+    len(b)) — the prefix-equality count is monotone so it IS the lcp,
+    and the min() keeps equal-short-suffix pairs exact. Output ordered
+    (lcp desc, sa_rank asc), truncated to `top`.
+
+    Plan shape: the adjacency is an equi-join on sa_rank+1 (no global
+    window); suffixes travel as `cap`-char slices, never whole; the
+    LCP is one codegen `filter(sequence(...))` per pair."""
+    sa = suffix_array(docs, text_col, cache_registry=cache_registry)
+    sliced = sa.join(
+        docs.select("doc_id", F.col(text_col).alias("_t")), "doc_id"
+    ).select(
+        "sa_rank",
+        F.expr(f"substr(_t, pos, {cap})").alias("_s"),
+        F.least(
+            F.length("_t") - F.col("pos") + 1, F.lit(cap)
+        ).alias("_len"),
+    )
+    # standard LCP-array convention: row at sa_rank i compares
+    # SA[i] with SA[i-1] (defined for i >= 1)
+    b = sliced.select(
+        (F.col("sa_rank") + 1).alias("sa_rank"),
+        F.col("_s").alias("_sb"),
+        F.col("_len").alias("_lenb"),
+    )
+    pairs = sliced.join(b, "sa_rank")
+    lcp = F.least(
+        F.size(
+            F.expr(
+                f"filter(sequence(1, {cap}),"
+                " j -> substr(_s, 1, j) = substr(_sb, 1, j))"
+            )
+        ),
+        F.col("_len"),
+        F.col("_lenb"),
+    ).cast("int")
+    return (
+        pairs.withColumn("lcp", lcp)
+        .select(
+            "sa_rank", "lcp", F.expr("substr(_s, 1, lcp)").alias("prefix")
+        )
+        .orderBy(F.col("lcp").desc(), "sa_rank")
+        .limit(top)
+    )
