@@ -599,3 +599,58 @@ def test_bucketed_seen_anti_join_drops_seen_side_exchange(spark, tmp_path):
     assert out.exceptAll(plain).isEmpty()
     assert plain.exceptAll(out).isEmpty()
     spark.sql("DROP TABLE IF EXISTS t_seen_bucketed")
+
+
+def test_bpe_doc_tokens_broadcasts_vocab_lookup(spark):
+    """Tokenization under the induced vocab is a broadcast dictionary
+    lookup: the per-word token-count side must broadcast (the corpus
+    word explode never shuffles for it) and the whole surface stays
+    JVM-side."""
+    from yacy_grid_crawler_spark.operators.bpe import bpe_doc_tokens
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    caches = []
+    plan = _plan(bpe_doc_tokens(docs, k=4, cache_registry=caches))
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    for c in caches:
+        c.unpersist()
+
+
+def test_bpe_pair_count_is_partial_agg_no_python(spark):
+    """The per-round pair count must map-side combine (partial then
+    final HashAggregate) with zero Python surfaces."""
+    from yacy_grid_crawler_spark.operators.bpe import (
+        _pair_counts,
+        word_vocab,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(_pair_counts(word_vocab(docs)))
+    assert "partial_" in plan  # map-side combine before the exchange
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_suffix_array_output_rank_stays_two_phase(spark):
+    """The suffix array's final global ordering must ride the
+    two-phase rank: range-partitioned data path, windows keyed by the
+    physical partition id, no Python anywhere."""
+    from yacy_grid_crawler_spark.operators.suffix import suffix_array
+
+    docs = spark.range(50).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("txt"), F.md5(F.col("id").cast("string"))).alias("text"),
+    )
+    caches = []
+    plan = _plan(suffix_array(docs, cache_registry=caches))
+    assert "rangepartitioning" in plan.lower()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Window [" in line and "row_number" in line:
+            assert "_pid" in line, f"window not pid-local: {line[:120]}"
+    for c in caches:
+        c.unpersist()
