@@ -7109,6 +7109,69 @@ _CDX_INDEX_SQL = """
 """
 
 
+def _q_param_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-parameter relevance learning over a synthesized URL
+    population: hosts h0-h3, path /p/{id%7}, params session=s{id%8}
+    (never affects content), color=c{id%3} (affects content except on
+    h0). Expected: session irrelevant everywhere, color relevant on
+    h1-h3 and irrelevant on h0."""
+    from yacy_grid_crawler_spark.operators.graph import param_relevance
+
+    i = F.col("doc_id")
+    host = F.concat(F.lit("h"), (i % 4).cast("string"), F.lit(".shop"))
+    url = F.concat(
+        F.lit("http://"), host, F.lit("/p/"), (i % 7).cast("string"),
+        F.lit("?session=s"), (i % 8).cast("string"),
+        F.lit("&color=c"), (i % 3).cast("string"),
+    )
+    content = F.md5(
+        F.concat(
+            F.lit("/p/"), (i % 7).cast("string"),
+            F.when(i % 4 == 0, F.lit("")).otherwise(
+                F.concat(F.lit("c"), (i % 3).cast("string"))
+            ),
+        )
+    )
+    d = _docs(spark, sf_dir).select(
+        url.alias("url"), content.alias("content_id")
+    )
+    return param_relevance(d)
+
+
+_PARAM_RELEVANCE_SQL = """
+  WITH u AS (
+    SELECT 'h' || (doc_id % 4) || '.shop' AS host,
+           'http://h' || (doc_id % 4) || '.shop/p/' || (doc_id % 7) AS prefix,
+           ['session=s' || (doc_id % 8), 'color=c' || (doc_id % 3)] AS ps,
+           md5('/p/' || (doc_id % 7) ||
+               CASE WHEN doc_id % 4 = 0 THEN ''
+                    ELSE 'c' || (doc_id % 3) END) AS content
+    FROM documents
+  ),
+  one AS (
+    SELECT host, content,
+           prefix || '?' ||
+             array_to_string(list_sort([x for x in ps if x <> kv]), '&')
+             AS base,
+           split_part(kv, '=', 1) AS param,
+           substr(kv, length(split_part(kv, '=', 1)) + 2) AS val
+    FROM (SELECT host, content, prefix, ps, unnest(ps) AS kv FROM u)
+  ),
+  g AS (
+    SELECT host, param, base,
+           count(DISTINCT val) AS nv, count(DISTINCT content) AS nc
+    FROM one GROUP BY 1, 2, 3
+  )
+  SELECT host, param,
+         sum((nv > 1)::BIGINT)::BIGINT AS evidence_groups,
+         sum((nv > 1 AND nc > 1)::BIGINT)::BIGINT AS split_groups,
+         CASE WHEN sum((nv > 1)::BIGINT) = 0 THEN 'unknown'
+              WHEN sum((nv > 1 AND nc > 1)::BIGINT) = 0 THEN 'irrelevant'
+              ELSE 'relevant' END AS verdict
+  FROM g GROUP BY host, param
+"""
+
+
 def _q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-template mining over synthesized URL families: an unbounded
     id family (/item/{n}/view), a bounded one (/page/{n}, 20
@@ -7919,6 +7982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": _q_media_frames,
         "cdx_index": _q_cdx_index,
         "url_templates": _q_url_templates,
+        "param_relevance": _q_param_relevance,
         "phrase_search": _q_phrase_search,
         "pmi_collocations": _q_pmi_collocations,
         "doc_containment": _q_doc_containment,
@@ -8094,6 +8158,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frames": _MEDIA_FRAMES_SQL,
         "cdx_index": _CDX_INDEX_SQL,
         "url_templates": _URL_TEMPLATES_SQL,
+        "param_relevance": _PARAM_RELEVANCE_SQL,
         "phrase_search": _PHRASE_SEARCH_SQL,
         "pmi_collocations": _PMI_SQL,
         "doc_containment": _DOC_CONTAINMENT_SQL,

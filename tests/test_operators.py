@@ -1657,3 +1657,34 @@ def test_rendezvous_shard_minimal_movement(spark):
 
     counts = Counter(a.values())
     assert max(counts.values()) < 2.0 * min(counts.values())
+
+
+def test_param_relevance_verdicts(spark):
+    """session never changes content -> irrelevant; color changes it
+    on h1 -> relevant; a never-varying param -> unknown; URLs without
+    a query string contribute nothing."""
+    from pyspark.sql import functions as F
+
+    from yacy_grid_crawler_spark.operators.graph import param_relevance
+
+    rows = []
+    for i in range(60):
+        host = f"h{i % 2}.shop"
+        path = f"/p/{i % 5}"
+        sess, color = f"s{i % 4}", f"c{i % 3}"
+        url = f"http://{host}{path}?session={sess}&color={color}&v=1"
+        content = path + (color if host == "h1.shop" else "")
+        rows.append((url, content))
+    rows.append(("http://h0.shop/plain", "noqs"))  # no query string
+    df = spark.createDataFrame(rows, "url string, content_id string")
+    got = {
+        (r["host"], r["param"]): r["verdict"]
+        for r in param_relevance(df).collect()
+    }
+    assert got[("h0.shop", "session")] == "irrelevant"
+    assert got[("h1.shop", "session")] == "irrelevant"
+    assert got[("h0.shop", "color")] == "irrelevant"
+    assert got[("h1.shop", "color")] == "relevant"
+    assert got[("h0.shop", "v")] == "unknown"
+    assert got[("h1.shop", "v")] == "unknown"
+    assert len(got) == 6

@@ -701,3 +701,93 @@ def host_skew(urls: DataFrame, url_col: str = "url") -> DataFrame:
         .cast("long")
         .alias("hhi_ppm"),
     )
+
+
+def param_relevance(
+    urls: DataFrame,
+    url_col: str = "url",
+    content_col: str = "content_id",
+) -> DataFrame:
+    """Query-parameter relevance inference — the crawler LEARNS which
+    URL parameters do not change page content (session ids, tracking
+    refs) from observed (url, content) pairs, instead of relying on a
+    hand-curated strip list (`strip_tracking`'s static rule set; this
+    operator is its evidence-driven complement, and the learned
+    'irrelevant' params feed exactly that stripper).
+
+    Method: for every parameter occurrence, the BASE is the URL with
+    that one parameter removed (remaining k=v pairs sorted, so pair
+    order never splits a group). Within a (host, param, base) group:
+    if the param takes >1 value the group is EVIDENCE; if content also
+    takes >1 value the group is a SPLIT. Per (host, param):
+
+      verdict = 'unknown'     no evidence group (never saw the param
+                              vary with everything else fixed)
+                'irrelevant'  evidence but zero splits (content never
+                              changed when only this param did)
+                'relevant'    at least one split group
+
+    Output: (host, param, evidence_groups, split_groups, verdict) —
+    all counts exact integers, so the DuckDB twin is value-exact.
+
+    Scale shape: parameter expansion is a codegen posexplode of the
+    split query string (the base rebuild is a filter+array_sort over
+    the same array — no second parse); then ONE hash aggregate on
+    (host, param, base) with partial combine and ONE tiny rollup on
+    (host, param). The two count(distinct)s ride the first shuffle's
+    expand. No joins, no windows, no Python.
+    """
+    host = F.regexp_extract(
+        F.col(url_col), r"^[a-z]+://(?:[^/@]*@)?([^/:?#]+)", 1
+    )
+    prefix = F.regexp_extract(F.col(url_col), r"^([^?#]*)", 1)
+    qs = F.regexp_extract(F.col(url_col), r"\?([^#]*)", 1)
+    parsed = (
+        urls.select(
+            host.alias("host"),
+            prefix.alias("_prefix"),
+            qs.alias("_qs"),
+            F.col(content_col).alias("_content"),
+        )
+        .filter(F.col("_qs") != "")
+        .select(
+            "host", "_prefix", "_content", F.split("_qs", "&").alias("_ps")
+        )
+    )
+    one = parsed.select(
+        "host", "_content", "_prefix", "_ps", F.explode("_ps").alias("_kv")
+    ).select(
+        "host",
+        "_content",
+        F.concat(
+            "_prefix",
+            F.lit("?"),
+            F.array_join(
+                F.array_sort(F.expr("filter(_ps, x -> x != _kv)")), "&"
+            ),
+        ).alias("_base"),
+        F.expr("split_part(_kv, '=', 1)").alias("param"),
+        F.expr("substr(_kv, length(split_part(_kv, '=', 1)) + 2)").alias(
+            "_val"
+        ),
+    )
+    grouped = one.groupBy("host", "param", "_base").agg(
+        F.countDistinct("_val").alias("_nv"),
+        F.countDistinct("_content").alias("_nc"),
+    )
+    agg = grouped.groupBy("host", "param").agg(
+        F.sum((F.col("_nv") > 1).cast("long")).alias("evidence_groups"),
+        F.sum(
+            ((F.col("_nv") > 1) & (F.col("_nc") > 1)).cast("long")
+        ).alias("split_groups"),
+    )
+    return agg.select(
+        "host",
+        "param",
+        "evidence_groups",
+        "split_groups",
+        F.when(F.col("evidence_groups") == 0, F.lit("unknown"))
+        .when(F.col("split_groups") == 0, F.lit("irrelevant"))
+        .otherwise(F.lit("relevant"))
+        .alias("verdict"),
+    )
