@@ -1406,6 +1406,61 @@ _ANN_SQL = """
 """
 
 
+def _q_ann_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation eval: recall@5 of brute-force search over
+    the FIRST 16 dims against the full 64-dim exact baseline — the
+    acceptance gate for MRL-style cheap-first-pass retrieval (search
+    truncated, rerank full). Integer-bp recall per query; the
+    truncation is a codegen `slice`, plan shape identical to the
+    broadcast brute-force baseline."""
+    from yacy_grid_crawler_spark.operators.similarity import (
+        brute_force_topk,
+        topk_recall,
+    )
+
+    emb = _emb(spark, sf_dir)
+    trunc = emb.withColumn("embedding", F.slice("embedding", 1, 16))
+    return topk_recall(brute_force_topk(trunc), brute_force_topk(emb))
+
+
+_ANN_MRL_SQL = """
+  WITH e AS (
+    SELECT query_id, neighbor_id FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(c.embedding::double[],
+                                               q.embedding::double[]) DESC,
+                        c.vec_id
+             ) AS rank
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id % 50 = 0
+    ) WHERE rank <= 5
+  ),
+  a AS (
+    SELECT query_id, neighbor_id FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity((c.embedding[1:16])::double[],
+                                               (q.embedding[1:16])::double[]) DESC,
+                        c.vec_id
+             ) AS rank
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id % 50 = 0
+    ) WHERE rank <= 5
+  )
+  SELECT e.query_id,
+         CAST(count(*) AS BIGINT) AS n_exact,
+         CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+         CAST((10000 * count(a.neighbor_id)) // count(*) AS BIGINT)
+           AS recall_bp
+  FROM e LEFT JOIN a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+"""
+
+
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact all-pairs baseline;
     τ=0.4 because the synthetic embeddings top out at cos≈0.51)."""
@@ -7877,6 +7932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_recall": _q_ann_recall,
+        "ann_mrl_recall": _q_ann_mrl_recall,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_sq8_topk": _q_ann_sq8_topk,
         "ann_pq_topk": _q_ann_pq_topk,
@@ -8139,6 +8195,7 @@ def oracle_sql() -> dict[str, str]:
         "events_range_attrib": _EVENTS_RANGE_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,
         "ann_recall": _ANN_RECALL_SQL,
+        "ann_mrl_recall": _ANN_MRL_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
         "ann_sq8_topk": _ANN_SQ8_SQL,
         "ann_pq_topk": _ANN_PQ_SQL,
