@@ -7421,6 +7421,59 @@ _BPE_DOC_TOKENS_SQL = f"""
 """
 
 
+def _q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM with stupid backoff, trained on the doc_id%2==0 split
+    and scoring every doc (held-out docs exercise the backoff path);
+    4dp-rounded avg neg-logprob + integer backoff basis points."""
+    from yacy_grid_crawler_spark.operators.textstats import lm_bigram_score
+
+    return lm_bigram_score(_docs(spark, sf_dir))
+
+
+_LM_BIGRAM_SQL = """
+  WITH words AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+    FROM documents
+  ),
+  bg AS (
+    SELECT doc_id, split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2
+    FROM (SELECT doc_id,
+                 unnest(CASE WHEN len(w) >= 2 THEN
+                          [w[i] || ' ' || w[i+1]
+                           for i in generate_series(1, len(w) - 1)]
+                        ELSE [] END) AS b
+          FROM words)
+  ),
+  c12 AS (
+    SELECT w1, w2, count(*) AS c12 FROM bg WHERE doc_id % 2 = 0
+    GROUP BY 1, 2
+  ),
+  uni AS (
+    SELECT t AS tok, count(*) AS c
+    FROM (SELECT unnest(w) AS t FROM words WHERE doc_id % 2 = 0)
+    GROUP BY 1
+  ),
+  tot AS (SELECT sum(c) AS n, count(*) AS v FROM uni),
+  sc AS (
+    SELECT bg.doc_id,
+           CASE WHEN c12.c12 IS NOT NULL AND u1.c IS NOT NULL
+                THEN -ln(c12.c12::DOUBLE / u1.c::DOUBLE)
+                ELSE -ln(0.4 * (coalesce(u2.c, 0) + 1.0) / (tot.n + tot.v))
+           END AS nlp,
+           CASE WHEN c12.c12 IS NULL OR u1.c IS NULL THEN 1 ELSE 0 END AS bo
+    FROM bg
+    LEFT JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
+    LEFT JOIN uni u1 ON u1.tok = bg.w1
+    LEFT JOIN uni u2 ON u2.tok = bg.w2
+    CROSS JOIN tot
+  )
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         round(avg(nlp), 4) AS avg_neg_logprob,
+         (10000 * sum(bo) // count(*))::BIGINT AS backoff_bp
+  FROM sc GROUP BY doc_id
+"""
+
+
 def _q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 PMI collocations over corpus word bigrams (min_count=5;
     pmi rounded to 4dp BEFORE the rank on both engines)."""
@@ -7999,6 +8052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_rollup": _q_source_rollup,
         "temperature_resample": _q_temperature_resample,
         "lm_score": _q_lm_score,
+        "lm_bigram_score": _q_lm_bigram_score,
         "inlink_stats": _q_inlink_stats,
         "anchor_stats": _q_anchor_stats,
         "hits_scores": _q_hits,
@@ -8161,6 +8215,7 @@ def oracle_sql() -> dict[str, str]:
         "source_rollup": _source_rollup_sql(),
         "temperature_resample": _TEMPERATURE_SQL,
         "lm_score": _LM_SCORE_SQL,
+        "lm_bigram_score": _LM_BIGRAM_SQL,
         "inlink_stats": _INLINK_STATS_SQL,
         "anchor_stats": _ANCHOR_STATS_SQL,
         "hits_scores": _HITS_SQL,

@@ -1811,3 +1811,26 @@ def test_span_chunks_reassembles_to_whole_doc(spark):
         n_spans = sum(c["n_spans"] for c in chunks)
         n_media = sum(c["n_media"] for c in chunks)
         assert (n_spans, n_media) == whole[doc_id]
+
+
+def test_lm_bigram_backoff_fires_only_on_heldout(spark):
+    """Training-split docs never back off (all their bigrams are in
+    the LM); a held-out doc with novel bigrams must."""
+    from yacy_grid_crawler_spark.operators.textstats import lm_bigram_score
+
+    rows = [
+        ("0", "the cat sat on the mat"),
+        ("2", "the cat ate the fish"),
+        ("4", "a dog sat on a log"),
+        ("1", "the cat sat on the mat"),        # fully covered by doc 0
+        ("3", "purple elephants juggle quanta"),  # all-novel bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in lm_bigram_score(df).collect()}
+    assert got["0"]["backoff_bp"] == 0
+    assert got["2"]["backoff_bp"] == 0
+    assert got["4"]["backoff_bp"] == 0
+    assert got["1"]["backoff_bp"] == 0
+    assert got["3"]["backoff_bp"] == 10000
+    # held-out novel text must score strictly worse than covered text
+    assert got["3"]["avg_neg_logprob"] > got["1"]["avg_neg_logprob"]

@@ -1466,3 +1466,77 @@ def corpus_drift(docs: DataFrame, top_n: int = 50) -> DataFrame:
         .orderBy(F.desc("drift_score"), F.asc("word"))
         .limit(top_n)
     )
+
+
+def lm_bigram_score(
+    docs: DataFrame, train_mod: int = 2, backoff: float = 0.4
+) -> DataFrame:
+    """Bigram language-model scoring with stupid backoff (Brants et
+    al. 2007) — the next step up from `lm_score`'s unigram filter and
+    the SQL-expressible core of the CCNet 5-gram-KenLM gate. The LM
+    trains on the doc_id % train_mod == 0 SPLIT and scores every doc,
+    so held-out docs genuinely exercise the backoff path (a same-
+    corpus bigram LM would never back off).
+
+        P(w2|w1) = c12/c1                     bigram seen in train
+                 = backoff * (c2+1)/(N+V)     otherwise (add-one
+                                              unigram, unseen-safe)
+        score    = avg over doc bigrams of -ln P(w2|w1)
+
+    Output: (doc_id, n_bigrams, avg_neg_logprob rounded 4dp,
+    backoff_bp = 10000 * backed-off bigrams DIV n_bigrams). Docs with
+    <2 tokens produce no bigram rows and are omitted (unscorable),
+    matching `lm_score`'s convention.
+
+    Scale shape: two map-side-combining training aggregates (bigram-
+    and unigram-keyed); scoring is three equi-joins of the exploded
+    corpus against them — stopword-skewed exactly like `lm_score`'s
+    freq join (AQE skew-join splits it; the per-doc re-aggregate
+    absorbs the skew) — then ONE doc_id aggregate. ln() and the
+    branch are JVM codegen; no UDFs, no windows.
+    """
+    toks = docs.select("doc_id", _words().alias("w"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
+                " (x, i) -> struct(x as w1, element_at(w, i + 2) as w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    train = bg.filter(
+        F.col("doc_id").cast("long") % train_mod == 0
+    )
+    c12 = train.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = (
+        toks.filter(F.col("doc_id").cast("long") % train_mod == 0)
+        .select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = uni.agg(F.sum("c").alias("_n"), F.count("*").alias("_v"))
+    scored = (
+        bg.join(c12, ["w1", "w2"], "left")
+        .join(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1")),
+              "w1", "left")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2")),
+              "w2", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    seen = F.col("c12").isNotNull() & F.col("c1").isNotNull()
+    p = F.when(
+        seen, F.col("c12").cast("double") / F.col("c1").cast("double")
+    ).otherwise(
+        F.lit(backoff)
+        * (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+        / (F.col("_n") + F.col("_v"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg(-F.log(p)), 4).alias("avg_neg_logprob"),
+        F.expr(
+            "CAST(10000 * sum(CASE WHEN c12 IS NULL OR c1 IS NULL"
+            " THEN 1 ELSE 0 END) DIV count(*) AS BIGINT)"
+        ).alias("backoff_bp"),
+    )
