@@ -7421,6 +7421,58 @@ _BPE_DOC_TOKENS_SQL = f"""
 """
 
 
+def _q_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear classifier scoring (fastText-style
+    model-based quality gate): unigram+bigram hashing trick into 4096
+    buckets, md5-synthesized integer weights broadcast-joined, per-doc
+    integer score + keep/drop label."""
+    from yacy_grid_crawler_spark.operators.textstats import (
+        linear_classifier_score,
+    )
+
+    return linear_classifier_score(_docs(spark, sf_dir))
+
+
+def _hexint_sql(h: str, k: int) -> str:
+    """Integer from the first k hex chars of md5 expr `h` — the
+    DuckDB position-nibble dialect of Spark's conv(substr(md5,1,k),
+    16, 10); shared shape with _u16_sql."""
+    nib = "(position(substr({h}, {i}, 1) IN '0123456789abcdef') - 1)"
+    return " + ".join(
+        f"{nib.format(h=h, i=i + 1)} * {16 ** (k - 1 - i)}" for i in range(k)
+    )
+
+
+_LINEAR_CLS_SQL = f"""
+  WITH words AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+    FROM documents
+  ),
+  feats AS (
+    SELECT doc_id, unnest(w) AS f FROM words
+    UNION ALL
+    SELECT doc_id,
+           unnest(CASE WHEN len(w) >= 2 THEN
+                    [w[i] || ' ' || w[i+1]
+                     for i in generate_series(1, len(w) - 1)]
+                  ELSE [] END) AS f
+    FROM words
+  ),
+  fb AS (
+    SELECT doc_id, ({_hexint_sql("md5(f)", 5)}) % 4096 AS b FROM feats
+  ),
+  wt AS (
+    SELECT b, ({_hexint_sql("md5('w|' || b)", 4)}) % 17 - 8 AS wgt
+    FROM (SELECT unnest(generate_series(0, 4095)) AS b)
+  )
+  SELECT doc_id, count(*)::BIGINT AS n_features,
+         sum(wgt)::BIGINT AS score,
+         CASE WHEN sum(wgt) >= 0 THEN 'keep' ELSE 'drop' END AS label
+  FROM fb JOIN wt USING (b)
+  GROUP BY doc_id
+"""
+
+
 def _q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram LM with stupid backoff, trained on the doc_id%2==0 split
     and scoring every doc (held-out docs exercise the backoff path);
@@ -8053,6 +8105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_resample": _q_temperature_resample,
         "lm_score": _q_lm_score,
         "lm_bigram_score": _q_lm_bigram_score,
+        "linear_classifier_score": _q_linear_classifier,
         "inlink_stats": _q_inlink_stats,
         "anchor_stats": _q_anchor_stats,
         "hits_scores": _q_hits,
@@ -8216,6 +8269,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_resample": _TEMPERATURE_SQL,
         "lm_score": _LM_SCORE_SQL,
         "lm_bigram_score": _LM_BIGRAM_SQL,
+        "linear_classifier_score": _LINEAR_CLS_SQL,
         "inlink_stats": _INLINK_STATS_SQL,
         "anchor_stats": _ANCHOR_STATS_SQL,
         "hits_scores": _HITS_SQL,

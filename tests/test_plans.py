@@ -654,3 +654,19 @@ def test_suffix_array_output_rank_stays_two_phase(spark):
             assert "_pid" in line, f"window not pid-local: {line[:120]}"
     for c in caches:
         c.unpersist()
+
+
+def test_linear_classifier_broadcasts_weights(spark):
+    """The hashed-feature weight lookup must broadcast (corpus side
+    never shuffles for it) and the whole plan stays JVM-side."""
+    from yacy_grid_crawler_spark.operators.textstats import (
+        linear_classifier_score,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(linear_classifier_score(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

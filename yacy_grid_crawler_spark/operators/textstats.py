@@ -1540,3 +1540,81 @@ def lm_bigram_score(
             " THEN 1 ELSE 0 END) DIV count(*) AS BIGINT)"
         ).alias("backoff_bp"),
     )
+
+
+def linear_classifier_score(
+    docs: DataFrame, n_buckets: int = 4096
+) -> DataFrame:
+    """Hashed-feature linear classifier inference — the fastText-style
+    scoring pass behind modern model-based quality filters (FineWeb-Edu
+    classifier gating, CC lang-id): word unigram + bigram features are
+    hashed into `n_buckets` via the hashing trick, a broadcast weight
+    table scores them, and the per-doc sum decides keep/drop.
+
+    The WEIGHTS here are synthesized deterministically from md5 of the
+    bucket index (integers in [-8, 8]) — this container has no trained
+    model, and the operator's value is the verified PLUMBING (hashing,
+    broadcast, aggregation); swap the weight DataFrame for real
+    exported weights and nothing else changes. Same convention as the
+    multimodal decode stubs.
+
+    Cross-engine exactness: feature hash = first 5 hex chars of
+    md5(feature) as an integer (Spark `conv`, DuckDB position-nibble
+    dialect) mod n_buckets; weights and scores are all integers.
+
+    Scale shape: feature expansion is a codegen explode (the bigram
+    transform rides the same word array); the weight table is
+    `n_buckets` rows — broadcast-joined, so the corpus side never
+    shuffles for the lookup; ONE doc_id hash aggregate ends the plan.
+    Exactly the geometry a real exported linear model would use.
+    """
+    spark = docs.sparkSession
+    weights = spark.range(n_buckets).select(
+        F.col("id").alias("b"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("w|"), F.col("id").cast("string"))),
+                    1, 4,
+                ),
+                16, 10,
+            ).cast("long") % 17 - 8
+        ).alias("wgt"),
+    )
+    toks = docs.select("doc_id", _words().alias("w"))
+    feats = toks.select(
+        "doc_id", F.explode("w").alias("f")
+    ).unionByName(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
+                    " (x, i) -> concat(x, ' ', element_at(w, i + 2)))"
+                )
+            ).alias("f"),
+        )
+    )
+    bucketed = feats.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("f"), 1, 5), 16, 10).cast("long")
+            % n_buckets
+        ).alias("b"),
+    )
+    return (
+        bucketed.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_features"),
+            F.sum("wgt").alias("score"),
+        )
+        .select(
+            "doc_id",
+            "n_features",
+            "score",
+            F.when(F.col("score") >= 0, F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("label"),
+        )
+    )
