@@ -7986,6 +7986,49 @@ def _sweeping(fn):
     return run
 
 
+def _q_quality_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble keep/drop gate: heuristic + unigram-LM + hashed-linear
+    classifier signals converted to corpus rank percentiles (integer
+    bp, ties by doc_id) and mean-fused; keep = fused >= 5000."""
+    from yacy_grid_crawler_spark.operators.textstats import quality_fuse
+
+    return quality_fuse(_docs(spark, sf_dir), cache_registry=_QUERY_CACHES)
+
+
+# the three signal CTEs reuse the per-signal oracle SQL verbatim
+# (nested WITH scopes shadow legally in DuckDB)
+_QUALITY_FUSE_SQL = f"""
+  WITH qq AS ({_QUALITY_SQL}),
+  ll AS ({_LM_SCORE_SQL}),
+  cc AS ({_LINEAR_CLS_SQL}),
+  s AS (
+    SELECT qq.doc_id, qq.quality, ll.avg_neg_logprob, cc.score
+    FROM qq JOIN ll USING (doc_id) JOIN cc USING (doc_id)
+  ),
+  r AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY quality, doc_id) - 1 AS rq,
+           row_number() OVER (ORDER BY avg_neg_logprob DESC, doc_id) - 1
+             AS rl,
+           row_number() OVER (ORDER BY score, doc_id) - 1 AS rc,
+           greatest(count(*) OVER () - 1, 1) AS d
+    FROM s
+  ),
+  p AS (
+    SELECT doc_id,
+           (10000 * rq) // d AS pq_bp,
+           (10000 * rl) // d AS plm_bp,
+           (10000 * rc) // d AS pcls_bp
+    FROM r
+  )
+  SELECT doc_id, pq_bp::BIGINT AS pq_bp, plm_bp::BIGINT AS plm_bp,
+         pcls_bp::BIGINT AS pcls_bp,
+         ((pq_bp + plm_bp + pcls_bp) // 3)::BIGINT AS fused_bp,
+         (pq_bp + plm_bp + pcls_bp) // 3 >= 5000 AS keep
+  FROM p
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         # crawl-side (SURVEY.md §2)
@@ -8106,6 +8149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": _q_lm_score,
         "lm_bigram_score": _q_lm_bigram_score,
         "linear_classifier_score": _q_linear_classifier,
+        "quality_fuse": _q_quality_fuse,
         "inlink_stats": _q_inlink_stats,
         "anchor_stats": _q_anchor_stats,
         "hits_scores": _q_hits,
@@ -8270,6 +8314,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": _LM_SCORE_SQL,
         "lm_bigram_score": _LM_BIGRAM_SQL,
         "linear_classifier_score": _LINEAR_CLS_SQL,
+        "quality_fuse": _QUALITY_FUSE_SQL,
         "inlink_stats": _INLINK_STATS_SQL,
         "anchor_stats": _ANCHOR_STATS_SQL,
         "hits_scores": _HITS_SQL,

@@ -1618,3 +1618,67 @@ def linear_classifier_score(
             .alias("label"),
         )
     )
+
+
+def quality_fuse(
+    docs: DataFrame, cache_registry: list | None = None
+) -> DataFrame:
+    """Multi-signal quality fusion — the ensemble keep/drop gate a
+    production mix runs instead of any single filter (Dolma/FineWeb
+    combine heuristic, LM, and classifier signals): each doc's three
+    scores (`quality_score`'s heuristic, `lm_score`'s unigram
+    perplexity, `linear_classifier_score`'s hashed-linear score) are
+    converted to corpus-wide rank percentiles (worst=0 .. best=10000,
+    integer basis points, ties by doc_id) and mean-fused; keep =
+    fused >= 5000. Rank fusion makes the signals scale-free — no
+    per-signal threshold tuning survives a corpus shift, ranks do.
+
+    Docs any signal cannot score (no alphabetic tokens) drop out via
+    the inner join — same "unscorable" convention as `lm_score`.
+
+    Scale shape: three corpus passes produce three narrow per-doc
+    signal tables joined on doc_id; each percentile is the two-phase
+    `global_positions` rank (range partition + pid-local window —
+    never a single-partition global window); the doc count rides as a
+    1-row broadcast. All outputs integer, oracle value-exact.
+    """
+    from yacy_grid_crawler_spark.operators.batching import global_positions
+
+    q = quality_score(docs).select("doc_id", "quality")
+    l = lm_score(docs).select("doc_id", "avg_neg_logprob")
+    c = linear_classifier_score(docs).select("doc_id", "score")
+    s = (
+        q.join(l, "doc_id")
+        .join(c, "doc_id")
+        .withColumn("_neg_nlp", -F.col("avg_neg_logprob"))
+    )
+    s = global_positions(
+        s, (), ("quality", "doc_id"), out="_rq",
+        cache_registry=cache_registry, broadcast_offsets=False,
+    )
+    s = global_positions(
+        s, (), ("_neg_nlp", "doc_id"), out="_rl",
+        cache_registry=cache_registry, broadcast_offsets=False,
+    )
+    s = global_positions(
+        s, (), ("score", "doc_id"), out="_rc",
+        cache_registry=cache_registry, broadcast_offsets=False,
+    )
+    n = s.groupBy().agg(F.count("*").alias("_n"))
+    denom = F.greatest(F.col("_n") - 1, F.lit(1))
+    out = s.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        F.expr("CAST(10000 * _rq AS BIGINT)").alias("_xq"),
+        F.expr("CAST(10000 * _rl AS BIGINT)").alias("_xl"),
+        F.expr("CAST(10000 * _rc AS BIGINT)").alias("_xc"),
+        denom.alias("_d"),
+    ).select(
+        "doc_id",
+        F.expr("_xq DIV _d").alias("pq_bp"),
+        F.expr("_xl DIV _d").alias("plm_bp"),
+        F.expr("_xc DIV _d").alias("pcls_bp"),
+        F.expr("(_xq DIV _d + _xl DIV _d + _xc DIV _d) DIV 3").alias(
+            "fused_bp"
+        ),
+    ).withColumn("keep", F.col("fused_bp") >= 5000)
+    return out
