@@ -4982,6 +4982,99 @@ _RFC9309_SQL = r"""
 """
 
 
+def _q_robots_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-change compliance audit over the rfc9309 synthesis:
+    snapshot B newly disallows /free/ and drops the /p/*0$ allow
+    override (-> delete rows), and flips /q*9 to allow (-> recrawl
+    rows)."""
+    from yacy_grid_crawler_spark.operators.robots import robots_delta
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string"),
+                    F.lit(".org"))
+    rid = F.col("doc_id").cast("string")
+    path = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("/p/"), rid))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("/q"), rid, F.lit("9")))
+        .otherwise(F.concat(F.lit("/free/"), rid))
+    )
+    urls = d.select(host.alias("host"), path.alias("path"))
+    hosts = urls.select("host").distinct()
+
+    def mk(rows):
+        return hosts.crossJoin(
+            spark.createDataFrame(rows, "allow boolean, pattern string")
+        ).select("host", "allow", "pattern")
+
+    rules_a = mk([(False, "/p/"), (True, "/p/*0$"), (False, "/q*9")])
+    rules_b = mk([(False, "/p/"), (False, "/free/"), (True, "/q*9")])
+    return robots_delta(urls, rules_a, rules_b)
+
+
+def _rfc9309_oracle_cte(values_sql: str) -> str:
+    """DuckDB verdict subquery over the shared `urls` CTE for a given
+    VALUES rule list — same translate/longest-match logic as
+    _RFC9309_SQL."""
+    return (
+        r"""
+    SELECT u.host, u.path, coalesce(w.allow, true) AS allowed,
+           coalesce(w.pattern, '') AS winner_pattern
+    FROM urls u LEFT JOIN (
+      SELECT host, path, allow, pattern FROM (
+        SELECT u2.host, u2.path, r.allow, r.pattern,
+               row_number() OVER (
+                 PARTITION BY u2.host, u2.path
+                 ORDER BY r.plen DESC, r.allow DESC, r.pattern DESC
+               ) AS rn
+        FROM urls u2 JOIN (
+          SELECT h.host, r.allow, r.pattern, length(r.pattern) AS plen,
+                 '^' || regexp_replace(
+                   regexp_replace(
+                     regexp_replace(r.pattern,
+                       '([.^$+?()\[\]{}|\\])', '\\\1', 'g'),
+                     '\*', '.*', 'g'),
+                   '\\\$$', '$') AS rx
+          FROM (SELECT DISTINCT host FROM urls) h
+          CROSS JOIN (VALUES """
+        + values_sql
+        + r""") r(allow, pattern)
+        ) r ON r.host = u2.host AND regexp_matches(u2.path, r.rx)
+      ) WHERE rn = 1
+    ) w ON w.host = u.host AND w.path = u.path
+"""
+    )
+
+
+_ROBOTS_DELTA_SQL = (
+    r"""
+  WITH urls AS (
+    SELECT DISTINCT 'h' || (doc_id % 10) || '.org' AS host,
+           CASE WHEN doc_id % 3 = 0 THEN '/p/' || doc_id
+                WHEN doc_id % 3 = 1 THEN '/q' || doc_id || '9'
+                ELSE '/free/' || doc_id END AS path
+    FROM documents
+  ),
+  va AS ("""
+    + _rfc9309_oracle_cte(
+        "(false, '/p/'), (true, '/p/*0$'), (false, '/q*9')"
+    )
+    + """
+  ),
+  vb AS ("""
+    + _rfc9309_oracle_cte(
+        "(false, '/p/'), (false, '/free/'), (true, '/q*9')"
+    )
+    + """
+  )
+  SELECT va.host, va.path,
+         CASE WHEN vb.allowed THEN 'recrawl' ELSE 'delete' END AS action,
+         vb.winner_pattern AS pattern_b
+  FROM va JOIN vb USING (host, path)
+  WHERE va.allowed <> vb.allowed
+"""
+)
+
+
 def _q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-line discovery from robots bodies (the other half of
     the sitemap loop; seeds.parse_sitemap expands the fetched docs).
@@ -8170,6 +8263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap_sample": _q_host_cap_sample,
         "robots_parse": _q_robots_parse,
         "rfc9309_verdict": _q_rfc9309,
+        "robots_delta": _q_robots_delta,
         "curate_pipeline": _q_curate_pipeline,
         "frontier_dequeue": _q_frontier_dequeue,
         "sitemap_parse": _q_sitemap_parse,
@@ -8335,6 +8429,7 @@ def oracle_sql() -> dict[str, str]:
         "host_cap_sample": _HOST_CAP_SQL,
         "robots_parse": _ROBOTS_PARSE_SQL,
         "rfc9309_verdict": _RFC9309_SQL,
+        "robots_delta": _ROBOTS_DELTA_SQL,
         "curate_pipeline": _curate_sql(),
         "frontier_dequeue": _FRONTIER_DEQUEUE_SQL,
         "sitemap_parse": _SITEMAP_SQL,

@@ -152,3 +152,47 @@ def rfc9309_verdict(
             ),
         )
     )
+
+
+def robots_delta(
+    urls: DataFrame,
+    rules_a: DataFrame,
+    rules_b: DataFrame,
+    broadcast_rules: bool = True,
+) -> DataFrame:
+    """Robots-snapshot compliance audit — what a polite crawler must
+    DO when a site's robots.txt changes: URLs allowed under snapshot A
+    but disallowed under B are `delete` candidates (serve-no-more, the
+    continuous-time extension of the reference's crawl-start index
+    delete, CrawlStartService.java:141-173); URLs newly allowed are
+    `recrawl` candidates. Unchanged verdicts drop out.
+
+    Output: (host, path, action, pattern_b) — pattern_b is snapshot
+    B's winning rule, the audit trail for the action.
+
+    Scale shape: two `rfc9309_verdict` passes over the SAME url set
+    (each a broadcast rules join + one (host, path) aggregate) joined
+    on (host, path) — co-keyed with the verdict aggregates, so AQE
+    reuses the partitioning; the disagreement filter cuts the join
+    output to the (rare) changed rows before anything else sees it."""
+    a = rfc9309_verdict(urls, rules_a, broadcast_rules).select(
+        "host", "path", F.col("allowed").alias("_allowed_a")
+    )
+    b = rfc9309_verdict(urls, rules_b, broadcast_rules).select(
+        "host",
+        "path",
+        F.col("allowed").alias("_allowed_b"),
+        F.col("winner_pattern").alias("pattern_b"),
+    )
+    return (
+        a.join(b, ["host", "path"])
+        .filter(F.col("_allowed_a") != F.col("_allowed_b"))
+        .select(
+            "host",
+            "path",
+            F.when(F.col("_allowed_b"), F.lit("recrawl"))
+            .otherwise(F.lit("delete"))
+            .alias("action"),
+            "pattern_b",
+        )
+    )
