@@ -622,6 +622,14 @@ def main() -> None:
             "efficiency_work_normalized": pair(8, 32)[
                 "efficiency_work_normalized"
             ],
+            # the sub-saturation pair: per BASELINE.md's decomposition,
+            # on ONE shared-memory-bus box this is the honest stand-in
+            # for "N executors vs 4N executors" (every real node added
+            # brings its own bus); reported alongside, never instead
+            "efficiency_subsaturation_2v8": pair(2, 8)["efficiency"],
+            "efficiency_subsaturation_2v8_work_normalized": pair(2, 8)[
+                "efficiency_work_normalized"
+            ],
         }
         hi = levels[32]
         # the scaling wave is the same metric at larger input — report
