@@ -129,3 +129,43 @@ def test_bpe_merged_vocab_sequences_match_reference(spark, tiny_docs):
     # a seq determines its word (strip spaces, drop the marker), so the
     # (seq, cnt) set comparison is exact per-word
     assert got == set(want_vocab.items())
+
+
+def test_bpe_hypothesis_random_corpora(spark):
+    """Property: engine merge tables equal the pure-Python spec on
+    random small corpora (short alphabet forces heavy ties and l==r
+    runs — the adversarial regime for the replace semantics)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+    corpus = st.lists(
+        st.lists(word, min_size=1, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(texts=corpus)
+    def run(texts):
+        docs = spark.createDataFrame(
+            [(str(i), t) for i, t in enumerate(texts)],
+            "doc_id string, text string",
+        )
+        merge_df, vocab = bpe_train(docs, k=4)
+        got = [
+            (r["step"], r["left_sym"], r["right_sym"], r["merged"],
+             r["pair_count"])
+            for r in merge_df.orderBy("step").collect()
+        ]
+        want, want_vocab = _ref_bpe(texts, 4)
+        assert got == want
+        assert {(r["seq"], r["cnt"]) for r in vocab.collect()} == set(
+            want_vocab.items()
+        )
+
+    run()
