@@ -1688,3 +1688,17 @@ def test_param_relevance_verdicts(spark):
     assert got[("h0.shop", "v")] == "unknown"
     assert got[("h1.shop", "v")] == "unknown"
     assert len(got) == 6
+
+
+def test_cli_list_queries_and_analyze_args(capsys):
+    """--list-queries prints the registry; --analyze validates its
+    inputs before touching Spark."""
+    import json as _json
+
+    from yacy_grid_crawler_spark.__main__ import main
+
+    assert main(["--list-queries"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert "bpe_merges" in out["queries"] and len(out["queries"]) >= 170
+    assert main(["--analyze", "no_such_query", "--sf-dir", "/tmp"]) == 2
+    assert main(["--analyze", "bpe_merges"]) == 2  # missing --sf-dir

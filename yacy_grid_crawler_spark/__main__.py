@@ -119,6 +119,26 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="print the profile defaults (defaultValues.json surface) and exit",
     )
+    ap.add_argument(
+        "--analyze", metavar="QUERY", default=None,
+        help="run one analytics query from the __spark_entry__ registry "
+             "against --sf-dir parquet tables and print its rows as one "
+             "JSON line (repo-checkout convenience; the registry module "
+             "lives at the repo root)",
+    )
+    ap.add_argument(
+        "--sf-dir", default=None,
+        help="directory holding the parquet tables --analyze reads "
+             "(documents/embeddings/events/...)",
+    )
+    ap.add_argument(
+        "--analyze-limit", type=int, default=20,
+        help="max rows printed by --analyze",
+    )
+    ap.add_argument(
+        "--list-queries", action="store_true",
+        help="print the registry's query names and exit",
+    )
     return ap
 
 
@@ -129,6 +149,55 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.default_values:
         print(json.dumps(DEFAULT_PROFILE, sort_keys=True))
+        return 0
+
+    if args.list_queries or args.analyze:
+        import importlib
+
+        try:
+            entry = importlib.import_module("__spark_entry__")
+        except ImportError:
+            print(
+                json.dumps({
+                    "success": False,
+                    "error": "__spark_entry__ not importable — run from "
+                             "the repo checkout (registry lives at the "
+                             "repo root)",
+                }),
+                file=sys.stderr,
+            )
+            return 2
+        registry = entry.queries()
+        if args.list_queries:
+            print(json.dumps({"queries": sorted(registry)}))
+            return 0
+        fn = registry.get(args.analyze)
+        if fn is None or not args.sf_dir:
+            print(
+                json.dumps({
+                    "success": False,
+                    "error": (
+                        f"unknown query {args.analyze!r}"
+                        if fn is None else "--analyze needs --sf-dir"
+                    ),
+                }),
+                file=sys.stderr,
+            )
+            return 2
+        from .session import get_spark
+
+        spark = get_spark(cores=args.cores)
+        df = fn(spark, args.sf_dir)
+        rows = [
+            r.asDict(recursive=True)
+            for r in df.limit(args.analyze_limit).collect()
+        ]
+        print(
+            json.dumps(
+                {"success": True, "query": args.analyze, "rows": rows},
+                default=str,
+            )
+        )
         return 0
 
     if not (args.docs and args.store) or not (args.crawling_url or args.resume):
