@@ -7567,15 +7567,16 @@ _LINEAR_CLS_SQL = f"""
 
 
 def _q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram LM with stupid backoff, trained on the doc_id%2==0 split
-    and scoring every doc (held-out docs exercise the backoff path);
-    4dp-rounded avg neg-logprob + integer backoff basis points."""
+    """Bigram LM with stupid backoff, trained on the md5(doc_id)%2==0
+    split (type-safe for string ids) and scoring every doc (held-out
+    docs exercise the backoff path); 4dp-rounded avg neg-logprob +
+    integer backoff basis points."""
     from yacy_grid_crawler_spark.operators.textstats import lm_bigram_score
 
     return lm_bigram_score(_docs(spark, sf_dir))
 
 
-_LM_BIGRAM_SQL = """
+_LM_BIGRAM_SQL = f"""
   WITH words AS (
     SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
     FROM documents
@@ -7590,12 +7591,14 @@ _LM_BIGRAM_SQL = """
           FROM words)
   ),
   c12 AS (
-    SELECT w1, w2, count(*) AS c12 FROM bg WHERE doc_id % 2 = 0
+    SELECT w1, w2, count(*) AS c12 FROM bg
+    WHERE ({_hexint_sql("md5(doc_id::VARCHAR)", 2)}) % 2 = 0
     GROUP BY 1, 2
   ),
   uni AS (
     SELECT t AS tok, count(*) AS c
-    FROM (SELECT unnest(w) AS t FROM words WHERE doc_id % 2 = 0)
+    FROM (SELECT unnest(w) AS t FROM words
+          WHERE ({_hexint_sql("md5(doc_id::VARCHAR)", 2)}) % 2 = 0)
     GROUP BY 1
   ),
   tot AS (SELECT sum(c) AS n, count(*) AS v FROM uni),

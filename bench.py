@@ -215,7 +215,6 @@ def crawl_bench(
 
     local_dir = tempfile.mkdtemp(prefix="spark_local_", dir=SINK_BASE)
     extra = {"spark.local.dir": local_dir}
-    extra.update(extra_conf or {})
     if master:
         # local-cluster: executors do the work — small driver heap,
         # per-executor heaps; workers put shuffle dirs on tmpfs via
@@ -225,6 +224,8 @@ def crawl_bench(
             "spark.driver.memory": "4g",
             "spark.executor.memory": "15g",
         })
+    # caller conf wins over the mode defaults above
+    extra.update(extra_conf or {})
     spark = get_spark(
         app=f"bench-crawl-{cores}", cores=cores,
         shuffle_partitions=cores * SHUFFLE_FACTOR,

@@ -1702,3 +1702,23 @@ def test_cli_list_queries_and_analyze_args(capsys):
     assert "bpe_merges" in out["queries"] and len(out["queries"]) >= 170
     assert main(["--analyze", "no_such_query", "--sf-dir", "/tmp"]) == 2
     assert main(["--analyze", "bpe_merges"]) == 2  # missing --sf-dir
+
+
+def test_robots_delta_dedups_repeated_urls(spark):
+    """A URL repeated in the input must yield exactly ONE action row
+    (review finding: without the dedup the two-verdict join squares
+    the duplicates)."""
+    from yacy_grid_crawler_spark.operators.robots import robots_delta
+
+    urls = spark.createDataFrame(
+        [("h.org", "/x")] * 3, "host string, path string"
+    )
+    ra = spark.createDataFrame(
+        [("h.org", True, "/x")], "host string, allow boolean, pattern string"
+    )
+    rb = spark.createDataFrame(
+        [("h.org", False, "/x")], "host string, allow boolean, pattern string"
+    )
+    rows = robots_delta(urls, ra, rb).collect()
+    assert len(rows) == 1
+    assert rows[0]["action"] == "delete"

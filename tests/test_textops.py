@@ -1818,19 +1818,29 @@ def test_lm_bigram_backoff_fires_only_on_heldout(spark):
     the LM); a held-out doc with novel bigrams must."""
     from yacy_grid_crawler_spark.operators.textstats import lm_bigram_score
 
+    # split is md5(doc_id)-parity (type-safe for string ids):
+    # int(md5(str(i))[:2], 16) % 2 == 0 for i in 1..6 (train),
+    # == 1 for 0 and 7..11 (held out)
+    import hashlib
+
+    def in_train(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16) % 2 == 0
+
+    assert all(in_train(i) for i in (1, 2, 3)) and not in_train(7) \
+        and not in_train(0)
     rows = [
-        ("0", "the cat sat on the mat"),
+        ("1", "the cat sat on the mat"),
         ("2", "the cat ate the fish"),
-        ("4", "a dog sat on a log"),
-        ("1", "the cat sat on the mat"),        # fully covered by doc 0
-        ("3", "purple elephants juggle quanta"),  # all-novel bigrams
+        ("3", "a dog sat on a log"),
+        ("7", "the cat sat on the mat"),        # held out, fully covered
+        ("0", "purple elephants juggle quanta"),  # held out, all-novel
     ]
     df = spark.createDataFrame(rows, "doc_id string, text string")
     got = {r["doc_id"]: r for r in lm_bigram_score(df).collect()}
-    assert got["0"]["backoff_bp"] == 0
-    assert got["2"]["backoff_bp"] == 0
-    assert got["4"]["backoff_bp"] == 0
     assert got["1"]["backoff_bp"] == 0
-    assert got["3"]["backoff_bp"] == 10000
+    assert got["2"]["backoff_bp"] == 0
+    assert got["3"]["backoff_bp"] == 0
+    assert got["7"]["backoff_bp"] == 0
+    assert got["0"]["backoff_bp"] == 10000
     # held-out novel text must score strictly worse than covered text
-    assert got["3"]["avg_neg_logprob"] > got["1"]["avg_neg_logprob"]
+    assert got["0"]["avg_neg_logprob"] > got["7"]["avg_neg_logprob"]

@@ -57,6 +57,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from yacy_grid_crawler_spark.operators.textstats import WORD_RE
+
 _MERGE_SCHEMA = StructType(
     [
         StructField("step", IntegerType(), False),
@@ -75,7 +77,7 @@ def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     regexp projection on the aggregated table."""
     words = docs.select(
         F.explode(
-            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+            F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)")
         ).alias("word")
     )
     v = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
@@ -162,6 +164,11 @@ def bpe_train(
     final_vocab = (
         vocab.withColumn("seq", _merged_seq_col(merges)) if merges else vocab
     )
+    if cache_registry is None:
+        # the k training collects are done; drop the cache rather than
+        # leak it (the returned vocab recomputes lazily if consumed) —
+        # same None-registry sweep as suffix_array
+        vocab.unpersist()
     return merge_df, final_vocab
 
 
@@ -192,7 +199,7 @@ def bpe_doc_tokens(
     words = docs.select(
         "doc_id",
         F.explode(
-            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+            F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)")
         ).alias("word"),
     )
     agg = (

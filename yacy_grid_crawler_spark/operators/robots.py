@@ -174,7 +174,11 @@ def robots_delta(
     (each a broadcast rules join + one (host, path) aggregate) joined
     on (host, path) — co-keyed with the verdict aggregates, so AQE
     reuses the partitioning; the disagreement filter cuts the join
-    output to the (rare) changed rows before anything else sees it."""
+    output to the (rare) changed rows before anything else sees it.
+    The url set is deduped on (host, path) first — frontier dumps
+    routinely repeat a URL, and without the dedup each duplicate would
+    multiply quadratically through the two-verdict join."""
+    urls = urls.select("host", "path").distinct()
     a = rfc9309_verdict(urls, rules_a, broadcast_rules).select(
         "host", "path", F.col("allowed").alias("_allowed_a")
     )

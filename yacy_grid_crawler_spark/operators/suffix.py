@@ -97,9 +97,13 @@ def suffix_array(
     ).collect()  # bounded metadata: one scalar, like k-means centroids
     max_len = max_len_row[0]["m"] or 0
     if max_len == 0:
-        return docs.sparkSession.createDataFrame(
-            [], "sa_rank bigint, doc_id string, pos int"
-        )
+        # empty result with the INPUT's doc_id type (hard-coding
+        # string would mismatch the non-empty path on bigint ids)
+        return docs.select(
+            F.lit(0).cast("long").alias("sa_rank"),
+            "doc_id",
+            F.lit(0).cast("int").alias("pos"),
+        ).limit(0)
     joined, ranked0 = _dense_rank_join(
         _positions(docs, text_col), ("c1",), "r", caches
     )

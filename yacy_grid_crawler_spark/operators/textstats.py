@@ -33,6 +33,17 @@ def _words():
     return F.expr(f"regexp_extract_all(lower(text), '{WORD_RE}', 0)")
 
 
+def _bigram_structs():
+    """Adjacent word-pair structs over a `w` token-array column —
+    the shared bigram expansion (explode's child materializes the
+    array once; zip-with-tail, no posexplode). Used by PMI, the
+    bigram LM, and the hashed classifier."""
+    return F.expr(
+        "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
+        " (x, i) -> struct(x as w1, element_at(w, i + 2) as w2))"
+    )
+
+
 def _marker_count(lang: str):
     markers = LANG_MARKERS[lang]
     in_list = ", ".join(f"'{m}'" for m in markers)
@@ -1226,10 +1237,7 @@ def pmi_collocations(
     toks = docs.select(_words().alias("w"))
     pair_rows = toks.select(
         F.explode(
-            F.expr(
-                "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
-                " (x, i) -> struct(x as w1, element_at(w, i + 2) as w2))"
-            )
+            _bigram_structs()
         ).alias("bg")
     ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     pairs = (
@@ -1474,7 +1482,7 @@ def lm_bigram_score(
     """Bigram language-model scoring with stupid backoff (Brants et
     al. 2007) — the next step up from `lm_score`'s unigram filter and
     the SQL-expressible core of the CCNet 5-gram-KenLM gate. The LM
-    trains on the doc_id % train_mod == 0 SPLIT and scores every doc,
+    trains on the md5(doc_id) % train_mod == 0 SPLIT and scores every doc,
     so held-out docs genuinely exercise the backoff path (a same-
     corpus bigram LM would never back off).
 
@@ -1499,18 +1507,25 @@ def lm_bigram_score(
     bg = toks.select(
         "doc_id",
         F.explode(
-            F.expr(
-                "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
-                " (x, i) -> struct(x as w1, element_at(w, i + 2) as w2))"
-            )
+            _bigram_structs()
         ).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    train = bg.filter(
-        F.col("doc_id").cast("long") % train_mod == 0
+    # md5-parity split, NOT a numeric cast: doc ids are strings in the
+    # general case ('doc-7f3a'), and cast('long') would silently NULL
+    # every row out of the training set. First-2-hex-chars of
+    # md5(doc_id) is engine-exact (Spark conv / DuckDB nibble dialect)
+    # and supports train_mod up to 256.
+    in_train = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+        ).cast("int")
+        % train_mod
+        == 0
     )
+    train = bg.filter(in_train)
     c12 = train.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     uni = (
-        toks.filter(F.col("doc_id").cast("long") % train_mod == 0)
+        toks.filter(in_train)
         .select(F.explode("w").alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
@@ -1585,14 +1600,10 @@ def linear_classifier_score(
     feats = toks.select(
         "doc_id", F.explode("w").alias("f")
     ).unionByName(
-        toks.select(
+        toks.select("doc_id", F.explode(_bigram_structs()).alias("_bg"))
+        .select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
-                    " (x, i) -> concat(x, ' ', element_at(w, i + 2)))"
-                )
-            ).alias("f"),
+            F.concat("_bg.w1", F.lit(" "), "_bg.w2").alias("f"),
         )
     )
     bucketed = feats.select(
@@ -1644,6 +1655,7 @@ def quality_fuse(
     """
     from yacy_grid_crawler_spark.operators.batching import global_positions
 
+    caches: list = cache_registry if cache_registry is not None else []
     q = quality_score(docs).select("doc_id", "quality")
     l = lm_score(docs).select("doc_id", "avg_neg_logprob")
     c = linear_classifier_score(docs).select("doc_id", "score")
@@ -1654,15 +1666,15 @@ def quality_fuse(
     )
     s = global_positions(
         s, (), ("quality", "doc_id"), out="_rq",
-        cache_registry=cache_registry, broadcast_offsets=False,
+        cache_registry=caches, broadcast_offsets=False,
     )
     s = global_positions(
         s, (), ("_neg_nlp", "doc_id"), out="_rl",
-        cache_registry=cache_registry, broadcast_offsets=False,
+        cache_registry=caches, broadcast_offsets=False,
     )
     s = global_positions(
         s, (), ("score", "doc_id"), out="_rc",
-        cache_registry=cache_registry, broadcast_offsets=False,
+        cache_registry=caches, broadcast_offsets=False,
     )
     n = s.groupBy().agg(F.count("*").alias("_n"))
     denom = F.greatest(F.col("_n") - 1, F.lit(1))
@@ -1681,4 +1693,9 @@ def quality_fuse(
             "fused_bp"
         ),
     ).withColumn("keep", F.col("fused_bp") >= 5000)
+    if cache_registry is None:
+        # same None-registry sweep as suffix_array: don't leak the
+        # three range-partitioned persists past the call
+        for c in caches:
+            c.unpersist()
     return out
