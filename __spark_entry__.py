@@ -1461,6 +1461,43 @@ _ANN_MRL_SQL = """
 """
 
 
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top similar-but-not-duplicate neighbors (4dp cos < 0.4 gate over
+    the exact top-10), re-ranked 1..5."""
+    from yacy_grid_crawler_spark.operators.similarity import hard_negatives
+
+    return hard_negatives(_emb(spark, sf_dir))
+
+
+_HARD_NEGATIVES_SQL = """
+  WITH base AS (
+    SELECT query_id, neighbor_id, rank, round(sim, 4) AS cos_sim
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(c.embedding::double[],
+                                    q.embedding::double[]) AS sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(c.embedding::double[],
+                                               q.embedding::double[]) DESC,
+                        c.vec_id
+             ) AS rank
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id % 50 = 0
+    ) WHERE rank <= 10
+  ),
+  neg AS (
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY rank)
+             AS neg_rank
+    FROM base WHERE cos_sim < 0.4
+  )
+  SELECT query_id, neg_rank::INTEGER AS neg_rank, neighbor_id, cos_sim
+  FROM neg WHERE neg_rank <= 5
+"""
+
+
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact all-pairs baseline;
     τ=0.4 because the synthetic embeddings top out at cos≈0.51)."""
@@ -8177,6 +8214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_recall": _q_ann_recall,
         "ann_mrl_recall": _q_ann_mrl_recall,
+        "hard_negatives": _q_hard_negatives,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_sq8_topk": _q_ann_sq8_topk,
         "ann_pq_topk": _q_ann_pq_topk,
@@ -8448,6 +8486,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ANN_LSH_SQL,
         "ann_recall": _ANN_RECALL_SQL,
         "ann_mrl_recall": _ANN_MRL_SQL,
+        "hard_negatives": _HARD_NEGATIVES_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
         "ann_sq8_topk": _ANN_SQ8_SQL,
         "ann_pq_topk": _ANN_PQ_SQL,

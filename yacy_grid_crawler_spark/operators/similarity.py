@@ -926,3 +926,40 @@ def pair_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
             ).alias("recall_bp"),
         )
     )
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    top_k: int = 10,
+    keep: int = 5,
+    dup_threshold: float = 0.4,
+    query_mod: int = QUERY_MOD,
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training — the
+    pair-generation pass behind every retriever/embedding fine-tune:
+    for each anchor (query) take its nearest neighbors that are
+    SIMILAR-BUT-NOT-DUPLICATE (cos below `dup_threshold` — at or above
+    it the pair is a near-dup/positive, not a negative), re-ranked and
+    truncated to `keep`. Random negatives are trivial; the top-of-the-
+    non-dup-range ones are what move the loss.
+
+    Output: (query_id, neg_rank, neighbor_id, cos_sim) — neg_rank is
+    the 1-based rank AMONG the kept negatives. cos_sim is rounded to
+    4dp and the dup gate compares the ROUNDED value, so the cut is
+    engine-exact.
+
+    Scale shape: inherits `brute_force_topk`'s broadcast geometry for
+    the candidate ranking (swap in `lsh_bucket_topk`/IVF upstream at
+    scale — the gate and re-rank are the same bounded-per-query ops);
+    the re-rank window is keyed by query_id over ≤top_k rows."""
+    from pyspark.sql import Window
+
+    base = brute_force_topk(vectors, top_k=top_k, query_mod=query_mod)
+    # base's cos_sim is already 4dp-rounded — the dup gate cuts on it
+    neg = base.filter(F.col("cos_sim") < dup_threshold)
+    w = Window.partitionBy("query_id").orderBy(F.col("rank"))
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= keep)
+        .select("query_id", "neg_rank", "neighbor_id", "cos_sim")
+    )
