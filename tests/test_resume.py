@@ -418,3 +418,23 @@ def test_bucketed_seen_resume_rebuilds_mirror(
     )
     job2.resume()
     assert _final_state(job2, cids[0]) == ref_state
+
+
+def test_register_views_sql_surface(spark, tmp_path):
+    """store.register_views() exposes every state table to spark.sql —
+    the Spark-idiomatic analog of the reference's ES query surface."""
+    from yacy_grid_crawler_spark.sources.statestore import (
+        SCHEMAS,
+        StateStore,
+    )
+
+    store = StateStore(spark, str(tmp_path / "viewstore"))
+    store.commit(appends={
+        "crawl_status": spark.createDataFrame(
+            [], SCHEMAS["crawl_status"]
+        ),
+    })
+    names = store.register_views(prefix="vv_")
+    assert set(names) == {f"vv_{t}" for t in SCHEMAS}
+    assert spark.sql("SELECT count(*) AS n FROM vv_crawl_status").collect()[0]["n"] == 0
+    assert spark.sql("SELECT count(*) AS n FROM vv_frontier").collect()[0]["n"] == 0

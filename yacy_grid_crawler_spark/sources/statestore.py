@@ -180,6 +180,22 @@ class StateStore:
         )
         return df.drop("commit")
 
+    def register_views(self, prefix: str = "") -> list[str]:
+        """Register every state table as a Spark temp view so the
+        store is queryable with plain `spark.sql` — the Spark-idiomatic
+        analog of the reference's Elasticsearch query surface
+        (`spark.sql("SELECT status, count(*) FROM crawl_status GROUP
+        BY status")` after `store.register_views()`). Views read the
+        CURRENT snapshot lazily at registration time; re-register
+        after commits to pick up a newer version. Returns the view
+        names."""
+        names = []
+        for table in SCHEMAS:
+            name = f"{prefix}{table}"
+            self.read(table).createOrReplaceTempView(name)
+            names.append(name)
+        return names
+
     # ---- write -----------------------------------------------------
     def begin(self) -> "PendingCommit":
         """Staged variant of `commit` for callers that need to interleave
