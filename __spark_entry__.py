@@ -5340,6 +5340,83 @@ _SA_REPEATS_SQL = """
 """
 
 
+def _q_sa_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-exact duplicate coverage per doc (Lee et al. 2022)
+    via suffix-array neighbor LCPs >= 20 chars, merged by the
+    gaps-and-islands scan — integer basis points."""
+    from yacy_grid_crawler_spark.operators.suffix import dup_coverage
+
+    return dup_coverage(
+        _docs(spark, sf_dir), min_len=20, cache_registry=_QUERY_CACHES
+    )
+
+
+_SA_DUP_COVERAGE_SQL = """
+  WITH s AS (
+    SELECT doc_id, unnest(generate_series(1, length(text))) AS pos, text
+    FROM documents
+  ),
+  sa AS (
+    SELECT (row_number() OVER (ORDER BY substr(text, pos), doc_id, pos) - 1)
+             AS sa_rank,
+           doc_id, pos,
+           substr(text, pos, 64) AS s64,
+           least(length(text) - pos + 1, 64) AS slen
+    FROM s
+  ),
+  n AS (
+    SELECT doc_id, pos, s64, slen,
+           lag(s64) OVER (ORDER BY sa_rank) AS sp,
+           lag(slen) OVER (ORDER BY sa_rank) AS lp,
+           lead(s64) OVER (ORDER BY sa_rank) AS sn,
+           lead(slen) OVER (ORDER BY sa_rank) AS lnx
+    FROM sa
+  ),
+  l AS (
+    SELECT doc_id, pos,
+           greatest(
+             CASE WHEN sp IS NULL THEN 0 ELSE
+               least(len([j for j in generate_series(1, 64)
+                          if substr(s64, 1, j) = substr(sp, 1, j)]),
+                     slen, lp) END,
+             CASE WHEN sn IS NULL THEN 0 ELSE
+               least(len([j for j in generate_series(1, 64)
+                          if substr(s64, 1, j) = substr(sn, 1, j)]),
+                     slen, lnx) END
+           ) AS lcp
+    FROM n
+  ),
+  f AS (SELECT doc_id, pos, lcp FROM l WHERE lcp >= 20),
+  isl AS (
+    SELECT doc_id, pos, lcp,
+           CASE WHEN pos > coalesce(
+                  max(pos + lcp) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                THEN 1 ELSE 0 END AS newg
+    FROM f
+  ),
+  g AS (
+    SELECT doc_id, pos, lcp,
+           sum(newg) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM isl
+  ),
+  sp2 AS (
+    SELECT doc_id, grp, max(pos + lcp) - min(pos) AS span
+    FROM g GROUP BY 1, 2
+  ),
+  agg AS (
+    SELECT doc_id, sum(span)::BIGINT AS dup_chars FROM sp2 GROUP BY doc_id
+  )
+  SELECT d.doc_id, length(d.text)::BIGINT AS total_chars,
+         coalesce(agg.dup_chars, 0)::BIGINT AS dup_chars,
+         (CASE WHEN length(d.text) > 0
+               THEN 10000 * coalesce(agg.dup_chars, 0) // length(d.text)
+               ELSE 0 END)::BIGINT AS dup_bp
+  FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring dedup spans (Lee et al. 2022): maximal token
     spans covered by corpus-duplicated word 5-grams — the spans an
@@ -8250,6 +8327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "suffix_array": _q_suffix_array,
         "sa_longest_repeats": _q_sa_longest_repeats,
+        "sa_dup_coverage": _q_sa_dup_coverage,
         "cut_dup_spans": _q_cut_dup_spans,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_clusters": _q_dedup_clusters,
@@ -8416,6 +8494,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _DUP_SPANS_SQL,
         "suffix_array": _SUFFIX_ARRAY_SQL,
         "sa_longest_repeats": _SA_REPEATS_SQL,
+        "sa_dup_coverage": _SA_DUP_COVERAGE_SQL,
         "cut_dup_spans": _CUT_DUP_SPANS_SQL,
         "doc_fingerprint": _FINGERPRINT_SQL,
         "dedup_clusters": _CLUSTERS_SQL,

@@ -71,3 +71,58 @@ def test_longest_repeats_matches_bruteforce(spark, sa_docs):
 def test_suffix_array_empty_corpus(spark):
     empty = spark.createDataFrame([], "doc_id string, text string")
     assert suffix_array(empty).count() == 0
+
+
+def _ref_dup_coverage(texts, min_len=10, cap=64):
+    sufs = []
+    for i, t in enumerate(texts):
+        for p in range(1, len(t) + 1):
+            sufs.append((str(i), p, t[p - 1 :][:cap]))
+    out = {}
+    for i, t in enumerate(texts):
+        intervals = []
+        for d, p, s in sufs:
+            if d != str(i):
+                continue
+            best = 0
+            for d2, p2, s2 in sufs:
+                if (d2, p2) == (d, p):
+                    continue
+                l = 0
+                while l < min(len(s), len(s2)) and s[l] == s2[l]:
+                    l += 1
+                best = max(best, l)
+            if best >= min_len:
+                intervals.append((p, p + best))
+        merged, dup = [], 0
+        for st, en in sorted(intervals):
+            if merged and st <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], en))
+            else:
+                merged.append((st, en))
+        dup = sum(en - st for st, en in merged)
+        total = len(t)
+        out[str(i)] = (total, dup, (10000 * dup) // total if total else 0)
+    return out
+
+
+def test_dup_coverage_matches_bruteforce(spark):
+    from yacy_grid_crawler_spark.operators.suffix import dup_coverage
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    texts = [
+        f"alpha {shared} omega",
+        f"{shared} entirely different tail here",
+        "no duplicated content in this one at all",
+        f"prefix junk {shared}",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["total_chars"], r["dup_chars"], r["dup_bp"])
+        for r in dup_coverage(docs, min_len=10).collect()
+    }
+    assert got == _ref_dup_coverage(texts, min_len=10)

@@ -206,3 +206,108 @@ def longest_repeats(
         .orderBy(F.col("lcp").desc(), "sa_rank")
         .limit(top)
     )
+
+
+def dup_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_len: int = 20,
+    cap: int = 64,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Exact-substring duplicate COVERAGE per document (Lee et al.
+    2022's dedup measure, character-exact): the fraction of each doc's
+    characters lying inside a substring of length >= `min_len` that
+    occurs at >= 2 positions in the corpus. `dedup_text.dup_spans`
+    approximates this with word 5-grams; this is the suffix-array
+    instrument.
+
+    Method: a position is duplicate-covered iff its suffix shares a
+    >= min_len prefix with either SA NEIGHBOR (any repeated substring
+    makes its occurrences adjacent in suffix order, so neighbor LCP
+    detects every one); each such position contributes the interval
+    [pos, pos + lcp), and the per-doc union of intervals is summed by
+    the classic gaps-and-islands scan. The `cap` on LCP does not
+    truncate coverage: inside a long repeat every position contributes
+    an overlapping capped interval, so the union still spans the run.
+
+    Output: (doc_id, total_chars, dup_chars, dup_bp) — all integers.
+
+    Scale shape: on top of `suffix_array`'s rounds, two sa_rank±1
+    equi-joins for the neighbor LCPs (never a global window), then
+    doc-bounded windows for the island merge (docs are small groups —
+    same parallelism argument as the per-doc lead() rounds) and one
+    doc_id rollup."""
+    from pyspark.sql import Window
+
+    sa = suffix_array(docs, text_col, cache_registry=cache_registry)
+    d = docs.select(
+        "doc_id",
+        F.col(text_col).alias("_t"),
+        F.length(text_col).alias("total_chars"),
+    )
+    sliced = sa.join(d.select("doc_id", "_t"), "doc_id").select(
+        "sa_rank",
+        "doc_id",
+        "pos",
+        F.expr(f"substr(_t, pos, {cap})").alias("_s"),
+        F.least(F.length("_t") - F.col("pos") + 1, F.lit(cap)).alias("_len"),
+    )
+
+    def neighbor(delta: int, out: str) -> DataFrame:
+        n = sliced.select(
+            (F.col("sa_rank") + delta).alias("sa_rank"),
+            F.col("_s").alias("_sn"),
+            F.col("_len").alias("_lenn"),
+        )
+        lcp = F.least(
+            F.size(
+                F.expr(
+                    f"filter(sequence(1, {cap}),"
+                    " j -> substr(_s, 1, j) = substr(_sn, 1, j))"
+                )
+            ),
+            F.col("_len"),
+            F.col("_lenn"),
+        )
+        return sliced.join(n, "sa_rank").select(
+            "sa_rank", lcp.cast("int").alias(out)
+        )
+
+    with_lcp = (
+        sliced.join(neighbor(1, "_lcp_prev"), "sa_rank", "left")
+        .join(neighbor(-1, "_lcp_next"), "sa_rank", "left")
+        .select(
+            "doc_id",
+            "pos",
+            F.greatest(
+                F.coalesce("_lcp_prev", F.lit(0)),
+                F.coalesce("_lcp_next", F.lit(0)),
+            ).alias("_lcp"),
+        )
+        .filter(F.col("_lcp") >= min_len)
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    run = F.max(F.col("pos") + F.col("_lcp")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = with_lcp.withColumn(
+        "_new", F.when(F.col("pos") > F.coalesce(run, F.lit(0)), 1).otherwise(0)
+    ).withColumn("_grp", F.sum("_new").over(w))
+    spans = islands.groupBy("doc_id", "_grp").agg(
+        (F.max(F.col("pos") + F.col("_lcp")) - F.min("pos")).alias("_span")
+    )
+    agg = spans.groupBy("doc_id").agg(
+        F.sum("_span").cast("long").alias("dup_chars")
+    )
+    zero = F.lit(0).cast("long")
+    return d.select("doc_id", "total_chars").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.coalesce("dup_chars", zero).alias("dup_chars"),
+        F.expr(
+            "CAST(CASE WHEN total_chars > 0 THEN"
+            " 10000 * coalesce(dup_chars, 0) DIV total_chars"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("dup_bp"),
+    )
