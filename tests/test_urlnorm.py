@@ -277,3 +277,43 @@ def test_tier2_fix_equals_spec_on_gate(suffix):
     hostpart, slash, path = rest.partition("/")
     fixed = head.lower() + "//" + hostpart.lower() + slash + path
     assert fixed == canonicalize_url(u)
+
+
+def test_pct_encoded_dot_segments_resolve():
+    """WHATWG dot-segment mapping: '%2e'-shaped segments are dot
+    segments BEFORE resolution (hypothesis-found idempotence break:
+    'http://A0/%2E' -> 'http://a0/.' -> second pass 'http://a0/')."""
+    from yacy_grid_crawler_spark.functions.urlnorm import canonicalize_url
+
+    cases = {
+        "http://A0/%2E": "http://a0/",
+        "http://a.com/%2e": "http://a.com/",
+        "http://a.com/a/%2E%2E": "http://a.com/",
+        "http://a.com/a/%2e.": "http://a.com/",
+        "http://a.com/a/.%2E/b": "http://a.com/b",
+        "http://a.com/%2e/x": "http://a.com/x",
+        # NOT dot segments: decode leaves a non-dot residue
+        "http://a.com/a%2e": "http://a.com/a.",
+        "http://a.com/%2ex": "http://a.com/.x",
+    }
+    for raw, want in cases.items():
+        got = canonicalize_url(raw)
+        assert got == want, f"{raw!r} -> {got!r}, want {want!r}"
+        assert canonicalize_url(got) == got, f"not idempotent: {got!r}"
+
+
+def test_pct_encoded_slash_stays_encoded():
+    """'%2F' is data, not a separator: it must survive canonicalization
+    ENCODED (whole-path decode produced 'http://a0//' which a second
+    pass collapses — idempotence break)."""
+    from yacy_grid_crawler_spark.functions.urlnorm import canonicalize_url
+
+    cases = {
+        "http://A0/%2F": "http://a0/%2F",
+        "http://a.com/a%2Fb": "http://a.com/a%2Fb",
+        "http://a.com/a%2fb/c": "http://a.com/a%2Fb/c",
+    }
+    for raw, want in cases.items():
+        got = canonicalize_url(raw)
+        assert got == want, f"{raw!r} -> {got!r}, want {want!r}"
+        assert canonicalize_url(got) == got, f"not idempotent: {got!r}"

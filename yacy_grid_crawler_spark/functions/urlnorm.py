@@ -218,6 +218,20 @@ def canonicalize_url(raw: str | None) -> str | None:
     if not path:
         path = "/"
     else:
+        # WHATWG dot-segment mapping BEFORE resolution: a segment
+        # whose '%2e'-decoded form is exactly '.' or '..' IS a dot
+        # segment ('%2E', '.%2e', '%2e.', '%2e%2e', any case).
+        # Without this, rule 6's percent decode turns '/%2E' into a
+        # literal '/.' AFTER resolution — a second canonicalize pass
+        # would resolve it, breaking idempotence (hypothesis-found:
+        # 'http://A0/%2E' -> 'http://a0/.' -> 'http://a0/').
+        if "%2e" in path.lower():
+            segs = path.split("/")
+            mapped = []
+            for s in segs:
+                t = s.lower().replace("%2e", ".")
+                mapped.append(t if t in (".", "..") else s)
+            path = "/".join(mapped)
         # posixpath.normpath collapses '//' and resolves '.'/'..' but
         # drops trailing '/' — preserve it explicitly.
         trailing = path.endswith("/") and path != "/"
@@ -233,8 +247,15 @@ def canonicalize_url(raw: str | None) -> str | None:
         if trailing and not norm.endswith("/"):
             norm += "/"
         path = norm if norm.startswith("/") else "/" + norm
-    # 6. percent normal form
-    path = _norm_pct(path, safe="/:@!$&'()*+,;=~-._")
+    # 6. percent normal form — PER SEGMENT, with '/' excluded from the
+    # safe set: '%2F' is not a segment separator, so its decoded '/'
+    # must be RE-encoded ('http://A0/%2F' once decoded whole-path
+    # became 'http://a0//', which a second pass collapses — the other
+    # hypothesis-found idempotence break of the %-family)
+    path = "/".join(
+        _norm_pct(seg, safe=":@!$&'()*+,;=~-._")
+        for seg in path.split("/")
+    )
     out = f"{scheme}://{userinfo}{host}"
     if port is not None:
         out += f":{port}"
