@@ -317,3 +317,12 @@ def test_pct_encoded_slash_stays_encoded():
         got = canonicalize_url(raw)
         assert got == want, f"{raw!r} -> {got!r}, want {want!r}"
         assert canonicalize_url(got) == got, f"not idempotent: {got!r}"
+
+
+def test_multi_colon_authority_is_malformed():
+    """'http://::' once parsed host=':' then round-tripped to None —
+    multi-colon authorities (unbracketed IPv6, junk) are malformed."""
+    from yacy_grid_crawler_spark.functions.urlnorm import canonicalize_url
+
+    for u in ["http://::", "http://a:1:2/x", "http://:/", "http://:80/"]:
+        assert canonicalize_url(u) is None, u

@@ -201,7 +201,10 @@ def canonicalize_url(raw: str | None) -> str | None:
             if port <= 0 or port > 65535:
                 return None
     host = host.lower().strip(".")
-    if not host or ".." in host:
+    # ':' can only survive into host from a multi-colon authority
+    # ('http://::' parsed host=':' then round-tripped to None —
+    # hypothesis-found); bracketed IPv6 is unsupported, so reject
+    if not host or ".." in host or ":" in host:
         return None
     if port == DEFAULT_PORTS[scheme]:
         port = None
