@@ -8240,7 +8240,16 @@ _QUALITY_FUSE_SQL = f"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    qs = {
+    qs = _canonical_queries()
+    ordered = _rotate_registry(list(qs))
+    return {k: _sweeping(qs[k]) for k in ordered}
+
+
+def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The registry in its canonical (pre-rotation) order: crawl-side
+    first, then analytics in the order they were added. `queries()`
+    rotates the analytics tail per round — see `_rotate_registry`."""
+    return {
         # crawl-side (SURVEY.md §2)
         "seed_split": _q_seed_split,
         "url_canonicalize": _q_url_canonicalize,
@@ -8419,7 +8428,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_overlap": _q_hll_overlap,
         "zorder_layout": _q_zorder_layout,
     }
-    return {k: _sweeping(v) for k, v in qs.items()}
+
+
+def _round_number() -> int:
+    """Current build round, inferred from the driver's judged
+    artifacts on disk: CORRECTNESS_r{N}.json lands when round N is
+    judged, so the live round is max(N)+1 (round 1 when none exist).
+    Deterministic for the whole round — the artifacts only change at
+    round boundaries."""
+    import glob as _glob
+    import os as _os
+    import re as _re
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    rounds = [0]
+    for p in _glob.glob(_os.path.join(here, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds) + 1
+
+
+# the driver's correctness gate samples the FIRST 50 queries() entries;
+# round 3 judged the 17 crawl-side entries plus the first 33 of the
+# tail (through ann_sq8_topk) and everything after had no judged
+# evidence. ROTATE_STEP entries of the tail rotate into the window per
+# round so evidence accumulates across rounds (round-3 verdict ask #1b).
+_WINDOW = 50
+_ROTATE_BASE_ROUND = 3  # the round whose window was tail offset 0
+
+
+def _rotate_registry(names: list[str], round_no: int | None = None) -> list[str]:
+    """Crawl-side entries stay first (always judged); the analytics
+    tail rotates by (window - crawl) per round past round 3 so each
+    round's driver window covers a fresh slice of the registry."""
+    head_end = names.index("metrics_rollup") + 1
+    head, tail = names[:head_end], names[head_end:]
+    step = _WINDOW - head_end
+    rn = _round_number() if round_no is None else round_no
+    off = (max(rn - _ROTATE_BASE_ROUND, 0) * step) % len(tail)
+    return head + tail[off:] + tail[:off]
 
 
 def oracle_sql() -> dict[str, str]:

@@ -9,10 +9,14 @@ deterministic synthetic frontier with Zipf-ish host skew.
 Also times the headline `__spark_entry__` queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
 
-Prints ONE JSON line:
+Prints the FULL JSON record (also mirrored to BENCH_FULL.json),
+then a COMPACT headline record as the final stdout line:
   {"metric": "frontier_urls_per_sec", "value": N, "unit": "sec",
    "queries": {...per-query seconds...}, "sf": ...,
-   "crawl": {...}, "scaling": {...when SPARK_GRAFT_SCALING=1...}}
+   "crawl": {...}, "scaling": {...pairs...}, "scaling_bigwave": {...}}
+The compact line exists because the driver's artifact keeps only the
+last ~2 KB of stdout (BENCH_r03.json was `parsed: null` after the
+full record overflowed it) — the final line is guaranteed to fit.
 
 Scaling evidence (BASELINE.md sandbox plan; on by default, disable
 with SPARK_GRAFT_SCALING=0): re-runs the identical wave at three
@@ -636,6 +640,71 @@ def main() -> None:
         # the scaling wave is the same metric at larger input — report
         # the best measured wave throughput as the headline value
         result["value"] = max(result["value"], hi["urls_per_sec"])
+
+    if os.environ.get("SPARK_GRAFT_SCALING_BIGWAVE", "1") == "1":
+        # The literal raw >=0.8 bar (round-3 verdict ask #2): the 2v8
+        # pair measured on a 56M-URL wave, where the per-wave fixed
+        # floor (~3 s plan analysis + ~2.2 s dispatch, BASELINE.md) is
+        # amortized to noise — the asymptotic decomposition predicts
+        # raw 2v8 ~0.81 there. Reported ALONGSIDE the 28M pairs, never
+        # instead. One visit per level by default (min-of-2 waves
+        # inside the visit; the first absorbs codegen warmup), an
+        # extra visit granted when the kept visit's own calib probe
+        # says the box was in weather.
+        big_docs = int(os.environ.get("SPARK_GRAFT_BIGWAVE_DOCS", "8000000"))
+        big_rounds = int(os.environ.get("SPARK_GRAFT_BIGWAVE_ROUNDS", "1"))
+        big: dict[int, dict] = {}
+
+        def big_visit(cores: int) -> None:
+            r = _phase(
+                "crawl", cores=cores, n_docs=big_docs,
+                wave_only=True, warmup=False,
+            )
+            r["calib_after"] = calib()
+            prev = big.get(cores)
+            visits = (prev or {}).get("visits", []) + [r["wave_sec"]]
+            if prev is None or r["wave_sec"] < prev["wave_sec"]:
+                big[cores] = r
+            big[cores]["visits"] = visits
+
+        for _ in range(big_rounds):
+            for cores in (2, 8):
+                big_visit(cores)
+        for cores in (2, 8):
+            if big[cores]["calib_after"]["cpu_matmul_sec"] > QUIET_MATMUL_S:
+                big_visit(cores)  # kept visit rode a weather burst
+        big_eff = (big[2]["wave_sec"] / big[8]["wave_sec"]) / 4.0
+        big_infl = (big[8].get("wave_jvm_cpu_sec") or 0) / max(
+            big[2].get("wave_jvm_cpu_sec") or 1, 1e-9
+        )
+        result["scaling_bigwave"] = {
+            "wave_urls": big[2]["wave_urls"],
+            "local2": {
+                k: big[2][k]
+                for k in (
+                    "wave_sec", "wave_runs", "wave_jvm_cpu_sec",
+                    "urls_per_sec", "visits",
+                )
+            },
+            "local8": {
+                k: big[8][k]
+                for k in (
+                    "wave_sec", "wave_runs", "wave_jvm_cpu_sec",
+                    "urls_per_sec", "visits",
+                )
+            },
+            "pair_2v8": {
+                "efficiency": round(big_eff, 3),
+                "cpu_inflation": round(big_infl, 3),
+                "efficiency_work_normalized": round(
+                    big_eff * max(big_infl, 1.0), 3
+                ),
+            },
+            "weather_suspect": any(
+                big[c]["calib_after"]["cpu_matmul_sec"] > QUIET_MATMUL_S
+                for c in (2, 8)
+            ),
+        }
     result["env"] = {
         "calib_start": calib_start,
         "calib_end": calib(),
@@ -644,7 +713,78 @@ def main() -> None:
             for k in ("quiet_at_start", "waited_sec", "probes")
         },
     }
-    print(json.dumps(result))
+    full = json.dumps(result)
+    # The driver's artifact keeps only the LAST ~2 KB of stdout;
+    # round 3's single giant JSON line overflowed it and the judged
+    # BENCH_r03.json came back `parsed: null` with the head cut off.
+    # So: full record first (and mirrored to BENCH_FULL.json for the
+    # repo history), then a compact headline record — guaranteed to
+    # fit the tail capture — as the FINAL line.
+    print(full, flush=True)
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_FULL.json",
+            ),
+            "w",
+        ) as fh:
+            fh.write(full + "\n")
+    except OSError:
+        pass
+    print(json.dumps(_compact(result)), flush=True)
+
+
+def _compact(result: dict) -> dict:
+    """Headline record sized to survive the driver's ~2 KB stdout
+    tail capture: metric/value/queries plus one-number summaries of
+    the crawl phase and each scaling pair. The full record (visit
+    lists, calib probes, floors) precedes it on stdout and lands in
+    BENCH_FULL.json."""
+    out = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "queries": result["queries"],
+        "crawl": {
+            k: result["crawl"][k]
+            for k in (
+                "cores", "wave_urls", "wave_sec", "urls_per_sec",
+                "crawl_sec", "crawl_urls_per_sec",
+            )
+            if k in result["crawl"]
+        },
+    }
+    sc = result.get("scaling")
+    if sc:
+        out["scaling"] = {
+            k: sc[k]
+            for k in ("pair_1v4", "pair_2v8", "pair_8v32")
+            if k in sc
+        }
+        out["scaling"]["urls_per_sec"] = {
+            str(c): sc[f"local{c}"]["urls_per_sec"]
+            for c in (1, 2, 4, 8, 32)
+            if f"local{c}" in sc
+        }
+        out["scaling"]["weather_suspect"] = any(
+            v.get("weather_suspect")
+            for k, v in sc.items()
+            if k.startswith("local") and isinstance(v, dict)
+        )
+    big = result.get("scaling_bigwave")
+    if big:
+        out["scaling_bigwave"] = {
+            "wave_urls": big["wave_urls"],
+            "pair_2v8": big["pair_2v8"],
+            "urls_per_sec": {
+                "2": big["local2"]["urls_per_sec"],
+                "8": big["local8"]["urls_per_sec"],
+            },
+            "weather_suspect": big["weather_suspect"],
+        }
+    return out
 
 
 if __name__ == "__main__":
