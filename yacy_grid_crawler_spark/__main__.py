@@ -93,11 +93,13 @@ def build_parser() -> argparse.ArgumentParser:
              "them next wave (north-star checkpointed filters)",
     )
     ap.add_argument(
-        "--bucketed-seen", action="store_true",
+        "--bucketed-seen", choices=["auto", "on", "off"], default="auto",
         help="maintain url_seen/crawl_status as url_id-bucketed "
              "catalog tables so the per-wave dedup anti-joins skip "
              "the seen-side shuffle (measured 5.9x at 50M seen rows; "
-             "O(delta) upkeep per wave, auto-rebuild on resume)",
+             "O(delta) upkeep per wave, auto-rebuild on resume). "
+             "Default 'auto' turns the mirror on once url_seen "
+             "outgrows 128 MB on disk",
     )
     ap.add_argument(
         "--max-wave-urls", type=int, default=None,
@@ -264,7 +266,9 @@ def main(argv: list[str] | None = None) -> int:
         distributed_rank="auto",
         checkpoint_filters=args.checkpoint_filters,
         max_wave_urls=args.max_wave_urls,
-        bucketed_seen=args.bucketed_seen,
+        bucketed_seen={"auto": "auto", "on": True, "off": False}[
+            args.bucketed_seen
+        ],
         # production clock: real loader timestamps in lineage docnames
         # and politeness not_before_ms (CrawlerListener.java:497-503)
         clock=lambda: int(time.time() * 1000),

@@ -49,7 +49,8 @@ class CrawlJob:
         clock=None,
         max_wave_urls: int | None = None,
         indexer_blacklist: list[BlacklistRule] | None = None,
-        bucketed_seen: bool = False,
+        bucketed_seen: bool | str = "auto",
+        bucketed_seen_threshold_bytes: int = 128 << 20,
     ):
         """`distributed_rank`: True forces the range-partitioned
         two-phase ranking (batching + politeness), False forces the
@@ -112,7 +113,15 @@ class CrawlJob:
         # TTL sweeps, fresh session). Snapshot parquet stays the
         # source of truth; semantics are pinned equal by
         # tests/test_wave_oracle.py::test_bucketed_seen_equals_default.
+        # "auto" (default) enables the mirror once the persistent seen
+        # table outgrows `bucketed_seen_threshold_bytes` on disk (a
+        # free OS-stat check per wave): below it the mirror's
+        # write/catalog overhead outweighs a sub-second seen shuffle,
+        # above it the amortized-bucketing win compounds every wave.
+        # True/False force it on/off (tests; measurement).
         self.bucketed_seen = bucketed_seen
+        self.bucketed_seen_threshold_bytes = bucketed_seen_threshold_bytes
+        self._bucketed_cache: tuple[int, bool] | None = None  # (version, on)
         self._mirror_version: int | None = None  # store version mirrored
         import hashlib as _hashlib
 
@@ -382,7 +391,27 @@ class CrawlJob:
             F.sum("n").alias("next_slot")
         )
 
-    # --- bucketed seen mirror (opt-in; see __init__ doc) -------------
+    # --- bucketed seen mirror (auto past threshold; see __init__) ----
+
+    def _bucketed_enabled(self) -> bool:
+        """Resolve the bucketed-seen decision for the CURRENT store
+        version. "auto" compares url_seen's on-disk bytes against the
+        threshold — cached per version so the os.walk runs once per
+        commit, and monotone within a crawl: once on, it stays on
+        (the seen table only shrinks via TTL sweeps/S8 deletes, and
+        flapping the mirror off would throw away a valid rebuild)."""
+        if self.bucketed_seen != "auto":
+            return bool(self.bucketed_seen)
+        v = self.store.current_version()
+        if self._bucketed_cache and self._bucketed_cache[0] == v:
+            return self._bucketed_cache[1]
+        prev_on = bool(self._bucketed_cache and self._bucketed_cache[1])
+        on = prev_on or (
+            self.store.table_bytes("url_seen")
+            >= self.bucketed_seen_threshold_bytes
+        )
+        self._bucketed_cache = (v, on)
+        return on
 
     def _mirror_marker(self) -> dict | None:
         import os
@@ -463,7 +492,7 @@ class CrawlJob:
         (seen-side Exchange drops from the D2/D3 anti-joins), else
         straight from the snapshot store. Contents are identical
         either way (equality pinned in test_wave_oracle)."""
-        if self.bucketed_seen:
+        if self._bucketed_enabled():
             self._refresh_mirror()
             seen = self.spark.table(self._mirror_tables["url_seen"])
             status_ids = self.spark.table(
@@ -481,7 +510,7 @@ class CrawlJob:
         `version`: valid only when the mirror reflected version-1 at
         read time (this step refreshed it); any other gap → leave the
         marker stale and the next _refresh_mirror rebuilds."""
-        if not self.bucketed_seen or self._mirror_version != version - 1:
+        if not self._bucketed_enabled() or self._mirror_version != version - 1:
             return
         from ..sources.bucketed import append_bucketed
 

@@ -180,6 +180,27 @@ class StateStore:
         )
         return df.drop("commit")
 
+    def table_bytes(self, table: str, version: int | None = None) -> int:
+        """On-disk parquet bytes of `table` in the given (default
+        current) snapshot — a free (OS-stat, no Spark job) size signal.
+        CrawlJob uses it to auto-enable the bucketed seen mirror once
+        url_seen outgrows the threshold where the per-wave seen-side
+        shuffle starts to dominate (sources/bucketed.py). On Iceberg
+        the same number comes from the snapshot's manifest
+        `total-files-size` summary."""
+        man = self.manifest(version)
+        tdir = os.path.join(self.root, table)
+        total = 0
+        for c in man["tables"].get(table, []):
+            cdir = os.path.join(tdir, f"commit={c}")
+            for dirpath, _dirs, files in os.walk(cdir):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(dirpath, f))
+                    except OSError:
+                        continue
+        return total
+
     def register_views(self, prefix: str = "") -> list[str]:
         """Register every state table as a Spark temp view so the
         store is queryable with plain `spark.sql` — the Spark-idiomatic
