@@ -144,6 +144,7 @@ def test_bounded_stream_dedup_matches_batch_operator(spark, tmp_path):
         frontier_stream_bounded(
             read_candidate_stream(spark, src + "/*", max_files_per_trigger=1),
             capacity=100_000,
+            ttl=False,  # availableNow drain (see frontier_stream TTL caveat)
         )
         .writeStream.outputMode("append")
         .foreachBatch(sink)
@@ -225,3 +226,82 @@ def test_host_rate_stream_watermark_windows(spark, tmp_path):
     assert rows[(0, "a.example")] == (3, 2)
     assert rows[(1, "b.example")] == (1, 1)
     assert all(start != 10 for (start, _h) in rows)
+
+
+def test_default_stream_is_bounded_with_ttl():
+    """Round-3 verdict ask #4: the DEFAULT streaming dedup variant
+    must be the bounded-state one with the 7-day TTL armed. Unit-drive
+    the state fn: normal pass arms SEEN_TTL_MS; a timed-out group is
+    swept (state removed, nothing emitted)."""
+    import hashlib
+
+    import pandas as pd
+
+    from yacy_grid_crawler_spark.streaming.frontier_stream import (
+        SEEN_TTL_MS,
+        _make_bounded_dedup_fn,
+    )
+
+    assert SEEN_TTL_MS == 7 * 24 * 3600 * 1000
+
+    class _TtlState(_FakeState):
+        def __init__(self):
+            super().__init__()
+            self.timeout_ms = None
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+    fn = _make_bounded_dedup_fn(ttl=True, capacity=1000, fpp=0.01)
+    state = _TtlState()
+    pdf = pd.DataFrame(
+        {
+            "crawl_id": ["c1"],
+            "url": ["http://h/x"],
+            "url_id": [hashlib.md5(b"http://h/x").hexdigest()],
+            "depth": [0],
+        }
+    )
+    out = list(fn(("c1",), iter([pdf]), state))
+    assert len(out) == 1 and len(out[0]) == 1
+    assert state.exists
+    assert state.timeout_ms == SEEN_TTL_MS  # 7-day sweep armed
+
+    # TTL expiry: the group's state is dropped wholesale, no output
+    state.hasTimedOut = True
+    out = list(fn(("c1",), iter([]), state))
+    assert out == []
+    assert not state.exists
+
+
+def test_run_stream_to_memory_default_matches_exact(spark, tmp_path):
+    """The default (bounded + resolve) drain returns the same exact
+    novel set as the legacy exact-state variant on the same input."""
+    from yacy_grid_crawler_spark.streaming.frontier_stream import (
+        CANDIDATE_SCHEMA,
+        run_stream_to_memory,
+    )
+
+    rows = []
+    for f in range(3):
+        for i in range(30):
+            u = f"http://host{i % 3}.example/q{(i * 5 + f * 11) % 40}"
+            rows.append(("c1", u, f, f * 100 + i))
+    src = str(tmp_path / "default_src")
+    for f in range(3):
+        spark.createDataFrame(
+            [r for r in rows if r[2] == f], CANDIDATE_SCHEMA
+        ).coalesce(1).write.parquet(f"{src}/f{f}")
+
+    bounded = run_stream_to_memory(
+        spark, src + "/*", "t_def_bounded", max_files_per_trigger=1
+    )
+    exact = run_stream_to_memory(
+        spark, src + "/*", "t_def_exact", max_files_per_trigger=1,
+        state="exact",
+    )
+    key = lambda r: (r["crawl_id"], r["url"], r["url_id"])
+    assert sorted(map(key, bounded.collect())) == sorted(
+        map(key, exact.collect())
+    )
+    assert bounded.count() == len({u for _, u, _, _ in rows})

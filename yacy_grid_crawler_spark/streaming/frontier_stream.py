@@ -125,17 +125,42 @@ def _canonicalized(candidates: DataFrame) -> DataFrame:
     )
 
 
-def frontier_stream(candidates: DataFrame, ttl: bool = False) -> DataFrame:
+def frontier_stream(
+    candidates: DataFrame,
+    ttl: bool = True,
+    state: str = "bounded",
+    capacity: int = 1_000_000,
+    fpp: float = 0.01,
+) -> DataFrame:
     """canonicalize → md5 → stateful first-seen dedup. Returns the
     novel-URL stream; downstream filters/batching reuse the batch
-    operators inside foreachBatch. `ttl=True` arms the 7-day state
-    sweep (keeps the query's trigger loop alive between batches —
-    production mode; leave off for drain-and-stop smoke runs).
+    operators inside foreachBatch.
 
-    State here is the EXACT id list — simple and right for modest
-    crawls, but a 10^8-id crawl would make one unbounded state row
-    rewritten every micro-batch. For that scale use
-    `frontier_stream_bounded`, whose state is a fixed-size bloom."""
+    DEFAULTS are the production shape: `state="bounded"` keeps a
+    FIXED-SIZE bloom bitmap per crawl (O(filter bytes) however many
+    ids the crawl has seen — survives a 10^8-id frontier), and
+    `ttl=True` arms the reference's 7-day seen sweep
+    (doublesCleanupTimeout, CrawlerListener.java:84) as a
+    processing-time state timeout. The bounded output carries a
+    `suspect` column the sink must route through `resolve_suspects`
+    (exact anti-join vs the committed url_seen) inside foreachBatch —
+    results then equal the batch operator exactly.
+
+    `state="exact"` keeps the plain md5-id set per crawl: no suspect
+    lane, but one unbounded state row rewritten per micro-batch —
+    fine for modest crawls and raw-emission smoke harnesses only.
+
+    TTL caveat (measured): a processing-time timeout keeps scheduling
+    micro-batches to sweep state, so an `availableNow` drain never
+    self-terminates with ttl on — drain-and-stop harnesses must pass
+    ttl=False (run_stream_to_memory does); live triggers keep the
+    default."""
+    if state == "bounded":
+        return frontier_stream_bounded(
+            candidates, ttl=ttl, capacity=capacity, fpp=fpp
+        )
+    if state != "exact":
+        raise ValueError(f"state must be 'bounded' or 'exact': {state!r}")
     return _canonicalized(candidates).groupBy("crawl_id").applyInPandasWithState(
         _make_dedup_fn(ttl),
         outputStructType=OUT_SCHEMA,
@@ -203,7 +228,7 @@ def _make_bounded_dedup_fn(ttl: bool, capacity: int, fpp: float):
 
 def frontier_stream_bounded(
     candidates: DataFrame,
-    ttl: bool = False,
+    ttl: bool = True,
     capacity: int = 1_000_000,
     fpp: float = 0.01,
 ) -> DataFrame:
@@ -255,22 +280,63 @@ def run_stream_to_memory(
     src_path: str,
     query_name: str = "frontier_out",
     max_files_per_trigger: int = 8,
+    state: str = "bounded",
 ):
-    """Smoke harness: drain the file stream into an in-memory sink
-    synchronously (tests use processAllAvailable)."""
-    q = (
-        frontier_stream(
-            read_candidate_stream(spark, src_path, max_files_per_trigger)
+    """Drain the file stream and return the novel-URL DataFrame.
+
+    Default (`state="bounded"`) runs the production shape end-to-end:
+    bounded-state dedup with the suspect lane resolved per micro-batch
+    against the accumulated committed set inside foreachBatch — the
+    returned rows are the exact novel set (same contract as the batch
+    operator). `state="exact"` drains the legacy exact-state variant
+    straight into a memory sink (raw emission, no suspect column)."""
+    src = read_candidate_stream(spark, src_path, max_files_per_trigger)
+    # ttl=False throughout: drain harness (see frontier_stream's TTL
+    # caveat — timeouts would keep the availableNow query alive)
+    if state == "exact":
+        q = (
+            frontier_stream(src, state="exact", ttl=False)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)  # drain everything, terminate
+            .start()
         )
+        q.awaitTermination(300)
+        q.stop()
+        return spark.sql(f"SELECT * FROM {query_name}")
+
+    committed = {
+        "df": spark.createDataFrame([], "crawl_id string, url_id string")
+    }
+    novel: list = []
+
+    def sink(batch_df, _batch_id):
+        resolved = resolve_suspects(batch_df, committed["df"])
+        rows = resolved.collect()
+        novel.extend(rows)
+        committed["df"] = committed["df"].unionByName(
+            spark.createDataFrame(
+                [(r["crawl_id"], r["url_id"]) for r in rows],
+                "crawl_id string, url_id string",
+            )
+        )
+
+    q = (
+        frontier_stream(src, ttl=False)
         .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)  # drain everything, then terminate
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
     q.stop()
-    return spark.sql(f"SELECT * FROM {query_name}")
+    out = spark.createDataFrame(
+        [(r["crawl_id"], r["url"], r["url_id"], r["depth"]) for r in novel],
+        OUT_SCHEMA,
+    )
+    out.createOrReplaceTempView(query_name)
+    return out
 
 
 def host_rate_stream(
