@@ -169,3 +169,65 @@ def test_bpe_hypothesis_random_corpora(spark):
         )
 
     run()
+
+
+def test_checkpointed_equals_unchunked(spark, tiny_docs):
+    """Round-3 verdict ask #5: the localCheckpoint-every-N plan-depth
+    bound must be a pure physical change — merge table AND final
+    vocab sequences identical to the unchunked run at k=256 (the tiny
+    corpus saturates earlier; both runs must break at the same step),
+    and the final plan must carry at most checkpoint_every pending
+    replaces instead of k."""
+    k, every = 256, 16
+    m_chunked, v_chunked = bpe_train(
+        tiny_docs, k=k, checkpoint_every=every
+    )
+    m_plain, v_plain = bpe_train(tiny_docs, k=k, checkpoint_every=10**9)
+    assert [tuple(r) for r in m_chunked.collect()] == [
+        tuple(r) for r in m_plain.collect()
+    ]
+    key = lambda r: (r["word"], r["cnt"], r["seq"])
+    assert sorted(map(key, v_chunked.collect())) == sorted(
+        map(key, v_plain.collect())
+    )
+    # plan depth bounded: the chunked final vocab stacks at most
+    # `every` replaces above its checkpointed scan; the plain one
+    # stacks one per learned merge
+    n_merges = m_plain.count()
+
+    def n_replaces(df):  # literal replace() calls, not regexp_replace
+        plan = df._jdf.queryExecution().analyzed().toString()
+        return plan.count("replace(") - plan.count("regexp_replace(")
+
+    assert n_replaces(v_chunked) <= every
+    if n_merges > every:
+        assert n_replaces(v_plain) == n_merges
+
+
+def test_checkpointed_large_k_synthetic(spark):
+    """k=256 with genuine merges past the checkpoint boundary: a
+    synthetic corpus with enough distinct words that >64 merges are
+    learnable; every-64 checkpointing matches the pure-Python spec."""
+    import random
+
+    rng = random.Random(99)
+    words = [
+        "".join(rng.choice("abcdefgh") for _ in range(rng.randint(3, 9)))
+        for _ in range(400)
+    ]
+    texts = [
+        " ".join(rng.choices(words, k=40)) for _ in range(60)
+    ]
+    docs = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)],
+        "doc_id string, text string",
+    )
+    k = 256
+    merge_df, _v = bpe_train(docs, k=k, checkpoint_every=64)
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in merge_df.collect()
+    ]
+    want, _ = _ref_bpe(texts, k)
+    assert len(got) > 64, "corpus too small to cross a checkpoint"
+    assert got == want

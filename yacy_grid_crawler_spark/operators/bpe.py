@@ -21,6 +21,15 @@ The algorithm, made EXACTLY reproducible across engines the same way
   " l r " with " lr " over the space-padded sequence. `replace` is
   non-overlapping left-to-right in both Spark (Java String.replace)
   and DuckDB, so "a a a" + merge (a,a) -> "aa a" in both engines.
+  DIVERGENCE FROM STANDARD BPE (intentional, engine-authoritative):
+  because the replace consumes its trailing space, a RUN of the same
+  symbol under-merges relative to Sennrich/HF greedy application —
+  "a a a a" becomes [aa, a, a] here where standard BPE produces
+  [aa, aa]. Tokenizations of repeated-symbol runs therefore do NOT
+  match HF tokenizers token-for-token (merge LEARNING is affected
+  only insofar as later rounds count pairs over these sequences).
+  Chosen so the Spark and DuckDB twins are bit-identical with no
+  per-row Python; pinned by the oracle pair and tests/test_bpe.py.
 * Everything is integer counts and string equality — no floats, the
   DuckDB twin is bit-identical.
 
@@ -31,12 +40,13 @@ the explode's child projection); the count is ONE hash aggregate with
 map-side combine whose key space is the current pair set (tens of
 thousands of rows); argmax is a TakeOrdered(1). The only driver
 traffic is ONE row per round — the same bounded-metadata loop shape as
-`clustering.py`'s centroid exchange. Merge application stacks k
-literal `replace` calls into one codegen projection over the cached
-vocab (scalar functions, not higher-order — the HOF interpretation
-cliff documented in BASELINE.md does not apply); a production run with
-k in the thousands would `localCheckpoint` the vocab every ~64 merges
-to bound plan depth, exactly like iterative graph algorithms do.
+`clustering.py`'s centroid exchange. Merge application stacks the
+PENDING literal `replace` calls into one codegen projection over the
+cached vocab (scalar functions, not higher-order — the HOF
+interpretation cliff documented in BASELINE.md does not apply); every
+`checkpoint_every` (default 64) merges the vocab is localCheckpoint'ed
+with pending merges folded in, so plan depth stays bounded at
+production k exactly like iterative graph algorithms bound theirs.
 
 Reference parity note: the reference engine has no tokenizer trainer —
 this is one of the LLM-data-pipeline operators the brief adds beyond
@@ -123,6 +133,7 @@ def bpe_train(
     k: int = 8,
     text_col: str = "text",
     cache_registry: list | None = None,
+    checkpoint_every: int = 64,
 ) -> tuple[DataFrame, DataFrame]:
     """Learn the first k BPE merges over the corpus. Returns
     (merge_table, merged_vocab): the merge table has one row per round
@@ -130,17 +141,31 @@ def bpe_train(
     (word, cnt, seq) with all k merges applied.
 
     Driver traffic is one argmax row per round; each round is one
-    shuffle over the cached word-frequency table."""
+    shuffle over the cached word-frequency table.
+
+    Plan-depth bound (the production-k path): each round's projection
+    stacks one `replace` per PENDING merge, so an unbounded run at
+    vocabulary-training k (tens of thousands) would hand Catalyst an
+    ever-deeper expression tree and re-analyze it every round. Every
+    `checkpoint_every` merges the vocab is `localCheckpoint`ed with
+    the pending merges folded in — lineage truncates, the next round's
+    plan restarts from a materialized scan, and the per-round plan
+    never exceeds `checkpoint_every` replaces. Results are identical
+    by construction (merge application is associative over rounds);
+    pinned by tests/test_bpe.py::test_checkpointed_equals_unchunked."""
     spark = docs.sparkSession
     vocab = word_vocab(docs, text_col).cache()
     if cache_registry is not None:
         cache_registry.append(vocab)
+    base = vocab  # materialized vocab with `applied` merges folded in
+    applied = 0  # merges already baked into base's seq
     merges: list[tuple] = []
     for step in range(1, k + 1):
+        pending = merges[applied:]
         cur = (
-            vocab.withColumn("seq", _merged_seq_col(merges))
-            if merges
-            else vocab
+            base.withColumn("seq", _merged_seq_col(pending))
+            if pending
+            else base
         )
         best = (
             _pair_counts(cur)
@@ -160,9 +185,17 @@ def bpe_train(
                 int(row["c"]),
             )
         )
+        if len(merges) - applied >= checkpoint_every:
+            # fold pending merges into a materialized base; old base's
+            # checkpoint blocks free when the reference is dropped
+            base = base.withColumn(
+                "seq", _merged_seq_col(merges[applied:])
+            ).localCheckpoint(eager=True)
+            applied = len(merges)
     merge_df = spark.createDataFrame(merges, _MERGE_SCHEMA)
+    tail = merges[applied:]
     final_vocab = (
-        vocab.withColumn("seq", _merged_seq_col(merges)) if merges else vocab
+        base.withColumn("seq", _merged_seq_col(tail)) if tail else base
     )
     if cache_registry is None:
         # the k training collects are done; drop the cache rather than
@@ -177,6 +210,7 @@ def bpe_doc_tokens(
     k: int = 8,
     text_col: str = "text",
     cache_registry: list | None = None,
+    checkpoint_every: int = 64,
 ) -> DataFrame:
     """Tokenize the corpus under the induced vocabulary: per doc,
     n_words and n_tokens after the k learned merges — the number the
@@ -191,7 +225,8 @@ def bpe_doc_tokens(
     doc_id aggregate (map-side combined). Docs with no words keep a
     zero row (left join from the doc spine)."""
     _merge_df, final_vocab = bpe_train(
-        docs, k=k, text_col=text_col, cache_registry=cache_registry
+        docs, k=k, text_col=text_col, cache_registry=cache_registry,
+        checkpoint_every=checkpoint_every,
     )
     word_tokens = final_vocab.select(
         "word", F.size(F.split("seq", " ")).cast("long").alias("word_tokens")
@@ -224,13 +259,15 @@ def bpe_vocab(
     top: int = 30,
     text_col: str = "text",
     cache_registry: list | None = None,
+    checkpoint_every: int = 64,
 ) -> DataFrame:
     """Top tokens of the learned subword vocabulary: apply the k
     merges, explode the symbol sequences weighted by word cnt, and
     rank by (freq desc, token asc). One extra hash aggregate over the
     cached vocab after training — the corpus is never re-read."""
     _merge_df, final_vocab = bpe_train(
-        docs, k=k, text_col=text_col, cache_registry=cache_registry
+        docs, k=k, text_col=text_col, cache_registry=cache_registry,
+        checkpoint_every=checkpoint_every,
     )
     toks = final_vocab.select(
         "cnt", F.explode(F.split("seq", " ")).alias("token")
