@@ -7404,7 +7404,9 @@ _PARAM_RELEVANCE_SQL = """
   WITH u AS (
     SELECT 'h' || (doc_id % 4) || '.shop' AS host,
            'http://h' || (doc_id % 4) || '.shop/p/' || (doc_id % 7) AS prefix,
-           ['session=s' || (doc_id % 8), 'color=c' || (doc_id % 3)] AS ps,
+           list_distinct(
+             ['session=s' || (doc_id % 8), 'color=c' || (doc_id % 3)]
+           ) AS ps,
            md5('/p/' || (doc_id % 7) ||
                CASE WHEN doc_id % 4 = 0 THEN ''
                     ELSE 'c' || (doc_id % 3) END) AS content

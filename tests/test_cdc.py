@@ -187,3 +187,23 @@ def test_cdc_change_rate_semantics(spark):
         assert r["changed_bp"] == 10000 - (10000 * r["shared_chars"]) // max(
             r["old_chars"], r["new_chars"]
         )
+
+
+def test_cdc_string_doc_ids(spark):
+    """cdc_chunks must propagate the input's doc_id type (advice
+    item): string-id corpora chunk identically to long-id ones."""
+    from yacy_grid_crawler_spark.operators.dedup_text import cdc_chunks
+
+    text = "the quick brown fox jumps over the lazy dog " * 8
+    longs = spark.createDataFrame(
+        [(7, text)], "doc_id long, text string"
+    )
+    strings = spark.createDataFrame(
+        [("doc-7", text)], "doc_id string, text string"
+    )
+    got_s = cdc_chunks(strings).collect()
+    got_l = cdc_chunks(longs).collect()
+    assert cdc_chunks(strings).schema["doc_id"].dataType.simpleString() == "string"
+    assert {r["doc_id"] for r in got_s} == {"doc-7"}
+    key = lambda r: (r["chunk_no"], r["chunk_md5"], r["chunk_len"])
+    assert sorted(map(key, got_s)) == sorted(map(key, got_l))

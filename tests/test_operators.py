@@ -1690,6 +1690,28 @@ def test_param_relevance_verdicts(spark):
     assert len(got) == 6
 
 
+def test_param_relevance_duplicate_pairs_collapse(spark):
+    """Duplicate IDENTICAL k=v pairs collapse before analysis (advice
+    item): a URL repeating a=1 twice groups with its single-copy twin
+    instead of mapping to a base missing both copies."""
+    from yacy_grid_crawler_spark.operators.graph import param_relevance
+
+    rows = [
+        # same page, session varies, content fixed -> irrelevant...
+        ("http://h.shop/p?session=s1&session=s1&color=c1", "pc1"),
+        ("http://h.shop/p?session=s2&color=c1", "pc1"),
+        # ...and the duplicated row must land in the SAME evidence
+        # group as the single-copy row (collapse makes bases equal)
+    ]
+    df = spark.createDataFrame(rows, "url string, content_id string")
+    got = {
+        (r["host"], r["param"]): (r["verdict"], r["evidence_groups"])
+        for r in param_relevance(df).collect()
+    }
+    assert got[("h.shop", "session")] == ("irrelevant", 1)
+    assert got[("h.shop", "color")][0] == "unknown"
+
+
 def test_cli_list_queries_and_analyze_args(capsys):
     """--list-queries prints the registry; --analyze validates its
     inputs before touching Spark."""

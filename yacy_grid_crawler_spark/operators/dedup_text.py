@@ -1320,7 +1320,14 @@ def cdc_chunks(docs: DataFrame, mask: int = CDC_MASK) -> DataFrame:
     (32-hex + 2 ints), the text itself never shuffles. Downstream
     dedup is a plain chunk_md5 aggregate — uniform key, no salting.
     """
-    out_schema = "doc_id long, chunk_no int, chunk_md5 string, chunk_len int"
+    # propagate the input's doc_id type (long on the driver tables,
+    # string in the general corpus case) — hardcoding long would fail
+    # Arrow conversion on string-id corpora
+    doc_id_type = docs.schema["doc_id"].dataType.simpleString()
+    out_schema = (
+        f"doc_id {doc_id_type}, chunk_no int, chunk_md5 string, "
+        "chunk_len int"
+    )
 
     def batches(it):
         import hashlib

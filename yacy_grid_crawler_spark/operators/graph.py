@@ -715,9 +715,13 @@ def param_relevance(
     operator is its evidence-driven complement, and the learned
     'irrelevant' params feed exactly that stripper).
 
-    Method: for every parameter occurrence, the BASE is the URL with
-    that one parameter removed (remaining k=v pairs sorted, so pair
-    order never splits a group). Within a (host, param, base) group:
+    Method: duplicate IDENTICAL k=v pairs collapse first
+    (array_distinct — "a=1&a=1&b=2" and "a=1&b=2" carry the same
+    evidence, and the collapse keeps the one-pair-removed BASE
+    well-defined; same normalization in the DuckDB twin). Then for
+    every parameter occurrence, the BASE is the URL with that one
+    parameter removed (remaining k=v pairs sorted, so pair order
+    never splits a group). Within a (host, param, base) group:
     if the param takes >1 value the group is EVIDENCE; if content also
     takes >1 value the group is a SPLIT. Per (host, param):
 
@@ -751,7 +755,10 @@ def param_relevance(
         )
         .filter(F.col("_qs") != "")
         .select(
-            "host", "_prefix", "_content", F.split("_qs", "&").alias("_ps")
+            "host",
+            "_prefix",
+            "_content",
+            F.array_distinct(F.split("_qs", "&")).alias("_ps"),
         )
     )
     one = parsed.select(

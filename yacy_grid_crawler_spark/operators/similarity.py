@@ -91,12 +91,29 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signs(df: DataFrame, n_planes: int = 8, col: str = "embedding") -> DataFrame:
+def hyperplane_signs(
+    df: DataFrame,
+    n_planes: int = 8,
+    col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
     """LSH bucket key: sign pattern of dot products with n
     deterministic pseudo-random hyperplanes. Plane p, dim d weight =
     ((hex digit d of md5('p<p>d<d>')) - 7.5) — reproducible anywhere,
-    no RNG state. Adds a `bucket` string column ('0'/'1' × n_planes)."""
-    dim = len(df.select(col).first()[0])
+    no RNG state. Adds a `bucket` string column ('0'/'1' × n_planes).
+
+    `dim`: embedding dimensionality. Pass it to keep the operator
+    fully lazy; when omitted it is probed from the first row (one
+    eager driver action — the array type carries no length), with an
+    explicit error on an empty input instead of first()'s None."""
+    if dim is None:
+        head = df.select(col).first()
+        if head is None or head[0] is None:
+            raise ValueError(
+                "hyperplane_signs: cannot infer embedding dim from an "
+                "empty input — pass dim= explicitly"
+            )
+        dim = len(head[0])
     planes = []
     import hashlib
 
@@ -271,7 +288,10 @@ def embedding_near_dup_exact(
 
 
 def embedding_near_dup_lsh(
-    vectors: DataFrame, threshold: float = 0.4, n_planes: int = 4
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: hyperplane-LSH bucket as the
     blocking key (same-bucket candidates only → equi-join, no cross
@@ -279,8 +299,9 @@ def embedding_near_dup_lsh(
     construction (near-threshold pairs can straddle a hyperplane);
     recall vs the exact baseline is pinned in tests/test_similarity.py.
     Fewer planes → bigger buckets → higher recall; n_planes tunes the
-    recall/cost trade-off at scale."""
-    v = hyperplane_signs(vectors, n_planes)
+    recall/cost trade-off at scale. `dim` (optional) keeps the plan
+    fully lazy — see hyperplane_signs."""
+    v = hyperplane_signs(vectors, n_planes, dim=dim)
     v = with_norm(v).select("vec_id", "bucket", "_emb", "_norm")
     a = v.select(
         F.col("vec_id").alias("doc_a"),
@@ -316,16 +337,18 @@ def lsh_bucket_topk(
     query_mod: int = QUERY_MOD,
     n_planes: int = 8,
     rank_rounded: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates restricted to the query's
     hyperplane-LSH bucket — the scale path (equi-join on bucket key,
     AQE-balanced, no cross join). Recall < 1 by construction; the
     exactness oracle is brute_force_topk. `rank_rounded` as in
     brute_force_topk: rank by the 4dp-rounded similarity when the rank
-    feeds an engine-exact downstream (e.g. RRF)."""
+    feeds an engine-exact downstream (e.g. RRF). `dim` (optional)
+    keeps the plan fully lazy — see hyperplane_signs."""
     from pyspark.sql import Window
 
-    v = hyperplane_signs(vectors, n_planes)
+    v = hyperplane_signs(vectors, n_planes, dim=dim)
     v = with_norm(v).select("vec_id", "bucket", "_emb", "_norm")
     q = v.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
