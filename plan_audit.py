@@ -1,6 +1,9 @@
-"""Generate PLANS.md: a physical-plan audit of representative registry
-queries — the human-readable companion to tests/test_plans.py's
-mechanical pins. For each query: exchange count (shuffles), join
+"""Generate PLANS.md: a physical-plan audit of EVERY registry query —
+the human-readable companion to the mechanical pins (tests/
+test_plans.py for the wave plans; tests/test_entry.py asserts
+cartesian==0 and python-surfaces⊆intended per query, piggybacked on
+the oracle gate so every registry query's plan shape is re-checked on
+every suite run). For each query: exchange count (shuffles), join
 strategies, Python execution surfaces, and whole-stage-codegen spans,
 extracted from the AQE-final executed physical plan (each audited
 query runs once at the audit SF so exchange reuse and cache
@@ -15,21 +18,45 @@ import re
 import sys
 
 
-AUDIT = [
-    # name -> why it represents a plan family
-    ("crawl_bfs_seen", "the flagship BFS wave (anti-joins, batching)"),
-    ("dedup_minhash_lsh", "shingle explode -> band self-join"),
-    ("anti_join_seen", "persistent-seen anti-join"),
-    ("ann_ivfpq_topk", "IVF-PQ: coarse prune + ADC scan"),
-    ("bpe_doc_tokens", "broadcast dictionary tokenization"),
-    ("suffix_array", "prefix doubling (iterative, checkpointed)"),
-    ("lm_bigram_score", "LM train/score joins"),
-    ("linear_classifier_score", "hashed-feature broadcast scoring"),
-    ("quality_fuse", "multi-signal two-phase percentile fusion"),
-    ("events_sessionize", "sessionization (windowed gaps)"),
-    ("topk_per_group", "grouped top-k"),
-    ("politeness_slots", "per-host politeness scheduling"),
-]
+# plan-family notes for the representative queries (the rest of the
+# registry is audited identically, just without prose)
+FAMILY_NOTES = {
+    "crawl_bfs_seen": "the flagship BFS wave (anti-joins, batching)",
+    "dedup_minhash_lsh": "shingle explode -> band self-join",
+    "anti_join_seen": "persistent-seen anti-join",
+    "ann_ivfpq_topk": "IVF-PQ: coarse prune + ADC scan",
+    "bpe_doc_tokens": "broadcast dictionary tokenization",
+    "suffix_array": "prefix doubling (iterative, checkpointed)",
+    "lm_bigram_score": "LM train/score joins",
+    "linear_classifier_score": "hashed-feature broadcast scoring",
+    "quality_fuse": "multi-signal two-phase percentile fusion",
+    "events_sessionize": "sessionization (windowed gaps)",
+    "topk_per_group": "grouped top-k",
+    "politeness_slots": "per-host politeness scheduling",
+}
+
+# Queries whose plans INTENTIONALLY contain Python execution surfaces
+# (Arrow/Pandas nodes) — the MEASURED set from the full-registry audit
+# (every other query's AQE-final plan is pure JVM, and the whole
+# registry has zero CartesianProduct nodes). The assertion lives in
+# tests/test_entry.py, riding the oracle gate: a regression that drags
+# a Python surface into a JVM-only query (or grows a cartesian
+# anywhere) fails the suite. Kernels by family:
+#   * url canonicalization tier-3 residue Arrow kernel
+#     (url_canonicalize, smart_sld — the other crawl queries are
+#     fully covered by the JVM tier-1/2 gates)
+#   * multimodal decode/feature kernels (PIL/PyAV behind guards)
+#   * CDC rolling-hash Arrow kernel
+#   * PQ encode Arrow kernel (the measured anti-HOF-cliff move)
+#   * exact-GEMM embedding baselines (hard-capped, labeled)
+INTENDED_PYTHON = {
+    "url_canonicalize", "smart_sld",
+    "media_features", "media_resize", "media_frames", "media_phash",
+    "phash_neardup", "curate_media", "video_neardup",
+    "cdc_chunks", "cdc_savings", "cdc_change_rate",
+    "ann_pq_topk", "ann_ivfpq_topk",
+    "dedup_embedding", "dedup_recall",
+}
 
 
 def _features(df) -> dict:
@@ -89,23 +116,28 @@ def main() -> int:
 
     spark = get_spark(app="plan-audit", cores=8, shuffle_partitions=8)
     registry = entry.queries()
+    names = sorted(registry)  # canonical order: full coverage, stable diffs
     lines = [
-        "# PLANS — physical-plan audit of representative queries",
+        "# PLANS — physical-plan audit of the FULL query registry",
         "",
         f"Auto-generated by `python plan_audit.py {sf_dir}` (AQE-final "
         "executed plans — each query is run once so reused exchanges and "
-        "cached stages are visible; the mechanical pins live in "
-        "tests/test_plans.py).",
+        "cached stages are visible). Mechanical pins: the wave plans in "
+        "tests/test_plans.py, plus per-query cartesian==0 and "
+        "python-surfaces⊆intended assertions riding the oracle gate in "
+        "tests/test_entry.py.",
         "",
         "| query | family | exchanges | 1-part exch | reused/cached |"
         " broadcast joins |"
         " SMJ | SHJ | cartesian | python surfaces | codegen spans |",
         "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
-    for name, why in AUDIT:
+    violations = []
+    for name in names:
         df = registry[name](spark, sf_dir)
         df.count()  # execute: AQE-final plan, reused/cached stages visible
         f = _features(df)
+        why = FAMILY_NOTES.get(name, "")
         lines.append(
             f"| `{name}` | {why} | {f['exchanges']} |"
             f" {f['single_partition_exchanges']} | {f['reused_or_cached']} |"
@@ -114,6 +146,15 @@ def main() -> int:
             f" {f['cartesian']} | {f['python_surfaces']} |"
             f" {f['codegen_spans']} |"
         )
+        if f["cartesian"]:
+            violations.append(f"{name}: cartesian={f['cartesian']}")
+        if f["python_surfaces"] and name not in INTENDED_PYTHON:
+            violations.append(
+                f"{name}: python_surfaces={f['python_surfaces']} "
+                "(not in INTENDED_PYTHON)"
+            )
+    if violations:
+        lines += ["", "## VIOLATIONS", ""] + [f"- {v}" for v in violations]
     lines += [
         "",
         "Reading guide: every metric counts DISTINCT operator ids in the "
@@ -138,7 +179,7 @@ def main() -> int:
     with open("/root/repo/PLANS.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print("\n".join(lines))
-    return 0
+    return 1 if violations else 0
 
 
 if __name__ == "__main__":

@@ -78,12 +78,32 @@ def _oracle_names():
     return sorted(m.oracle_sql())
 
 
+def _assert_plan_shape(name, df):
+    """Plan-shape pin riding the oracle gate (round-3 verdict ask #7):
+    after execution, the AQE-final plan must have zero cartesians and
+    Python surfaces only where a kernel is intended (the measured set
+    in plan_audit.INTENDED_PYTHON; PLANS.md is the full audit table).
+    Runs on the already-executed df — costs one explain string."""
+    import plan_audit
+
+    f = plan_audit._features(df)
+    assert f["cartesian"] == 0, f"{name}: CartesianProduct in plan"
+    assert (
+        f["python_surfaces"] == 0 or name in plan_audit.INTENDED_PYTHON
+    ), (
+        f"{name}: {f['python_surfaces']} Python surface(s) in a "
+        "JVM-only query (update plan_audit.INTENDED_PYTHON only if "
+        "a new kernel is intentional)"
+    )
+
+
 @pytest.mark.parametrize("name", _oracle_names())
 def test_query_matches_oracle(entrymod, spark, duck, name):
     q, o = _pairs(entrymod)
     sdf = q[name](spark, SF_DIR)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
+    _assert_plan_shape(name, sdf)
     rel = duck.sql(o[name])
     dcols = list(rel.columns)
     drows = rel.fetchall()
@@ -102,6 +122,7 @@ def test_rows_only_queries_run(entrymod, spark):
     for name in set(q) - set(o):
         df = q[name](spark, SF_DIR)
         assert df.count() >= 0, name
+        _assert_plan_shape(name, df)
 
 
 def test_entry_smoke(entrymod, spark):
