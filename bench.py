@@ -793,6 +793,16 @@ def main() -> None:
         for cores in (2, 8):
             if big[cores]["calib_after"]["cpu_matmul_sec"] > QUIET_MATMUL_S:
                 big_visit(cores)  # kept visit rode a weather burst
+        # a burst can end BEFORE the calib probe and still have eaten
+        # the wave (measured: a quiet-calib local[8] visit charging
+        # 858 JVM CPU-s where quiet visits charge ~530 for identical
+        # work). Cross-level CPU is the tell: quiet-box inflation is
+        # 1.06-1.34x; >1.5x means neighbors stole the bus mid-visit.
+        if (
+            (big[8].get("wave_jvm_cpu_sec") or 0)
+            > 1.5 * (big[2].get("wave_jvm_cpu_sec") or 1e9)
+        ):
+            big_visit(8)
         big_eff = (big[2]["wave_sec"] / big[8]["wave_sec"]) / 4.0
         big_infl = (big[8].get("wave_jvm_cpu_sec") or 0) / max(
             big[2].get("wave_jvm_cpu_sec") or 1, 1e-9
