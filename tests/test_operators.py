@@ -1607,8 +1607,8 @@ def test_cli_bucketed_seen_flag(spark, corpus, docs_df, tmp_path, capsys):
     docs_path = str(tmp_path / "docs.parquet")
     docs_df.write.parquet(docs_path)
     seen_sets = {}
-    for flag in ([], ["--bucketed-seen"]):
-        store = str(tmp_path / f"store{len(flag)}")
+    for flag in (["--bucketed-seen", "off"], ["--bucketed-seen", "on"]):
+        store = str(tmp_path / f"store_{flag[1]}")
         rc = main(
             ["--docs", docs_path, "--store", store,
              "--crawling-url", corpus.seeds[0],
@@ -1619,11 +1619,11 @@ def test_cli_bucketed_seen_flag(spark, corpus, docs_df, tmp_path, capsys):
         assert out["success"]
         from yacy_grid_crawler_spark.sources.statestore import StateStore
 
-        seen_sets[len(flag)] = frozenset(
+        seen_sets[flag[1]] = frozenset(
             r["url_id"]
             for r in StateStore(spark, store).read("url_seen").collect()
         )
-    assert seen_sets[0] == seen_sets[1]
+    assert seen_sets["off"] == seen_sets["on"]
 
 
 def test_rendezvous_shard_minimal_movement(spark):
