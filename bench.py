@@ -580,6 +580,15 @@ def _run_phase_from_env() -> bool:
     return True
 
 
+def _emit_partial(result: dict) -> None:
+    """Progressive compact emission: after every completed phase,
+    print the compact record so far. If the harness kills bench.py
+    mid-run (time budget), the last stdout line is still a parseable
+    compact record covering every finished phase — the all-or-nothing
+    final print was how round 3's artifact came back parsed:null."""
+    print(json.dumps({**_compact(result), "partial": True}), flush=True)
+
+
 def main() -> None:
     if _run_phase_from_env():
         return
@@ -606,6 +615,7 @@ def main() -> None:
             for k in ("wave_sec", "wave_runs", "wave_warmup_sec", "urls_per_sec")
         },
     }
+    _emit_partial(result)
     if os.environ.get("SPARK_GRAFT_SCALING", "1") == "1":
         # Two-cluster-size evidence (BASELINE.md sandbox plan): the
         # IDENTICAL wave at two parallelism-level PAIRS, each a 4x
@@ -748,6 +758,7 @@ def main() -> None:
         # the scaling wave is the same metric at larger input — report
         # the best measured wave throughput as the headline value
         result["value"] = max(result["value"], hi["urls_per_sec"])
+        _emit_partial(result)
 
     if os.environ.get("SPARK_GRAFT_BIGSEEN", "1") == "1":
         # D3 at design load: 50M-row seen table, 10M-row probe —
@@ -760,6 +771,7 @@ def main() -> None:
                 os.environ.get("SPARK_GRAFT_BIGSEEN_PROBE", "10000000")
             ),
         )
+        _emit_partial(result)
 
     if os.environ.get("SPARK_GRAFT_SCALING_BIGWAVE", "1") == "1":
         # The literal raw >=0.8 bar (round-3 verdict ask #2): the 2v8
