@@ -88,3 +88,17 @@ def test_live_roundtrip_when_jar_present(spark, tmp_path):
     v2 = store.commit(appends={"url_seen": seen}, meta={"wave": 2})
     assert store.read("url_seen", version=v1).count() == 1  # time travel
     assert store.read("url_seen", version=v2).count() == 2
+    assert store.table_bytes("url_seen") > 0
+    # replace = full-table truncate-then-write (the parquet store's
+    # contract): rows in buckets the replacement doesn't touch must NOT
+    # survive — the dynamic-overwrite divergence flagged in round-4
+    # ADVICE
+    other_bucket = spark.createDataFrame(
+        [("c1", "b" * 32, 1)], SCHEMAS["url_seen"]
+    )
+    v3 = store.commit(replaces={"url_seen": other_bucket})
+    rows = store.read("url_seen", version=v3).collect()
+    assert len(rows) == 1 and rows[0]["url_id"] == "b" * 32
+    # explicit nonexistent version fails loud, matching statestore.py
+    with pytest.raises(FileNotFoundError):
+        store.read("url_seen", version=99)

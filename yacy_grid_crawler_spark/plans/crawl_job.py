@@ -406,9 +406,14 @@ class CrawlJob:
         if self._bucketed_cache and self._bucketed_cache[0] == v:
             return self._bucketed_cache[1]
         prev_on = bool(self._bucketed_cache and self._bucketed_cache[1])
+        # a store without the size signal (out-of-tree backend) keeps
+        # the mirror off rather than AttributeError-ing mid-wave; both
+        # in-tree stores (parquet OS-stat, Iceberg snapshot summary)
+        # implement it
+        table_bytes = getattr(self.store, "table_bytes", None)
         on = prev_on or (
-            self.store.table_bytes("url_seen")
-            >= self.bucketed_seen_threshold_bytes
+            table_bytes is not None
+            and table_bytes("url_seen") >= self.bucketed_seen_threshold_bytes
         )
         self._bucketed_cache = (v, on)
         return on

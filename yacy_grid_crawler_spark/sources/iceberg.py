@@ -166,6 +166,15 @@ class IcebergStateStore:
             m = m.filter(m.version == version)
         row = m.orderBy(m.version.desc()).limit(1).collect()
         if not row:
+            if version is not None and version != 0:
+                # match the parquet store's contract: an explicitly
+                # requested version that was never committed fails loud
+                # (statestore.py manifest() → FileNotFoundError), not a
+                # silent empty read in a resume/time-travel path
+                raise FileNotFoundError(
+                    f"no manifest row for version {version} in "
+                    f"{self._qualified('manifest')}"
+                )
             return {"version": 0, "snapshots": {}, "meta": {}}
         r = row[0]
         return {
@@ -195,6 +204,25 @@ class IcebergStateStore:
             self._qualified(table)
         )
 
+    def table_bytes(self, table: str, version: int | None = None) -> int:
+        """Iceberg analog of the parquet store's OS-stat size signal
+        (statestore.py table_bytes): the manifest-pinned snapshot's
+        ``total-files-size`` summary — a metadata read, no data scan.
+        CrawlJob's bucketed_seen="auto" calls this every wave
+        (crawl_job.py:_bucketed_enabled), so the Iceberg store must
+        carry it to be a drop-in swap."""
+        snap = self.manifest(version)["snapshots"].get(table)
+        if snap is None:
+            return 0
+        row = self.spark.sql(
+            "SELECT summary['total-files-size'] AS sz FROM "
+            f"{self._qualified(table)}.snapshots "
+            f"WHERE snapshot_id = {int(snap)}"
+        ).collect()
+        if not row or row[0]["sz"] is None:
+            return 0
+        return int(row[0]["sz"])
+
     # -- write -------------------------------------------------------
     def commit(
         self,
@@ -209,7 +237,15 @@ class IcebergStateStore:
         for t, df in (appends or {}).items():
             df.writeTo(self._qualified(t)).append()
         for t, df in (replaces or {}).items():
-            df.writeTo(self._qualified(t)).overwritePartitions()
+            # full-table replace, NOT overwritePartitions(): the parquet
+            # store's `replaces` contract is truncate-then-write
+            # (CrawlJob's status collapse / S8 rewrite rely on stale
+            # rows being gone — crawl_job.py), but a DYNAMIC partition
+            # overwrite on a bucket(N, url_id)-partitioned table keeps
+            # every bucket the replacement happens not to touch.
+            # overwrite(lit(True)) deletes all rows, then writes, in one
+            # Iceberg transaction.
+            df.writeTo(self._qualified(t)).overwrite(F.lit(True))
         prev = self.manifest()
         version = prev["version"] + 1
         snaps = dict(prev["snapshots"])
