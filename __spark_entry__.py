@@ -8454,20 +8454,67 @@ def _round_number() -> int:
 # the driver's correctness gate samples the FIRST 50 queries() entries;
 # round 3 judged the 17 crawl-side entries plus the first 33 of the
 # tail (through ann_sq8_topk) and everything after had no judged
-# evidence. ROTATE_STEP entries of the tail rotate into the window per
-# round so evidence accumulates across rounds (round-3 verdict ask #1b).
+# evidence. The tail reorders per round so evidence accumulates across
+# rounds (round-3 verdict ask #1b): rounds 3-4 used a blind offset
+# rotation (kept bit-for-bit so those judged windows stay reproducible
+# from the committed repo); from round 5 the tail is ordered
+# never-driver-checked-first (round-4 verdict ask #2), computed from
+# the committed CORRECTNESS_r{N}.json artifacts, so every rotating
+# window slot is spent on a query with no driver evidence yet.
 _WINDOW = 50
 _ROTATE_BASE_ROUND = 3  # the round whose window was tail offset 0
+_CHECKED_FIRST_ROUND = 5  # first round ordered by driver evidence
 
 
-def _rotate_registry(names: list[str], round_no: int | None = None) -> list[str]:
-    """Crawl-side entries stay first (always judged); the analytics
-    tail rotates by (window - crawl) per round past round 3 so each
-    round's driver window covers a fresh slice of the registry."""
+def _driver_checked(before_round: int) -> set[str]:
+    """Query names with driver-side correctness evidence from rounds
+    earlier than `before_round` — the union of keys across the
+    committed CORRECTNESS_r{N}.json artifacts next to this module.
+    The artifacts are committed at each round boundary, so the set
+    (and hence queries() ordering) is derivable from the repo state
+    alone — the round-4 ADVICE reproducibility note."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    out: set[str] = set()
+    for p in _glob.glob(_os.path.join(here, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m or int(m.group(1)) >= before_round:
+            continue
+        try:
+            with open(p) as fh:
+                out |= set(_json.load(fh))
+        except (OSError, ValueError):
+            continue
+    return out
+
+
+def _rotate_registry(
+    names: list[str],
+    round_no: int | None = None,
+    checked: set[str] | None = None,
+) -> list[str]:
+    """Crawl-side entries stay first (always judged). Rounds 3-4: the
+    analytics tail rotates by (window - crawl) per round — the judged
+    r3/r4 windows reproduce exactly. Round 5+: never-driver-checked
+    queries first (canonical order within each group), so the window's
+    rotating slots all land on queries absent from every prior
+    CORRECTNESS artifact. `checked` overrides the artifact-derived set
+    (tests simulate evidence accumulation with it)."""
     head_end = names.index("metrics_rollup") + 1
     head, tail = names[:head_end], names[head_end:]
-    step = _WINDOW - head_end
     rn = _round_number() if round_no is None else round_no
+    if rn >= _CHECKED_FIRST_ROUND:
+        done = _driver_checked(rn) if checked is None else checked
+        return (
+            head
+            + [n for n in tail if n not in done]
+            + [n for n in tail if n in done]
+        )
+    step = _WINDOW - head_end
     off = (max(rn - _ROTATE_BASE_ROUND, 0) * step) % len(tail)
     return head + tail[off:] + tail[:off]
 

@@ -57,14 +57,56 @@ def test_round4_window_disjoint_from_round3():
 
 
 def test_windows_cover_full_registry_over_rounds():
-    # successive rounds' windows eventually cover every analytics query
+    # successive rounds' windows eventually cover every analytics
+    # query: rounds 3-4 by offset, round 5+ by never-checked-first
+    # ordering (simulated evidence accumulation via `checked`)
     names = list(entry._canonical_queries())
     tail = set(names[17:])
     covered = set()
-    rounds_needed = -(-len(tail) // 33)  # ceil
-    for rn in range(3, 3 + rounds_needed):
+    for rn in (3, 4):
         covered |= set(entry._rotate_registry(names, rn)[17:50])
+    rn = 5
+    while covered != tail and rn < 20:
+        covered |= set(
+            entry._rotate_registry(names, rn, checked=covered)[17:50]
+        )
+        rn += 1
     assert covered == tail
+    assert rn <= 3 + -(-len(tail) // 33)  # no slower than the offset plan
+
+
+def test_round5_window_spends_every_slot_on_unchecked():
+    # round-4 verdict ask #2: the live round's 33 rotating slots must
+    # all be queries with NO driver evidence in any committed
+    # CORRECTNESS_r{N}.json artifact (86 remained after round 4)
+    names = list(entry._canonical_queries())
+    rn = entry._round_number()
+    assert rn >= 5
+    checked = entry._driver_checked(rn)
+    assert len(checked) >= 88  # r1-r4 union (round-4 verdict)
+    window = entry._rotate_registry(names, rn)[17:50]
+    overlap = set(window) & checked
+    assert not overlap, overlap
+    # and unchecked queries that miss this window are only those that
+    # no longer fit (window arithmetic, not ordering bugs)
+    unchecked = [n for n in names[17:] if n not in checked]
+    assert window == unchecked[:33]
+
+
+def test_checked_first_ordering_is_stable_permutation():
+    names = list(entry._canonical_queries())
+    some = set(names[20:40])
+    rotated = entry._rotate_registry(names, 7, checked=some)
+    assert sorted(rotated) == sorted(names)
+    assert rotated[:17] == names[:17]
+    # unchecked before checked, canonical order within each group
+    tail = rotated[17:]
+    seen_checked = False
+    for n in tail:
+        if n in some:
+            seen_checked = True
+        else:
+            assert not seen_checked, f"unchecked {n} after a checked entry"
 
 
 def test_oracle_names_cover_window():
