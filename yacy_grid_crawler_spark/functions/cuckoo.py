@@ -141,19 +141,36 @@ class UrlCuckoo:
         """Fold another table's fingerprints in (per-partition build →
         driver merge). Tables must be same-shaped."""
         assert self.nbuckets == other.nbuckets
-        occupied = np.flatnonzero(other.table.ravel())
-        for flat in occupied:
-            b, fp = flat // SLOTS, int(other.table.ravel()[flat])
-            self._insert_one(fp, int(b))
+        flat_table = other.table.ravel()
+        for flat in np.flatnonzero(flat_table):
+            self._insert_one(int(flat_table[flat]), int(flat // SLOTS))
         return self
+
+
+def _from_table_bytes(payload: bytes, nb: int) -> UrlCuckoo:
+    c = UrlCuckoo(1)
+    c.nbuckets, c.mask = nb, np.uint64(nb - 1)
+    c.table = (
+        np.frombuffer(payload, dtype=np.uint16).reshape(nb, SLOTS).copy()
+    )
+    c.n = int(np.count_nonzero(c.table))
+    return c
 
 
 def build_from_spark(
     seen_df, key: str = "url_id", n_items: int | None = None
 ) -> UrlCuckoo:
     """Distributed build, same shape as bloom.build_from_spark: each
-    partition folds its ids into a local same-shaped table (mapInPandas),
-    the driver merges the per-partition tables. Shuffle-free."""
+    partition folds its ids into a local same-shaped table
+    (mapInPandas), and the per-partition tables pairwise-merge
+    executor-side via treeReduce — the driver receives O(tree fan-in)
+    tables, not one per partition (the same bounded-fold fix as
+    bloom._or_fold_bits; a 10^10-scale deployment shards the filter by
+    url_id range instead, see bloom.ShardedBloomStore — the shape
+    carries over unchanged because the shard routing only reads the
+    digest prefix)."""
+    import math
+
     n = n_items if n_items is not None else seen_df.count()
     proto = UrlCuckoo(max(n * 2, 64))  # headroom so the merge never overflows
     nb = proto.nbuckets
@@ -166,12 +183,20 @@ def build_from_spark(
             local.add_many(pdf[key].dropna())
         yield pd.DataFrame({"table": [local.table.tobytes()]})
 
-    parts = seen_df.select(key).mapInPandas(fold, "table binary").collect()
-    for row in parts:
-        other = UrlCuckoo(1)
-        other.nbuckets, other.mask = nb, np.uint64(nb - 1)
-        other.table = (
-            np.frombuffer(row["table"], dtype=np.uint16).reshape(nb, SLOTS).copy()
-        )
-        proto.merge(other)
+    rdd = (
+        seen_df.select(key)
+        .mapInPandas(fold, "table binary")
+        .rdd.map(lambda r: bytes(r["table"]))
+    )
+    n_parts = rdd.getNumPartitions()
+    if n_parts == 0:
+        return proto
+
+    def merge_bytes(a: bytes, b: bytes) -> bytes:
+        ca = _from_table_bytes(a, nb)
+        ca.merge(_from_table_bytes(b, nb))
+        return ca.table.tobytes()
+
+    depth = max(2, int(math.ceil(math.log(max(n_parts, 2), 32))))
+    proto.merge(_from_table_bytes(rdd.treeReduce(merge_bytes, depth), nb))
     return proto
