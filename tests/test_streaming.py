@@ -305,3 +305,43 @@ def test_run_stream_to_memory_default_matches_exact(spark, tmp_path):
         map(key, exact.collect())
     )
     assert bounded.count() == len({u for _, u, _, _ in rows})
+
+
+def test_ttl_armed_drain_terminates_via_idle_stop(spark, tmp_path):
+    """Round-4 verdict task 6: with the 7-day TTL armed, an
+    availableNow drain never self-terminates (ProcessingTimeTimeout
+    keeps scheduling sweep batches — the measured gotcha), so the
+    ttl=True drain must stop via drain_until_idle AND return the same
+    exact novel set as the ttl=False drain."""
+    import time
+
+    from yacy_grid_crawler_spark.streaming.frontier_stream import (
+        CANDIDATE_SCHEMA,
+        run_stream_to_memory,
+    )
+
+    rows = []
+    for f in range(2):
+        for i in range(20):
+            u = f"http://h{i % 4}.example/p{(i * 3 + f * 7) % 25}"
+            rows.append(("c1", u, f, f * 100 + i))
+    src = str(tmp_path / "ttl_src")
+    for f in range(2):
+        spark.createDataFrame(
+            [r for r in rows if r[2] == f], CANDIDATE_SCHEMA
+        ).coalesce(1).write.parquet(f"{src}/f{f}")
+
+    t0 = time.time()
+    with_ttl = run_stream_to_memory(
+        spark, src + "/*", "t_ttl_on", max_files_per_trigger=1, ttl=True
+    )
+    elapsed = time.time() - t0
+    assert elapsed < 240, f"ttl-armed drain did not idle-stop ({elapsed:.0f}s)"
+    without = run_stream_to_memory(
+        spark, src + "/*", "t_ttl_off", max_files_per_trigger=1
+    )
+    key = lambda r: (r["crawl_id"], r["url"], r["url_id"])
+    assert sorted(map(key, with_ttl.collect())) == sorted(
+        map(key, without.collect())
+    )
+    assert with_ttl.count() == len({u for _, u, _, _ in rows})

@@ -152,9 +152,11 @@ def frontier_stream(
 
     TTL caveat (measured): a processing-time timeout keeps scheduling
     micro-batches to sweep state, so an `availableNow` drain never
-    self-terminates with ttl on — drain-and-stop harnesses must pass
-    ttl=False (run_stream_to_memory does); live triggers keep the
-    default."""
+    self-terminates with ttl on. Drain harnesses either pass ttl=False
+    (fastest — run_stream_to_memory's default) or keep the TTL armed
+    and stop via `drain_until_idle` (N consecutive empty micro-batches
+    → stop; run_stream_to_memory(ttl=True) wires it). Live triggers
+    keep the default."""
     if state == "bounded":
         return frontier_stream_bounded(
             candidates, ttl=ttl, capacity=capacity, fpp=fpp
@@ -275,12 +277,57 @@ def resolve_suspects(batch_df: DataFrame, seen_ids: DataFrame) -> DataFrame:
     return clear.unionByName(resolved).drop("suspect")
 
 
+def drain_until_idle(
+    query,
+    idle_batches: int = 3,
+    timeout_s: float = 300.0,
+    poll_s: float = 0.25,
+) -> bool:
+    """Stop a streaming query once it has gone idle: `idle_batches`
+    consecutive completed micro-batches with zero input rows.
+
+    This is the drain path for TTL-ARMED queries (round-4 verdict
+    task 6): a ProcessingTimeTimeout keeps scheduling micro-batches to
+    sweep state, so even an availableNow trigger never self-terminates
+    — the measured gotcha that previously forced every drain harness
+    to pass ttl=False. Watching `lastProgress` from the driver needs
+    no engine cooperation: data batches report numInputRows > 0,
+    timeout-sweep batches report 0, so an empty streak means the
+    source is drained and only the sweeper is ticking. Returns True
+    when stopped on idle, False on the wall-clock timeout (query is
+    stopped either way)."""
+    import time
+
+    deadline = time.time() + timeout_s
+    empty_streak = 0
+    last_batch = -1
+    try:
+        while time.time() < deadline:
+            if not query.isActive:
+                return True  # self-terminated (e.g. ttl off)
+            p = query.lastProgress
+            if p and p["batchId"] != last_batch:
+                last_batch = p["batchId"]
+                if p["numInputRows"] == 0:
+                    empty_streak += 1
+                    if empty_streak >= idle_batches:
+                        query.stop()
+                        return True
+                else:
+                    empty_streak = 0
+            time.sleep(poll_s)
+        return False
+    finally:
+        query.stop()
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     src_path: str,
     query_name: str = "frontier_out",
     max_files_per_trigger: int = 8,
     state: str = "bounded",
+    ttl: bool = False,
 ):
     """Drain the file stream and return the novel-URL DataFrame.
 
@@ -289,21 +336,32 @@ def run_stream_to_memory(
     against the accumulated committed set inside foreachBatch — the
     returned rows are the exact novel set (same contract as the batch
     operator). `state="exact"` drains the legacy exact-state variant
-    straight into a memory sink (raw emission, no suspect column)."""
+    straight into a memory sink (raw emission, no suspect column).
+
+    `ttl=True` arms the 7-day state sweep during the drain; the query
+    then never self-terminates (frontier_stream's TTL caveat), so the
+    drain switches from awaitTermination to `drain_until_idle` —
+    stop after N consecutive empty micro-batches. Results are
+    identical; ttl=False (default) stays the fastest exact drain."""
     src = read_candidate_stream(spark, src_path, max_files_per_trigger)
-    # ttl=False throughout: drain harness (see frontier_stream's TTL
-    # caveat — timeouts would keep the availableNow query alive)
+
+    def _drain(q) -> None:
+        if ttl:
+            drain_until_idle(q)
+        else:
+            q.awaitTermination(300)
+            q.stop()
+
     if state == "exact":
         q = (
-            frontier_stream(src, state="exact", ttl=False)
+            frontier_stream(src, state="exact", ttl=ttl)
             .writeStream.outputMode("append")
             .format("memory")
             .queryName(query_name)
-            .trigger(availableNow=True)  # drain everything, terminate
+            .trigger(availableNow=True)  # drain everything, then idle-stop
             .start()
         )
-        q.awaitTermination(300)
-        q.stop()
+        _drain(q)
         return spark.sql(f"SELECT * FROM {query_name}")
 
     committed = {
@@ -323,14 +381,13 @@ def run_stream_to_memory(
         )
 
     q = (
-        frontier_stream(src, ttl=False)
+        frontier_stream(src, ttl=ttl)
         .writeStream.outputMode("append")
         .foreachBatch(sink)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _drain(q)
     out = spark.createDataFrame(
         [(r["crawl_id"], r["url"], r["url_id"], r["depth"]) for r in novel],
         OUT_SCHEMA,
