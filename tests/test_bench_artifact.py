@@ -105,6 +105,20 @@ def _representative_full_record() -> dict:
             "anti_join_bucketed_sec": 1.95,
             "speedup": 5.85,
         },
+        "waveseen": {
+            "cores": 32,
+            "n_docs": 1000000,
+            "wave_urls": 7000000,
+            "n_seen": 20000000,
+            "plain_write_sec": 9.0,
+            "bucketed_write_sec": 19.5,
+            "wave_sec_plain": 21.3,
+            "wave_runs_plain": [30.2, 22.1, 21.3],
+            "wave_sec_bucketed": 14.9,
+            "wave_runs_bucketed": [20.0, 15.5, 14.9],
+            "frontier_rows": 5250000,
+            "speedup": 1.43,
+        },
         "scaling_bigwave": {
             "wave_urls": 56000000,
             "local2": level(2, 56000000, 262.3),
@@ -149,6 +163,8 @@ def test_compact_carries_judged_fields():
     for p in ("pair_1v4", "pair_2v8", "pair_8v32"):
         assert compact["scaling"][p]["efficiency"] > 0
     assert compact["bigseen"]["speedup"] == 5.85
+    assert compact["waveseen"]["speedup"] == 1.43
+    assert compact["waveseen"]["wave_sec_plain"] == 21.3
     assert compact["scaling_bigwave"]["pair_2v8"]["efficiency"] == 0.809
     assert compact["scaling_bigwave"]["wave_urls"] == 56000000
     # weather flags survive so a noisy run is readable as such
@@ -163,3 +179,41 @@ def test_compact_without_optional_sections():
     assert "scaling" not in compact
     assert "scaling_bigwave" not in compact
     assert json.loads(json.dumps(compact))["value"] == full["value"]
+
+
+def test_partial_line_with_calib_fits_tail_capture():
+    """Every progressive partial now carries the latest calib probe
+    (round-4 task 1b) — the line must still fit the driver's ~2 KB
+    stdout tail even with every section present."""
+    full = _representative_full_record()
+    line = json.dumps(
+        {
+            **bench._compact(full),
+            "partial": True,
+            "calib": {
+                "cpu_matmul_sec": 0.123,
+                "mem_stream_sec": 0.987,
+                "loadavg": [12.34, 11.22, 9.87],
+            },
+        }
+    )
+    assert len(line) < 2000, len(line)
+
+
+def test_compact_of_early_partial():
+    """The first partials carry only queries (+ maybe bigseen): the
+    phase reorder means crawl lands LAST, so _compact must not require
+    it."""
+    early = {
+        "metric": "frontier_urls_per_sec",
+        "value": 0.0,
+        "unit": "sec",
+        "sf": "0.1",
+        "queries": {name: 1.0 for name in bench.BENCH_QUERIES},
+    }
+    compact = bench._compact(early)
+    assert "crawl" not in compact
+    assert json.loads(json.dumps(compact))["value"] == 0.0
+    # mid-scaling progress partials survive compaction too
+    early["scaling_progress"] = {"2": 210000.0, "8": 800000.0}
+    assert bench._compact(early)["scaling_progress"]["8"] == 800000.0
