@@ -833,13 +833,30 @@ def main() -> None:
         # a burst can end BEFORE the calib probe and still have eaten
         # the wave (measured: a quiet-calib local[8] visit charging
         # 858 JVM CPU-s where quiet visits charge ~530 for identical
-        # work). Cross-level CPU is the tell: quiet-box inflation is
-        # 1.06-1.34x; >1.5x means neighbors stole the bus mid-visit.
-        if (
-            (big[8].get("wave_jvm_cpu_sec") or 0)
-            > 1.5 * (big[2].get("wave_jvm_cpu_sec") or 1e9)
-        ):
+        # work; round-5 re-measured it — a whole bigwave window where
+        # BOTH levels charged 1.35-1.5x quiet CPU while every calib
+        # matmul stayed <0.16 s: single-thread probes cannot see bus
+        # contention). Cross-level CPU inflation is the tell, and at
+        # the 112M default the quiet band is MEASURED tight:
+        # 1.016 (deep-quiet) / 1.104 (integrated r4) — so the guard is
+        # a band, not the old generic >1.5: above the band the
+        # 8-thread visit was bus-starved (revisit it), below 1.0 the
+        # 2-thread visit was (8 threads never charge LESS CPU than 2
+        # for identical work on a quiet box). Bounded: one extra
+        # visit per side. Override the band for non-default wave
+        # sizes (quiet inflation at 28M is ~1.34).
+        infl_hi = float(os.environ.get("SPARK_GRAFT_BIGWAVE_INFL_HI", "1.15"))
+        infl_lo = float(os.environ.get("SPARK_GRAFT_BIGWAVE_INFL_LO", "1.0"))
+
+        def _big_infl() -> float:
+            return (big[8].get("wave_jvm_cpu_sec") or 0) / max(
+                big[2].get("wave_jvm_cpu_sec") or 1, 1e-9
+            )
+
+        if _big_infl() > infl_hi:
             big_visit(8)
+        if _big_infl() < infl_lo:
+            big_visit(2)
         big_eff = (big[2]["wave_sec"] / big[8]["wave_sec"]) / 4.0
         big_infl = (big[8].get("wave_jvm_cpu_sec") or 0) / max(
             big[2].get("wave_jvm_cpu_sec") or 1, 1e-9
@@ -995,6 +1012,27 @@ def main() -> None:
                 > QUIET_MATMUL_S
             ):
                 visit(cores, n_docs)
+        # cross-level CPU-inflation band for the 2v8 pair (same
+        # rationale as the bigwave guard: single-thread calib probes
+        # cannot see bus contention — round-5 measured a window where
+        # the 28M local[2] wave hit the quiet baseline EXACTLY while
+        # local[8] charged 1.45x quiet CPU, every calib matmul <0.16).
+        # Quiet 2v8 inflation at 28M is ~1.34; above the band the
+        # 8-thread level was bus-starved (one extra visit), below 1.0
+        # the 2-thread level was.
+        sc_infl_hi = float(
+            os.environ.get("SPARK_GRAFT_SCALING_INFL_HI", "1.5")
+        )
+
+        def _sc_infl() -> float:
+            return (levels[8].get("wave_jvm_cpu_sec") or 0) / max(
+                levels[2].get("wave_jvm_cpu_sec") or 1, 1e-9
+            )
+
+        if _sc_infl() > sc_infl_hi:
+            visit(8, SCALING_DOCS)
+        if _sc_infl() < 1.0:
+            visit(2, SCALING_DOCS)
 
         for cores, _nd in level_specs:
             lv = levels[cores]
