@@ -629,11 +629,18 @@ def waveseen_bench(cores: int, n_docs: int, n_seen: int) -> dict:
         else:
             seen_df = spark.table("bench_waveseen_mirror")
         runs, n_frontier = [], 0
-        for i in range(3):  # first run is warmup (codegen, footer cache)
+        for i in range(3):
             el, n_frontier = one_wave(seen_df)
             runs.append(round(el, 2))
         results[layout] = n_frontier
-        out[f"wave_sec_{layout}"] = min(runs[1:])
+        # min over ALL three runs, warmup included: codegen/footer
+        # costs only make run 0 SLOWER, so including it in a min is
+        # unbiased — and under a mid-phase weather burst run 0 can be
+        # the only quiet sample (measured round-5 run B: plain runs
+        # [24.8, 64.5, 76.1] as a burst arrived; min-of-tail would
+        # have reported the burst as the layout's cost and a 5.4x
+        # speedup where the quiet A/B is ~2x)
+        out[f"wave_sec_{layout}"] = min(runs)
         out[f"wave_runs_{layout}"] = runs
     assert results["plain"] == results["bucketed"], results
     out["frontier_rows"] = results["plain"]
@@ -1005,11 +1012,21 @@ def main() -> None:
         respread = float(os.environ.get("SPARK_GRAFT_VISIT_RESPREAD", "1.4"))
         for cores, n_docs in level_specs:
             v = levels[cores]["visits"]
+            runs = levels[cores].get("wave_runs") or []
             if len(v) >= 2 and max(v) / max(min(v), 1e-9) > respread:
                 visit(cores, n_docs)
             elif len(v) == 1 and (
                 levels[cores]["calib_after"]["cpu_matmul_sec"]
                 > QUIET_MATMUL_S
+                # a single visit whose own min-of-2 runs spread >40%
+                # is burst-ridden even when the post-visit calib reads
+                # quiet (measured round-5 run B: local[32] in-visit
+                # runs [51.5, 35.7] with calib 0.089 — the burst ended
+                # inside the visit); engine-side spread is <10%
+                or (
+                    len(runs) >= 2
+                    and max(runs) / max(min(runs), 1e-9) > respread
+                )
             ):
                 visit(cores, n_docs)
         # cross-level CPU-inflation band for the 2v8 pair (same
