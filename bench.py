@@ -220,6 +220,7 @@ def wait_for_quiet(max_wait_s: float, probe_interval_s: float = 45.0) -> dict:
 def crawl_bench(
     cores: int, n_docs: int, wave_only: bool = False, master: str | None = None,
     warmup: bool = True, extra_conf: dict | None = None,
+    corpus_dir: str | None = None,
 ) -> dict:
     """The headline: one full WAVE over every candidate link of the
     synthetic corpus (~n_docs × 7 URLs) through the complete pipeline
@@ -253,7 +254,16 @@ def crawl_bench(
         extra=extra, master=master,
     )
     t_gen = time.time()
-    docs = synth_docs(spark, n_docs).persist()
+    if corpus_dir:
+        # scaling visits: read the corpus gencorpus_bench landed once
+        # at full parallelism instead of re-synthesizing at this
+        # visit's (possibly tiny) core count — synth_docs is
+        # md5-deterministic so the bytes are identical, and every
+        # level now scans the IDENTICAL file layout, which is exactly
+        # what a real two-cluster-size comparison reads
+        docs = spark.read.parquet(corpus_dir).persist()
+    else:
+        docs = synth_docs(spark, n_docs).persist()
     docs.count()  # materialize generation outside the timed window
     gen_s = time.time() - t_gen
 
@@ -692,6 +702,32 @@ def query_bench(cores: int) -> dict:
     return times
 
 
+def gencorpus_bench(n_docs: int) -> dict:
+    """Materialize the deterministic synthetic corpus ONCE at full
+    parallelism and land it as parquet. The scaling/bigwave visits
+    used to each re-run synth_docs at their own core count — at
+    local[2] with 16M docs that is ~minutes of pure setup sitting on
+    the decisive-evidence critical path (run-C measured the 112M
+    pair finalizing ~70 min into the bench). Generation is untimed
+    setup either way; moving it here at CPUS cores cuts the path and
+    hands every level the same files."""
+    from yacy_grid_crawler_spark.session import get_spark
+    from yacy_grid_crawler_spark.sources.synth import synth_docs
+
+    local_dir = tempfile.mkdtemp(prefix="spark_local_", dir=SINK_BASE)
+    out_dir = tempfile.mkdtemp(prefix="bench_corpus_", dir=SINK_BASE)
+    spark = get_spark(
+        app=f"bench-gencorpus-{n_docs}", cores=CPUS,
+        shuffle_partitions=CPUS, extra={"spark.local.dir": local_dir},
+    )
+    t0 = time.time()
+    synth_docs(spark, n_docs).write.mode("overwrite").parquet(out_dir)
+    gen_s = time.time() - t0
+    _stop(spark)
+    shutil.rmtree(local_dir, ignore_errors=True)
+    return {"dir": out_dir, "n_docs": n_docs, "gen_sec": round(gen_s, 2)}
+
+
 def _phase(kind: str, **params) -> dict:
     """Run one bench phase in a SUBPROCESS: each phase gets a fresh
     JVM, so no cross-session Python-accumulator noise lands in the
@@ -725,6 +761,7 @@ _PHASES = {
     "crawl": crawl_bench,
     "bigseen": bigseen_bench,
     "waveseen": waveseen_bench,
+    "gencorpus": gencorpus_bench,
 }
 
 
@@ -813,12 +850,14 @@ def main() -> None:
         # or when cross-level CPU inflation exposes a mid-visit burst.
         big_docs = int(os.environ.get("SPARK_GRAFT_BIGWAVE_DOCS", "16000000"))
         big_rounds = int(os.environ.get("SPARK_GRAFT_BIGWAVE_ROUNDS", "1"))
+        big_corpus = _phase("gencorpus", n_docs=big_docs)
         big: dict[int, dict] = {}
 
         def big_visit(cores: int) -> None:
             r = _phase(
                 "crawl", cores=cores, n_docs=big_docs,
                 wave_only=True, warmup=False,
+                corpus_dir=big_corpus.get("dir"),
             )
             r["calib_after"] = calib()
             prev = big.get(cores)
@@ -871,6 +910,7 @@ def main() -> None:
         result.pop("scaling_bigwave_progress", None)
         result["scaling_bigwave"] = {
             "wave_urls": big[2]["wave_urls"],
+            "corpus_gen_sec": big_corpus.get("gen_sec"),
             "local2": {
                 k: big[2][k]
                 for k in (
@@ -902,6 +942,8 @@ def main() -> None:
         result["value"] = max(
             result["value"], big[8]["urls_per_sec"], big[2]["urls_per_sec"]
         )
+        if big_corpus.get("dir"):
+            shutil.rmtree(big_corpus["dir"], ignore_errors=True)
         _emit_partial(result)
 
     if os.environ.get("SPARK_GRAFT_WAVESEEN", "1") == "1":
@@ -971,10 +1013,16 @@ def main() -> None:
             floors[cores] = _phase(
                 "crawl", cores=cores, n_docs=2000, wave_only=True
             )["wave_sec"]
+        corpus_dirs: dict[int, str] = {}
+        for _c, nd in level_specs:
+            if nd not in corpus_dirs:
+                corpus_dirs[nd] = _phase("gencorpus", n_docs=nd).get("dir")
+
         def visit(cores: int, n_docs: int) -> None:
             r = _phase(
                 "crawl", cores=cores, n_docs=n_docs,
                 wave_only=True, warmup=False,
+                corpus_dir=corpus_dirs.get(n_docs),
             )
             # probe the box right after the visit: a start/end-of-bench
             # calib pair cannot see a burst that lands on ONE level
@@ -1109,6 +1157,9 @@ def main() -> None:
         # the scaling wave is the same metric at larger input — report
         # the best measured wave throughput as the headline value
         result["value"] = max(result["value"], hi["urls_per_sec"])
+        for d in corpus_dirs.values():
+            if d:
+                shutil.rmtree(d, ignore_errors=True)
         _emit_partial(result)
 
     # the crawl phase runs LAST (round-4 task 1): its numbers are the
