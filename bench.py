@@ -868,6 +868,22 @@ def main() -> None:
             result["scaling_bigwave_progress"] = {
                 str(c): big[c]["urls_per_sec"] for c in big
             }
+            if 2 in big and 8 in big:
+                # a kill before the guards finish still leaves a pair
+                # on record (run D's guard revisits pushed the final
+                # pair ~70 min into the run); provisional = from the
+                # current per-level bests, with the inflation tell so
+                # a truncated artifact can be read for fairness
+                result["scaling_bigwave_progress"]["pair_2v8_provisional"] = {
+                    "efficiency": round(
+                        (big[2]["wave_sec"] / big[8]["wave_sec"]) / 4.0, 3
+                    ),
+                    "cpu_inflation": round(
+                        (big[8].get("wave_jvm_cpu_sec") or 0)
+                        / max(big[2].get("wave_jvm_cpu_sec") or 1, 1e-9),
+                        3,
+                    ),
+                }
             _emit_partial(result, calib_now=r["calib_after"])
 
         for _ in range(big_rounds):
