@@ -1687,7 +1687,7 @@ def _q_ann_ivfpq_topk(spark, sf_dir):
     zero-shuffle encode, bucket equi-join probe. Exact long math."""
     from yacy_grid_crawler_spark.operators.similarity import ivfpq_topk
 
-    return ivfpq_topk(_emb(spark, sf_dir))
+    return ivfpq_topk(_emb(spark, sf_dir), cache_registry=_QUERY_CACHES)
 
 
 _ANN_IVFPQ_SQL = """

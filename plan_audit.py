@@ -56,6 +56,11 @@ INTENDED_PYTHON = {
     "cdc_chunks", "cdc_savings", "cdc_change_rate",
     "ann_pq_topk", "ann_ivfpq_topk",
     "dedup_embedding", "dedup_recall",
+    # r06: brute_force_topk defaults to the GEMM block kernel (guide
+    # §4.2 — BLAS dots instead of one interpreted fold per pair);
+    # every query composing it gains exactly that one intended kernel
+    "ann_cosine_topk", "ann_recall", "ann_mrl_recall",
+    "hybrid_search", "hard_negatives",
 }
 
 

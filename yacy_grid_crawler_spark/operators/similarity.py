@@ -22,6 +22,11 @@ QUERY_MOD = 50  # vec_id % QUERY_MOD == 0 → query vector
 
 
 def _dot(a, b):
+    # NOTE (r06 measured): unrolling this fold into a 64-term
+    # element_at chain to escape CodegenFallback made it 3× SLOWER
+    # (the generated method blows past JIT limits and runs in the
+    # bytecode interpreter); the fold form stays. The fast path for
+    # bulk dots is the GEMM kernel in brute_force_topk.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -38,7 +43,7 @@ def with_norm(df: DataFrame, col: str = "embedding") -> DataFrame:
 
 def brute_force_topk(
     vectors: DataFrame, top_k: int = TOP_K, query_mod: int = QUERY_MOD,
-    rank_rounded: bool = False,
+    rank_rounded: bool = False, impl: str = "gemm",
 ) -> DataFrame:
     """Exact cosine top-k: queries = vec_id % query_mod == 0 (a
     deterministic subset), candidates = all other vectors.
@@ -51,11 +56,33 @@ def brute_force_topk(
     raw ranking keeps maximal resolution when only the neighbor SET
     matters.
 
+    Two implementations (r06, guide §4.2), same output — equality
+    pinned in tests/test_similarity.py:
+
+    - `impl="gemm"` (default): the query block is collected and
+      broadcast as a dense numpy matrix (bounded by design — the
+      same broadcast geometry as the expression form, which collects
+      the query side into a broadcast relation); each partition of
+      the candidate side computes one BLAS GEMM block per Arrow
+      batch and emits only its LOCAL top-k per query, so the final
+      exact top-k window sees ≤ partitions × Q × k rows instead of
+      N × Q. The 64-wide dots run vectorized in C instead of one
+      interpreted `zip_with`+`aggregate` per pair (the fold form is
+      CodegenFallback; unrolling it blows JIT limits — measured).
+    - `impl="expr"`: the original pure-JVM expression form — the
+      executable spec the kernel is pinned against, and the
+      zero-Python fallback.
+
     Scale note: the cross join is Q×N — the baseline only. The
     broadcast of the (small) query side keeps it shuffle-free; for
     large Q use `lsh_bucket_topk`.
     """
     from pyspark.sql import Window
+
+    if impl == "gemm":
+        gemm = _brute_force_topk_gemm(vectors, top_k, query_mod, rank_rounded)
+        if gemm is not None:
+            return gemm
 
     v = with_norm(vectors).select(
         "vec_id", "_emb", "_norm"
@@ -86,6 +113,103 @@ def brute_force_topk(
             "query_id",
             "rank",
             F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_sim", 4).alias("cos_sim"),
+        )
+    )
+
+
+def _brute_force_topk_gemm(
+    vectors: DataFrame, top_k: int, query_mod: int, rank_rounded: bool
+):
+    """GEMM-block implementation of brute_force_topk (see its
+    docstring). Returns None when the query side is empty (caller
+    falls back to the expression form, which yields the correctly
+    typed empty result)."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    spark = vectors.sparkSession
+    q_pdf = (
+        vectors.filter(F.col("vec_id") % query_mod == 0)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    if q_pdf.empty:
+        return None
+    q_ids = q_pdf["vec_id"].to_numpy()
+    qm = np.vstack(q_pdf["embedding"].to_numpy()).astype("float64")
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    bc = spark.sparkContext.broadcast((q_ids, qm, qn))
+    id_type = vectors.schema["vec_id"].dataType.simpleString()
+    out_schema = (
+        f"query_id {id_type}, neighbor_id {id_type}, cos_sim double"
+    )
+    k = top_k
+    rounded = rank_rounded
+
+    def topk_blocks(batches):
+        import pandas as pd
+
+        ids_q, mat_q, norm_q = bc.value
+        nq = len(ids_q)
+        for part in batches:
+            if part.empty:
+                continue
+            cids = part["vec_id"].to_numpy()
+            block = np.vstack(part["embedding"].to_numpy()).astype("float64")
+            bn = np.sqrt((block * block).sum(axis=1))
+            sims = (block @ mat_q.T) / np.outer(bn, norm_q)  # (B, nq)
+            # selection key: rounded half-away-from-zero when the
+            # rank itself is the contract (rank_rounded), raw
+            # otherwise — mirrors the window's ORDER BY exactly
+            key = (
+                np.sign(sims) * np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4
+                if rounded
+                else sims.copy()
+            )
+            # self-pairs are excluded by the join condition in the
+            # expression form: push them below any real candidate
+            key[cids[:, None] == ids_q[None, :]] = -np.inf
+            # NaN (zero-norm vectors) ranks FIRST under Spark's
+            # descending NaN-greatest ordering: keep such rows
+            key[np.isnan(key)] = np.inf
+            rows_a = []
+            rows_q = []
+            rows_s = []
+            kk = min(k, len(cids))
+            for j in range(nq):
+                col = key[:, j]
+                # top-k by (key desc, vec_id asc): lexsort is stable,
+                # last key is primary
+                order = np.lexsort((cids, -col))[:kk]
+                order = order[col[order] > -np.inf]
+                rows_a.append(cids[order])
+                rows_q.append(np.full(len(order), ids_q[j]))
+                rows_s.append(sims[order, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(rows_q),
+                    "neighbor_id": np.concatenate(rows_a),
+                    "cos_sim": np.concatenate(rows_s),
+                }
+            )
+
+    cand = vectors.select("vec_id", "embedding").mapInPandas(
+        topk_blocks, out_schema
+    )
+    rank_key = (
+        F.round("cos_sim", 4) if rank_rounded else F.col("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        rank_key.desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
             F.round("cos_sim", 4).alias("cos_sim"),
         )
     )
@@ -578,16 +702,21 @@ def _pq_lut(cents: list[list[list[int]]]):
 
 
 def _adc_expr(m: int):
-    """Sum of m LUT lookups: `_lut[s][codes[s]]` over s in [0, m)."""
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, s: acc
-        + F.element_at(
+    """Sum of m LUT lookups: `_lut[s][codes[s]]` over s in [0, m).
+
+    Unrolled as a left-assoc chain of m element_at terms instead of
+    `aggregate(sequence(0, m-1), ...)`: higher-order-function
+    expressions are CodegenFallback (interpreted per row), and this
+    runs once per (query, candidate) pair — the ADC scoring hot path.
+    The unrolled form stays inside whole-stage codegen; the sum is
+    exact integer math either way, same order, identical results."""
+    expr = F.lit(0).cast("long")
+    for s in range(m):
+        expr = expr + F.element_at(
             F.element_at(F.col("_lut"), s + 1),
             F.element_at(F.col("codes"), s + 1) + 1,
-        ),
-    )
+        )
+    return expr
 
 
 def _rank_topk(pairs: DataFrame, top_k: int) -> DataFrame:
@@ -609,6 +738,7 @@ def pq_encode(
     cents: list[list[list[int]]],
     keep: tuple[str, ...] = (),
     impl: str = "arrow",
+    coarse: list[list[int]] | None = None,
 ) -> DataFrame:
     """Encode each vector as m one-byte-range codes: per subspace,
     argmin squared-L2 against the 16 centroids (first-min = smallest
@@ -632,9 +762,24 @@ def pq_encode(
     broadcast codebook constants), and at 10^10 vectors the encoded
     table is m longs/vector vs 64 floats — a 32x narrower scan side,
     which is the entire point of PQ at 100 TB.
+
+    `coarse` (arrow impl only): optional list of coarse IVF centroids
+    (full-dim int vectors). When given, the kernel also emits a
+    `bucket` int column = argmin exact-int64 squared-L2 over the
+    coarse centroids (first min = smallest centroid id on ties —
+    np.argmin returns the first occurrence, the same (d, cid)
+    tie-break as the expression form in ivfpq_topk). Fusing the
+    coarse assignment into the encode pass matters because nested
+    higher-order-function expressions run INTERPRETED in Catalyst
+    (see the impl note above): at sf0.1 the expression-form coarse
+    assignment over the full table was the single largest cost in
+    the ivfpq plan; in the kernel it is one (batch × n_coarse × dim)
+    numpy broadcast per batch — and one fewer full-table pass.
     """
     if impl == "arrow":
-        return _pq_encode_arrow(quantized, cents, keep=keep)
+        return _pq_encode_arrow(quantized, cents, keep=keep, coarse=coarse)
+    if coarse is not None:
+        raise ValueError("pq_encode: coarse= requires impl='arrow'")
     m = len(cents)
     dsub = len(cents[0][0])
 
@@ -654,20 +799,30 @@ def _pq_encode_arrow(
     quantized: DataFrame,
     cents: list[list[list[int]]],
     keep: tuple[str, ...] = (),
+    coarse: list[list[int]] | None = None,
 ) -> DataFrame:
     """Vectorized PQ encoder: numpy int64 over Arrow batches. Exact —
     no floats anywhere, so it reproduces the expression form (and the
-    DuckDB oracle) bit-for-bit. Partition-local map: no shuffle."""
+    DuckDB oracle) bit-for-bit. Partition-local map: no shuffle.
+    With `coarse`, also emits the IVF `bucket` column (argmin exact
+    int64 L2 over the coarse centroids — see pq_encode)."""
     import numpy as np
     from pyspark.sql import types as T
 
     m = len(cents)
     dsub = len(cents[0][0])
     cent_arr = np.asarray(cents, dtype=np.int64)  # (m, k, dsub)
+    coarse_arr = (
+        np.asarray(coarse, dtype=np.int64) if coarse is not None else None
+    )  # (n_coarse, dim)
 
     out_fields = [quantized.schema["vec_id"]] + [
         T.StructField("codes", T.ArrayType(T.IntegerType()))
-    ] + [quantized.schema[c] for c in keep]
+    ] + (
+        [T.StructField("bucket", T.IntegerType())]
+        if coarse is not None
+        else []
+    ) + [quantized.schema[c] for c in keep]
     out_schema = T.StructType(out_fields)
 
     def encode_batches(batches):
@@ -686,6 +841,11 @@ def _pq_encode_arrow(
                 )
                 codes[:, s] = d.argmin(axis=1)  # first min = smallest code
             out = {"vec_id": pdf["vec_id"], "codes": list(codes)}
+            if coarse_arr is not None:
+                cd = ((x[:, None, :] - coarse_arr[None, :, :]) ** 2).sum(
+                    axis=2
+                )  # (B, n_coarse) exact int64
+                out["bucket"] = cd.argmin(axis=1).astype(np.int32)
             for c in keep:
                 out[c] = pdf[c]
             yield pd.DataFrame(out)
@@ -788,17 +948,19 @@ def ivfpq_topk(
     cdists = F.transform(coarse_lit, lambda cv: _int_l2(F.col("qvec"), cv))
     # argsort by (dist, cid): zip dists with their index, array_sort
     # orders structs lexicographically — exact-integer tie-break.
+    # Evaluated ONLY on the query side below (tiny); the full-table
+    # coarse assignment runs inside the Arrow encode kernel (numpy
+    # argmin over the same exact int64 L2 — identical bucket ids, see
+    # pq_encode), because this nested-HOF expression is interpreted
+    # and was the dominant cost of the plan when applied per row.
     ranked_buckets = F.array_sort(
         F.transform(
             cdists,
             lambda d, i: F.struct(d.alias("d"), i.cast("int").alias("c")),
         )
     )
-    bucket = F.element_at(ranked_buckets, 1)["c"]
 
-    coded = pq_encode(
-        qv.withColumn("bucket", bucket), cents, keep=("bucket",)
-    )
+    coded = pq_encode(qv, cents, coarse=coarse)
 
     qside = qv.filter(F.col("vec_id") % query_mod == 0)
     qluts = qside.select(
