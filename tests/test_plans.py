@@ -92,15 +92,23 @@ def test_distributed_rank_has_no_global_window(spark):
 
 
 def test_ann_brute_force_broadcasts_queries(spark):
-    """Brute-force ANN: the small query side must broadcast so the
-    big candidate side never shuffles."""
+    """Brute-force ANN: the big candidate side never shuffles or
+    cross-joins. r06: the default impl is the GEMM kernel — the query
+    matrix rides a sparkContext broadcast into a mapInPandas block
+    (no join of the candidate side at all); the only exchange is the
+    final per-query top-k window over the partial top-k rows. The
+    expression spec twin must still broadcast the query side."""
     from yacy_grid_crawler_spark.operators.similarity import brute_force_topk
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    out = brute_force_topk(emb)
-    plan = _plan(out)
-    assert "BroadcastNestedLoopJoin" in plan
+    plan = _plan(brute_force_topk(emb))
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+    plan_expr = _plan(brute_force_topk(emb, impl="expr"))
+    assert "BroadcastNestedLoopJoin" in plan_expr
+    assert "CartesianProduct" not in plan_expr
 
 
 def test_sq8_topk_broadcasts_queries_and_stays_codegen(spark):

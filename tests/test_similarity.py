@@ -493,6 +493,29 @@ def test_pq_encode_arrow_equals_expr(spark, emb):
     assert a == b
 
 
+def test_brute_force_gemm_equals_expr(spark, emb):
+    """The GEMM block kernel (r06 default impl) is pinned to the
+    pure-JVM expression form: same (query_id, rank, neighbor_id) and
+    4dp-rounded cos_sim, in both raw-rank and rounded-rank modes —
+    the fast path can never drift from the executable spec."""
+    from yacy_grid_crawler_spark.operators.similarity import brute_force_topk
+
+    for rr in (False, True):
+        a = sorted(
+            tuple(r) for r in brute_force_topk(
+                emb, rank_rounded=rr, impl="gemm"
+            ).collect()
+        )
+        b = sorted(
+            tuple(r) for r in brute_force_topk(
+                emb, rank_rounded=rr, impl="expr"
+            ).collect()
+        )
+        assert a == b, f"rank_rounded={rr}: first diff " + str(
+            next((x, y) for x, y in zip(a, b) if x != y)
+        )
+
+
 def test_pq_codebook_guards(spark):
     """Empty input and non-divisible dim fail loudly instead of
     silently dropping trailing dimensions."""
