@@ -1437,8 +1437,31 @@ def edit_verified_pairs(
     cands = simhash_near_pairs(
         docs, bits=bits, max_hamming=max_hamming, band_df_cap=band_df_cap
     )
+    # r06 (guide §2.5): AQE coalesces the candidate-pair aggregate by
+    # BYTES — a few thousand 24-byte pair rows collapse to ONE
+    # post-shuffle partition, and the O(len_a·len_b) levenshtein
+    # stage below then runs single-task (measured: 16+ min on one
+    # core at sf0.1 while 31 cores idled). AQE cannot see per-row
+    # compute cost; an explicit hash repartition on the pair key
+    # spreads the quadratic verify across the configured parallelism
+    # (explicit numPartitions ⇒ AQE leaves it alone). The exchanged
+    # rows are the SKINNY pair ids — the text joins back after.
+    n_part = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    cands = cands.repartition(n_part, "doc_a", "doc_b")
     ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
     tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+    # r06: threshold-bounded levenshtein — any distance ABOVE the
+    # keep cut is rejected by the filter below, so the DP only needs
+    # to decide "≤ t or not" with t = the largest distance that can
+    # still pass: ratio_bp = d*10000 div len ≤ max_ratio_bp
+    # ⟺ d*10000 < (max_ratio_bp+1)*len ⟺ d ≤ ((max_ratio_bp+1)*len
+    # - 1) div 10000. Spark's 3-arg levenshtein runs the banded
+    # O(t·len) algorithm and returns -1 past the threshold — a
+    # 1/ratio-fold cheaper verify with bit-identical kept rows (the
+    # -1 rows are exactly the rows the ratio filter dropped; they are
+    # filtered explicitly on edit_distance >= 0).
     scored = (
         cands.join(ta, "doc_a")
         .join(tb, "doc_b")
@@ -1446,7 +1469,11 @@ def edit_verified_pairs(
             "doc_a",
             "doc_b",
             "hamming",
-            F.levenshtein("_ta", "_tb").cast("int").alias("edit_distance"),
+            F.expr(
+                "CAST(levenshtein(_ta, _tb, CAST(("
+                f"({int(max_ratio_bp)} + 1) * CAST(greatest(length(_ta),"
+                " length(_tb)) AS BIGINT) - 1) div 10000 AS INT)) AS INT)"
+            ).alias("edit_distance"),
             F.greatest(F.length("_ta"), F.length("_tb"))
             .cast("long")
             .alias("_len"),
@@ -1464,7 +1491,10 @@ def edit_verified_pairs(
             "doc_a", "doc_b", "hamming", "edit_distance",
             ratio.alias("ratio_bp"),
         )
-        .filter(F.col("ratio_bp") <= max_ratio_bp)
+        .filter(
+            (F.col("edit_distance") >= 0)
+            & (F.col("ratio_bp") <= max_ratio_bp)
+        )
     )
 
 
