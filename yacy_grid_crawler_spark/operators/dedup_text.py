@@ -715,6 +715,13 @@ def verified_near_dup_pairs(
     pairs = minhash_lsh_pairs(
         docs, n_hashes=n_hashes, bands=bands, cache_registry=cache_registry
     )
+    # r06 (guide §2.5, same hazard as edit_verified_pairs): AQE
+    # coalesces the skinny candidate-pair aggregate by BYTES, which
+    # can funnel the entire O(len_a·len_b) verify below into one
+    # task; an explicit hash repartition on the pair key spreads it
+    # (explicit numPartitions ⇒ AQE leaves it alone).
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    pairs = pairs.repartition(n_part, "doc_a", "doc_b")
     txt = docs.select("doc_id", "text")
     j = pairs.join(
         txt.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta")),
@@ -723,8 +730,19 @@ def verified_near_dup_pairs(
         txt.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb")),
         "doc_b",
     )
-    lev = F.levenshtein(F.col("_ta"), F.col("_tb"))
     denom = F.greatest(F.length("_ta"), F.length("_tb"))
+    # r06: threshold-bounded levenshtein. Any kept row has
+    # round(1 - d/L, 4) >= min_sim, which implies
+    # d <= L·(1 - min_sim + 0.00005); the bound below adds a 20×
+    # margin (0.001) so float-boundary reasoning can never clip a row
+    # the filter would keep — past-threshold rows return -1, which
+    # are exactly rows the sim filter rejects, dropped explicitly.
+    # The banded O(t·len) algorithm replaces the full O(len²) DP.
+    t_expr = (
+        F.ceil(denom * F.lit(1.0 - float(min_sim) + 0.001)) + F.lit(1)
+    ).cast("int")
+    lev = F.expr("levenshtein(_ta, _tb, _t)")
+    j = j.withColumn("_t", t_expr)
     sim = F.round(
         F.when(denom == 0, F.lit(1.0)).otherwise(1.0 - lev / denom), 4
     )
@@ -735,7 +753,7 @@ def verified_near_dup_pairs(
             lev.cast("long").alias("edit_distance"),
             sim.alias("edit_sim"),
         )
-        .filter(F.col("edit_sim") >= min_sim)
+        .filter((F.col("edit_distance") >= 0) & (F.col("edit_sim") >= min_sim))
     )
 
 
