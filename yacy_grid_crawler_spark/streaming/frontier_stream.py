@@ -364,21 +364,37 @@ def run_stream_to_memory(
         _drain(q)
         return spark.sql(f"SELECT * FROM {query_name}")
 
-    committed = {
-        "df": spark.createDataFrame([], "crawl_id string, url_id string")
-    }
-    novel: list = []
+    # r06 (guide §5 / VERDICT r5 item 4): the committed set used to be
+    # accumulated DRIVER-side (per-batch collect() + createDataFrame
+    # union) — O(total novel) driver memory and a serialization stall
+    # per micro-batch. Resolution now stays executor-side: each
+    # batch's novel rows append to a parquet `novel` store, and the
+    # next batch's suspect lane anti-joins against that store's
+    # (crawl_id, url_id) projection — exactly the persisted-url_seen
+    # join the production sink performs, with zero collect() in the
+    # resolution path. The store is a per-drain temp dir; the result
+    # is localCheckpointed so the dir can be removed before returning.
+    import shutil
+    import tempfile
+
+    novel_dir = tempfile.mkdtemp(prefix="stream_novel_")
+    novel_path = novel_dir + "/novel"
+    wrote = {"any": False}
 
     def sink(batch_df, _batch_id):
-        resolved = resolve_suspects(batch_df, committed["df"])
-        rows = resolved.collect()
-        novel.extend(rows)
-        committed["df"] = committed["df"].unionByName(
-            spark.createDataFrame(
-                [(r["crawl_id"], r["url_id"]) for r in rows],
-                "crawl_id string, url_id string",
+        if wrote["any"]:
+            seen_ids = spark.read.parquet(novel_path).select(
+                "crawl_id", "url_id"
             )
-        )
+        else:
+            seen_ids = spark.createDataFrame(
+                [], "crawl_id string, url_id string"
+            )
+        resolved = resolve_suspects(batch_df, seen_ids)
+        resolved.select("crawl_id", "url", "url_id", "depth").write.mode(
+            "append"
+        ).parquet(novel_path)
+        wrote["any"] = True
 
     q = (
         frontier_stream(src, ttl=ttl)
@@ -388,10 +404,12 @@ def run_stream_to_memory(
         .start()
     )
     _drain(q)
-    out = spark.createDataFrame(
-        [(r["crawl_id"], r["url"], r["url_id"], r["depth"]) for r in novel],
-        OUT_SCHEMA,
-    )
+    if wrote["any"]:
+        # materialize off the temp dir, then drop it
+        out = spark.read.parquet(novel_path).localCheckpoint()
+    else:
+        out = spark.createDataFrame([], OUT_SCHEMA)
+    shutil.rmtree(novel_dir, ignore_errors=True)
     out.createOrReplaceTempView(query_name)
     return out
 
